@@ -1,0 +1,78 @@
+"""Payload decode and extracted-text assembly.
+
+The corpus ``html`` BINARY column carries a zlib-compressed JSON layout
+(the Common-Crawl-page stand-in; reference analogue: raw PDF bytes fed
+to the layout engine, src/ocr/mineru_ocr.py:105,146).  Decoding it is
+stage A of the pipeline (SURVEY.md §7.0) and happens only inside Arrow
+batches — never on the driver for real data.
+
+Shared verbatim by the oracle and the Spark UDFs (byte identity).
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+
+from .detector import Region, detect_regions, split_columns
+from .textfuncs import block_text, page_framed_text
+
+PAYLOAD_MAGIC = b"XLAY1"
+
+
+def encode_payload(doc: dict) -> bytes:
+    """Serialize a layout document to the ``html`` binary column."""
+    raw = json.dumps(
+        doc, ensure_ascii=False, separators=(",", ":"), sort_keys=True
+    ).encode("utf-8")
+    return PAYLOAD_MAGIC + zlib.compress(raw, 6)
+
+
+def decode_payload(html: bytes) -> dict:
+    """Inverse of :func:`encode_payload`; raises on foreign bytes."""
+    if html[: len(PAYLOAD_MAGIC)] != PAYLOAD_MAGIC:
+        raise ValueError("not an XLAY1 payload")
+    return json.loads(zlib.decompress(html[len(PAYLOAD_MAGIC):]).decode("utf-8"))
+
+
+def page_reading_order(page: dict) -> list[dict]:
+    """Blocks of one page in reading order: columns left→right, y-sorted.
+
+    Parity: reading-order semantics of src/cropper/detector.py:107-116
+    (column split + per-column y sort, columns processed left first).
+    """
+    size = page.get("page_size") or [842.0, 1191.0]
+    width = size[0] if isinstance(size, list) else 842.0
+    ordered: list[dict] = []
+    for col in split_columns(page.get("blocks", []), width):
+        ordered.extend(col)
+    return ordered
+
+
+def assemble_text(pages: list[dict]) -> str:
+    """Byte-identity target #1: page-delimited reading-order text.
+
+    ``--- Page i ---`` framing per src/ocr/base.py:70-79; within a page
+    non-empty block texts join with newlines.
+    """
+    page_texts = []
+    for page in pages:
+        texts = [
+            t for b in page_reading_order(page)
+            if (t := block_text(b.get("lines", [])))
+        ]
+        page_texts.append("\n".join(texts))
+    return page_framed_text(page_texts)
+
+
+def extract_document(
+    html: bytes, min_q: int = 1, max_q: int = 50
+) -> tuple[str, list[Region]]:
+    """Decode one document and run the full deterministic extraction.
+
+    Returns ``(extracted_text, regions)``.  This is THE per-document
+    unit of work — called once per row inside the Spark ``mapInPandas``
+    stage and once per row by the single-node oracle.
+    """
+    pages = decode_payload(html).get("pages", [])
+    return assemble_text(pages), detect_regions(pages, min_q, max_q)

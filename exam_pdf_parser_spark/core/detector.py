@@ -1,0 +1,249 @@
+"""Question-region detection over a decoded page/block layout.
+
+Single source of truth for the stateful per-document scan (SURVEY.md
+§2.5 W1-W6).  This module is pure Python over plain dicts/tuples and is
+executed in BOTH places:
+
+  * the single-node oracle (``core.oracle``) — golden producer, and
+  * inside the Spark ``mapInPandas`` extraction stage
+    (``operators.extract``) — one call per document row, batched by
+    Arrow; documents are independent so parallelism is across rows.
+
+Semantics replicate the reference detector exactly (byte-identity
+contract).  Parity citations into /root/reference:
+  - column split (x-cut)          src/cropper/detector.py:79-116
+  - per-column stateful scan      src/cropper/detector.py:118-207
+  - cross-page carry-over         src/cropper/detector.py:48,59-69,173-188
+  - duplicate / digit-split repair src/cropper/detector.py:250-320
+  - cross-page spans flag         src/cropper/detector.py:330-344
+  - union bbox                    src/cropper/detector.py:322-328
+  - final ordering                src/cropper/detector.py:74
+
+The output row shape is the ``spans`` table of FIXTURES.md §3, plus a
+``region_idx`` emission-order tiebreaker so downstream sorts are total
+(SURVEY.md §7.3.2: the reference leans on Python's stable sort; we pin
+an explicit key).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .textfuncs import block_text, detect_question_start, is_section_header
+
+DEFAULT_PAGE_SIZE = (842.0, 1191.0)  # src/cropper/detector.py:54-55
+PREVIEW_LEN = 80                     # src/cropper/detector.py:170
+CONTINUATION_PREVIEW = "(continuation from previous page)"  # :180
+
+
+@dataclass
+class Region:
+    question_number: int
+    page_idx: int
+    x0: float
+    y0: float
+    x1: float
+    y1: float
+    text_preview: str
+    spans_page: bool = False
+    group_range: str | None = None
+    region_idx: int = field(default=-1)
+
+
+def _union(bboxes: list[list[float]]) -> tuple[float, float, float, float]:
+    # src/cropper/detector.py:322-328
+    return (
+        min(b[0] for b in bboxes),
+        min(b[1] for b in bboxes),
+        max(b[2] for b in bboxes),
+        max(b[3] for b in bboxes),
+    )
+
+
+def split_columns(blocks: list[dict], page_width: float) -> list[list[dict]]:
+    """x-cut: classify by bbox center vs page midline, y-sort each side.
+
+    Parity: src/cropper/detector.py:79-116.  Blocks lacking a bbox are
+    dropped here (P1).  Python's sort is stable, so equal ``y0`` keeps
+    input (emission) order — the reference relies on the same property.
+    """
+    if not blocks:
+        return []
+    mid = page_width / 2
+    left: list[dict] = []
+    right: list[dict] = []
+    for b in blocks:
+        bbox = b.get("bbox")
+        if bbox is None:
+            continue
+        (left if (bbox[0] + bbox[2]) / 2 <= mid else right).append(b)
+    left.sort(key=lambda b: b["bbox"][1])
+    right.sort(key=lambda b: b["bbox"][1])
+    cols = [c for c in (left, right) if c]
+    return cols if cols else [[]]
+
+
+def scan_column(
+    blocks: list[dict],
+    page_idx: int,
+    carry_q: int | None,
+    min_q: int,
+    max_q: int,
+) -> list[Region]:
+    """Stateful reading-order scan of one column (W1).
+
+    Parity: src/cropper/detector.py:118-207.
+      * blank-text blocks extend the open region, else pool (P2);
+      * section headers set a flag and are skipped (P3);
+      * pre-question pool → carry-over continuation region when no
+        header intervened and ``carry_q`` is set, else merged into the
+        first question (generous crop);
+      * region text accumulates with single spaces; preview is the
+        first 80 chars.
+    """
+    out: list[Region] = []
+    cur_num: int | None = None
+    cur_group: str | None = None
+    cur_boxes: list[list[float]] = []
+    cur_text = ""
+    pool: list[list[float]] = []
+    saw_header = False
+
+    def emit_current() -> None:
+        bb = _union(cur_boxes)
+        out.append(Region(cur_num, page_idx, *bb, cur_text[:PREVIEW_LEN],
+                          group_range=cur_group))
+
+    for b in blocks:
+        bbox = b.get("bbox")
+        if bbox is None:
+            continue
+        text = block_text(b.get("lines", []))
+        if not text.strip():
+            (cur_boxes if cur_num is not None else pool).append(bbox)
+            continue
+        if is_section_header(text):
+            saw_header = True
+            continue
+        q_num, group_range = detect_question_start(text, min_q, max_q)
+        if q_num is not None and q_num != cur_num:
+            if cur_num is not None:
+                emit_current()
+            cur_num = q_num
+            cur_group = group_range
+            if pool:
+                if not saw_header and carry_q is not None:
+                    bb = _union(pool)
+                    out.append(Region(carry_q, page_idx, *bb,
+                                      CONTINUATION_PREVIEW, spans_page=True))
+                    cur_boxes = [bbox]
+                else:
+                    cur_boxes = pool + [bbox]
+                pool = []
+            else:
+                cur_boxes = [bbox]
+            cur_text = text
+        elif cur_num is not None:
+            cur_boxes.append(bbox)
+            cur_text += " " + text
+        else:
+            pool.append(bbox)
+
+    if cur_num is not None:
+        emit_current()
+    return out
+
+
+def repair_duplicates(regions: list[Region], max_q: int) -> list[Region]:
+    """Digit-split repair (W5).
+
+    Parity: src/cropper/detector.py:250-320.  A duplicate number whose
+    instance falls outside its page's neighbor envelope (non-duplicate
+    neighbors ±3) is remapped to the first free candidate in
+    ``[min(neighbors)-2, max(neighbors)+2]`` sharing its last digit.
+    """
+    counts: dict[int, int] = {}
+    for r in regions:
+        counts[r.question_number] = counts.get(r.question_number, 0) + 1
+    duplicates = {n for n, c in counts.items() if c > 1}
+    if not duplicates:
+        return regions
+
+    all_nums = {r.question_number for r in regions}
+    fixed: list[Region] = []
+    for r in regions:
+        if r.question_number not in duplicates:
+            fixed.append(r)
+            continue
+        neighbors = sorted(
+            rr.question_number for rr in regions
+            if rr.page_idx == r.page_idx and rr is not r
+            and rr.question_number not in duplicates
+        )
+        if not neighbors:
+            fixed.append(r)
+            continue
+        if neighbors[0] - 3 <= r.question_number <= neighbors[-1] + 3:
+            fixed.append(r)
+            continue
+        lo = max(1, neighbors[0] - 2)
+        hi = min(max_q, neighbors[-1] + 2)
+        for candidate in range(lo, hi + 1):
+            if candidate not in all_nums and candidate % 10 == r.question_number % 10:
+                fixed.append(Region(
+                    candidate, r.page_idx, r.x0, r.y0, r.x1, r.y1,
+                    r.text_preview, spans_page=r.spans_page,
+                    group_range=r.group_range,
+                ))
+                all_nums.add(candidate)
+                break
+        else:
+            fixed.append(r)
+    return fixed
+
+
+def detect_regions(
+    pages: list[dict], min_q: int = 1, max_q: int = 50
+) -> list[Region]:
+    """Full per-document detection: W1-W6 + final deterministic order.
+
+    ``pages`` is the decoded payload: a list of
+    ``{"page_idx", "page_size", "blocks"}`` dicts (corpus format,
+    mirrors MinerU ``pdf_info`` consumed at src/cropper/detector.py:50-57).
+
+    Final order: ``(question_number, emission_idx)`` — equivalent to the
+    reference's stable sort by number (src/cropper/detector.py:74) with
+    the tiebreaker made explicit.
+    """
+    regions: list[Region] = []
+    prev_page_last_q: int | None = None
+
+    for page in pages:
+        page_idx = page.get("page_idx", 0)
+        blocks = page.get("blocks", [])
+        size = page.get("page_size") or list(DEFAULT_PAGE_SIZE)
+        page_width = size[0] if isinstance(size, list) else DEFAULT_PAGE_SIZE[0]
+
+        page_regions: list[Region] = []
+        for i, col in enumerate(split_columns(blocks, page_width)):
+            carry = prev_page_last_q if i == 0 else None
+            page_regions.extend(scan_column(col, page_idx, carry, min_q, max_q))
+        regions.extend(page_regions)
+        if page_regions:
+            prev_page_last_q = max(r.question_number for r in page_regions)
+
+    regions = repair_duplicates(regions, max_q)
+
+    # spans_page flag (W6): any number appearing more than once keeps
+    # every instance flagged; single instances keep their own flag.
+    counts: dict[int, int] = {}
+    for r in regions:
+        counts[r.question_number] = counts.get(r.question_number, 0) + 1
+    for r in regions:
+        if counts[r.question_number] > 1:
+            r.spans_page = True
+
+    for i, r in enumerate(regions):
+        r.region_idx = i
+    regions.sort(key=lambda r: (r.question_number, r.region_idx))
+    return regions

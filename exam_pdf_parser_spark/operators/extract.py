@@ -1,0 +1,187 @@
+"""Stage A+B: the zero-shuffle extraction core.
+
+Design (SURVEY.md §7.0, re-thought Spark-first): the reference's whole
+per-document loop (layout → detect → assemble; src/parser.py:34-77,
+src/cropper/detector.py:39-77) collapses into ONE ``mapInPandas`` over
+the ``documents`` table.  Documents are independent, so the core
+extraction needs **no shuffle at all** — parallelism is across rows,
+Arrow-batched, and throughput scales linearly with cores/executors
+(the north rule's N→4N efficiency criterion).  Cross-document logic
+(validation, evaluation, dedup) happens downstream as native relational
+ops on the much smaller ``spans``/``parsed`` tables.
+
+One decode per document produces BOTH byte-identity artifacts:
+``extracted_text`` and the ``spans`` array; ``spans`` explodes to the
+flat span table without re-decoding (explode is a narrow op).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, BooleanType, DoubleType, IntegerType,
+    StringType, StructField, StructType, TimestampType,
+)
+
+from ..core.assemble import extract_document
+
+DOCUMENTS_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("warc_ts", TimestampType(), True),
+    StructField("html", BinaryType(), True),
+    StructField("text", StringType(), True),
+    StructField("lang", StringType(), True),
+])
+
+SPAN_STRUCT = StructType([
+    StructField("question_number", IntegerType(), False),
+    StructField("page_idx", IntegerType(), False),
+    StructField("x0", DoubleType(), False),
+    StructField("y0", DoubleType(), False),
+    StructField("x1", DoubleType(), False),
+    StructField("y1", DoubleType(), False),
+    StructField("text_preview", StringType(), False),
+    StructField("spans_page", BooleanType(), False),
+    StructField("group_range", StringType(), True),
+    StructField("region_idx", IntegerType(), False),
+])
+
+EXTRACT_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("extracted_text", StringType(), True),
+    StructField("spans", ArrayType(SPAN_STRUCT), False),
+    StructField("status", StringType(), False),
+    StructField("error", StringType(), True),
+])
+
+
+def extract(documents: DataFrame, min_q: int = 1, max_q: int = 50) -> DataFrame:
+    """documents(url, …, html, …) → (url, extracted_text, spans, status, error).
+
+    Catalyst prunes unused input columns before the UDF (only ``url``
+    and ``html`` are read), so the scan never materializes ``text``.
+
+    Quarantine semantics: a corrupt/undecodable payload must NOT fail
+    the job at web scale — the row is emitted with ``status='error'``,
+    a null text, no spans, and the exception message (reference
+    analogue: the P9 MIME/size gate + per-file error capture,
+    scripts/batch_parser.py:84-89).
+    """
+    docs = documents.select("url", "html")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, texts, spans, status, errors = [], [], [], [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                urls.append(url)
+                try:
+                    extracted, regions = extract_document(
+                        bytes(html), min_q, max_q)
+                except Exception as e:  # quarantine, never fail the task
+                    texts.append(None)
+                    spans.append([])
+                    status.append("error")
+                    errors.append(f"{type(e).__name__}: {e}"[:500])
+                    continue
+                texts.append(extracted)
+                spans.append([
+                    {
+                        "question_number": r.question_number,
+                        "page_idx": r.page_idx,
+                        "x0": r.x0, "y0": r.y0, "x1": r.x1, "y1": r.y1,
+                        "text_preview": r.text_preview,
+                        "spans_page": r.spans_page,
+                        "group_range": r.group_range,
+                        "region_idx": r.region_idx,
+                    }
+                    for r in regions
+                ])
+                status.append("ok")
+                errors.append(None)
+            yield pd.DataFrame({
+                "url": urls, "extracted_text": texts, "spans": spans,
+                "status": status, "error": errors,
+            })
+
+    return docs.mapInPandas(run, EXTRACT_SCHEMA)
+
+
+def quarantine_table(extracted: DataFrame) -> DataFrame:
+    """Rows that failed to decode — routed to a reject sink, not lost."""
+    return extracted.filter(F.col("status") == "error").select("url", "error")
+
+
+def spans_table(extracted: DataFrame) -> DataFrame:
+    """Flatten the spans array → FIXTURES.md §3 span table (narrow op)."""
+    return (
+        extracted
+        .select("url", F.explode("spans").alias("s"))
+        .select("url", "s.*")
+    )
+
+
+def extracted_table(extracted: DataFrame) -> DataFrame:
+    return (
+        extracted.filter(F.col("status") == "ok")
+        .select("url", "extracted_text")
+    )
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, salt_mod: int = 16) -> DataFrame:
+    """Break host-level url skew before a heavy per-row stage
+    (SURVEY.md §4 item 1): hash(url) + salt spreads one hot host over
+    ``salt_mod`` partitions.  Use ahead of ``extract`` when the source
+    table's layout is host-clustered."""
+    salt = F.pmod(F.xxhash64(F.col("url"), F.lit(7)), F.lit(salt_mod))
+    return df.repartition(num_partitions, F.pmod(F.hash("url"), F.lit(10**9)) + salt)
+
+
+# ---------------------------------------------------------------------------
+# Distributed corpus generation (same pure function as the driver-side
+# generator — byte-identical either way).
+# ---------------------------------------------------------------------------
+
+CORPUS_FULL_SCHEMA = StructType(
+    DOCUMENTS_SCHEMA.fields
+    + [
+        StructField("answer_md", StringType(), False),
+        StructField("n_questions", IntegerType(), False),
+        StructField("n_listening", IntegerType(), False),
+    ]
+)
+
+
+def corpus_df(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    with_answer_key: bool = False,
+) -> DataFrame:
+    """Generate the synthetic corpus distributed over executors."""
+    from ..corpus.generator import build_document
+
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [build_document(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame({
+                "url": [r["url"] for r in rows],
+                "warc_ts": [r["warc_ts"] for r in rows],
+                "html": [r["html"] for r in rows],
+                "text": [r["text"] for r in rows],
+                "lang": [r["lang"] for r in rows],
+                "answer_md": [r["answer_md"] for r in rows],
+                "n_questions": [r["n_questions"] for r in rows],
+                "n_listening": [r["n_listening"] for r in rows],
+            })
+
+    df = spark.range(0, n_docs, 1, parts).mapInPandas(gen, CORPUS_FULL_SCHEMA)
+    if with_answer_key:
+        return df
+    return df.select(*[f.name for f in DOCUMENTS_SCHEMA.fields])

@@ -1,0 +1,143 @@
+"""Detector semantics unit tests on hand-built block layouts
+(SURVEY.md §2.5 W1-W6), each mirroring a reference behavior with its
+citation.
+"""
+
+from exam_pdf_parser_spark.core.detector import detect_regions, split_columns
+
+
+def _blk(x0, y0, x1, y1, text):
+    return {"bbox": [x0, y0, x1, y1], "type": "text",
+            "lines": [{"spans": [{"content": text}]}]}
+
+
+def _page(idx, blocks):
+    return {"page_idx": idx, "page_size": [842.0, 1191.0], "blocks": blocks}
+
+
+def test_column_split_and_ysort():
+    # W4: center <= mid → left; y-sorted per column (detector.py:79-116)
+    blocks = [
+        _blk(500, 100, 800, 120, "r1"),
+        _blk(50, 200, 400, 220, "l2"),
+        _blk(50, 100, 400, 120, "l1"),
+        {"type": "text", "lines": []},  # no bbox → dropped (P1)
+    ]
+    cols = split_columns(blocks, 842.0)
+    assert len(cols) == 2
+    assert [b["lines"][0]["spans"][0]["content"] for b in cols[0]] == ["l1", "l2"]
+    assert [b["lines"][0]["spans"][0]["content"] for b in cols[1]] == ["r1"]
+
+
+def test_basic_region_assignment_and_union_bbox():
+    # W1 + A1: blocks between starts join the open region (detector.py:118-207)
+    pages = [_page(0, [
+        _blk(50, 100, 400, 120, "1. first question"),
+        _blk(60, 140, 390, 200, "passage body"),
+        _blk(50, 220, 400, 240, "2. second question"),
+    ])]
+    regions = detect_regions(pages)
+    assert [r.question_number for r in regions] == [1, 2]
+    r1 = regions[0]
+    assert (r1.x0, r1.y0, r1.x1, r1.y1) == (50, 100, 400, 200)
+    assert r1.text_preview.startswith("1. first question passage")
+
+
+def test_pre_question_pool_merges_into_first_question():
+    # detector.py:184-186 "generous crop" branch (no carry, no header)
+    pages = [_page(0, [
+        _blk(50, 50, 400, 70, "instructions blurb"),
+        _blk(50, 100, 400, 120, "3. q three"),
+    ])]
+    regions = detect_regions(pages)
+    assert len(regions) == 1
+    assert regions[0].y0 == 50  # pool bbox unioned in
+
+
+def test_carry_over_continuation_region():
+    # W3: page-1 pre-question blocks attach to page-0's last question
+    # with spans_page=True (detector.py:173-183)
+    pages = [
+        _page(0, [_blk(50, 100, 400, 120, "7. question seven")]),
+        _page(1, [
+            _blk(50, 60, 400, 300, "continuation of q7 passage"),
+            _blk(50, 350, 400, 370, "8. question eight"),
+        ]),
+    ]
+    regions = detect_regions(pages)
+    nums = [(r.question_number, r.page_idx, r.spans_page) for r in regions]
+    assert (7, 0, True) in nums      # original, flagged via W6
+    assert (7, 1, True) in nums      # continuation region
+    assert (8, 1, False) in nums
+    cont = [r for r in regions if r.question_number == 7 and r.page_idx == 1][0]
+    assert cont.text_preview == "(continuation from previous page)"
+
+
+def test_section_header_blocks_carry_over():
+    # detector.py:174,155-158: header seen → pool goes to the new
+    # question instead of the carry-over continuation
+    pages = [
+        _page(0, [_blk(50, 100, 400, 120, "7. question seven")]),
+        _page(1, [
+            _blk(50, 40, 400, 60, "[8~9] 유형 안내"),   # short → header
+            _blk(50, 80, 400, 300, "shared passage"),
+            _blk(50, 350, 400, 370, "8. question eight"),
+        ]),
+    ]
+    regions = detect_regions(pages)
+    assert [(r.question_number, r.page_idx) for r in regions] == [(7, 0), (8, 1)]
+    q8 = regions[1]
+    assert q8.y0 == 80  # pool (shared passage) merged into q8
+
+
+def test_digit_split_repair():
+    # W5 (detector.py:250-320): "34." split into "...3" + "4." on page 3
+    # where neighbors are 33,35 → remapped to 34.
+    pages = [
+        _page(0, [
+            _blk(50, 100, 400, 120, "4. real q4"),
+            _blk(50, 200, 400, 220, "5. real q5"),
+        ]),
+        _page(1, [
+            _blk(50, 100, 400, 120, "33. q thirty-three"),
+            _blk(50, 200, 400, 220, "4. actually thirty-four"),
+            _blk(50, 300, 400, 320, "35. q thirty-five"),
+        ]),
+    ]
+    regions = detect_regions(pages)
+    nums = sorted(r.question_number for r in regions)
+    assert nums == [4, 5, 33, 34, 35]
+    fixed = [r for r in regions if r.question_number == 34][0]
+    assert fixed.page_idx == 1
+    assert fixed.text_preview.startswith("4. actually")
+
+
+def test_duplicate_kept_when_unrepairable():
+    # detector.py:313-318: no gap candidate with matching last digit →
+    # both duplicates survive.
+    pages = [
+        _page(0, [_blk(50, 100, 400, 120, "4. first")]),
+        _page(1, [_blk(50, 100, 400, 120, "4. second, no neighbors")]),
+    ]
+    regions = detect_regions(pages)
+    assert [r.question_number for r in regions] == [4, 4]
+    assert all(r.spans_page for r in regions)  # W6 flags all instances
+
+
+def test_group_range_captured():
+    pages = [_page(0, [
+        _blk(50, 100, 400, 200, "[41~42] " + "body " * 10),
+        _blk(50, 250, 400, 280, "42. follow-up"),
+    ])]
+    regions = detect_regions(pages)
+    assert regions[0].group_range == "41~42"
+    assert regions[1].group_range is None
+
+
+def test_determinism_rerun():
+    from exam_pdf_parser_spark.core.oracle import oracle_spans_and_text
+    from exam_pdf_parser_spark.corpus.generator import generate_rows
+
+    a = oracle_spans_and_text(generate_rows(10))
+    b = oracle_spans_and_text(generate_rows(10))
+    assert a == b

@@ -1,0 +1,94 @@
+"""Byte-identity gate: Spark extraction == single-node oracle, per url
+(north rule; BASELINE.json per-row invariant).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from exam_pdf_parser_spark.core.oracle import SPAN_COLUMNS, oracle_spans_and_text
+from exam_pdf_parser_spark.corpus.generator import generate_rows
+from exam_pdf_parser_spark.operators.extract import (
+    DOCUMENTS_SCHEMA, corpus_df, extract, extracted_table, spans_table,
+)
+
+N_DOCS = 40
+
+
+@pytest.fixture(scope="module")
+def corpus_rows():
+    return generate_rows(N_DOCS)
+
+
+@pytest.fixture(scope="module")
+def documents(spark, corpus_rows):
+    cols = [f.name for f in DOCUMENTS_SCHEMA.fields]
+    data = [tuple(r[c] for c in cols) for r in corpus_rows]
+    return spark.createDataFrame(data, DOCUMENTS_SCHEMA)
+
+
+def _sorted_spans(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df[SPAN_COLUMNS]
+        .sort_values(["url", "question_number", "region_idx"])
+        .reset_index(drop=True)
+    )
+
+
+def test_spark_spans_byte_identical_to_oracle(spark, documents, corpus_rows):
+    gold_spans, _ = oracle_spans_and_text(corpus_rows)
+    got = spans_table(extract(documents)).toPandas()
+    want = pd.DataFrame(gold_spans)
+    got, want = _sorted_spans(got), _sorted_spans(want)
+    # exact comparison — doubles are integer-valued by construction,
+    # strings must match byte-for-byte
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_spark_extracted_text_byte_identical(spark, documents, corpus_rows):
+    _, gold_text = oracle_spans_and_text(corpus_rows)
+    got = dict(
+        extracted_table(extract(documents)).toPandas()
+        .itertuples(index=False, name=None)
+    )
+    assert len(got) == N_DOCS
+    for row in gold_text:
+        assert got[row["url"]] == row["extracted_text"], row["url"]
+
+
+def test_distributed_corpus_matches_driver_generator(spark, corpus_rows):
+    df = corpus_df(spark, N_DOCS, partitions=4).toPandas()
+    assert len(df) == N_DOCS
+    by_url = {r["url"]: r for r in corpus_rows}
+    for rec in df.to_dict("records"):
+        want = by_url[rec["url"]]
+        assert bytes(rec["html"]) == want["html"]
+        assert rec["text"] == want["text"]
+        assert rec["lang"] == want["lang"]
+        assert rec["warc_ts"] == want["warc_ts"]
+
+
+def test_extract_plan_has_no_shuffle(spark, documents):
+    # The extraction core must be shuffle-free (scales linearly).
+    plan = extract(documents)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_corrupt_payload_quarantined_not_fatal(spark, documents):
+    # A garbage html blob must not fail the job (web-scale invariant):
+    # it lands in the quarantine table with an error message.
+    import datetime
+
+    from exam_pdf_parser_spark.operators.extract import quarantine_table
+
+    bad = spark.createDataFrame(
+        [("https://x.example/bad", datetime.datetime(2025, 1, 1),
+          b"\x00garbage", "t", "ko")],
+        DOCUMENTS_SCHEMA,
+    )
+    out = extract(documents.unionAll(bad))
+    q = quarantine_table(out).collect()
+    assert len(q) == 1 and q[0]["url"] == "https://x.example/bad"
+    assert "payload" in q[0]["error"] or "Error" in q[0]["error"]
+    assert extracted_table(out).count() == N_DOCS
