@@ -1,38 +1,87 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction; ``queries()`` /
+``oracle_sql()`` expose every SQL-checkable operator pair
+(relational, text-stats, dedup, similarity families), plus rows-only
+extraction queries whose correctness gate is the pytest golden
+byte-identity suite (tests/test_spark_extract.py) — DuckDB cannot
+decode layout payloads, so those get the weaker check by design.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _corpus_from_docids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic corpus keyed by the testdata doc_ids:
+    the same shape as BASELINE.json's input_hint table, derived from
+    the driver's own parquet so scale follows sf."""
+    import pandas as pd
+
+    from exam_pdf_parser_spark.corpus.generator import build_document
+    from exam_pdf_parser_spark.operators.extract import DOCUMENTS_SCHEMA
+
+    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in DOCUMENTS_SCHEMA.fields]
+        for pdf in batches:
+            rows = [build_document(int(i)) for i in pdf["doc_id"]]
+            yield pd.DataFrame({c: [r[c] for r in rows] for c in cols})
+
+    return ids.mapInPandas(gen, DOCUMENTS_SCHEMA)
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction (layout decode → x/y-cut → region
+    detection → span table) over the corpus derived from sf0.001."""
+    from exam_pdf_parser_spark.operators.extract import extract, spans_table
+
+    docs = _corpus_from_docids(spark, "/root/testdata/sf0.001")
+    return spans_table(extract(docs))
+
+
+def _x_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exam_pdf_parser_spark.operators.extract import extract, spans_table
+
+    return spans_table(extract(_corpus_from_docids(spark, sf_dir)))
+
+
+def _x_extract_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from exam_pdf_parser_spark.operators.extract import extract
+
+    ext = extract(_corpus_from_docids(spark, sf_dir))
+    return ext.select(
+        "url",
+        F.length("extracted_text").alias("text_len"),
+        F.size("spans").alias("n_spans"),
+        "status",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from exam_pdf_parser_spark.operators import dedupe, similarity, textstats
+    from exam_pdf_parser_spark.plans import relational
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in (relational, textstats, dedupe, similarity):
+        q.update(mod.QUERIES)
+    # extraction family: rows-only (oracle is the pytest golden suite)
+    q["x_extract_spans"] = _x_extract_spans
+    q["x_extract_doc_stats"] = _x_extract_doc_stats
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from exam_pdf_parser_spark.operators import dedupe, similarity, textstats
+    from exam_pdf_parser_spark.plans import relational
+
+    o: dict[str, str] = {}
+    for mod in (relational, textstats, dedupe, similarity):
+        o.update(mod.ORACLE)
+    return o

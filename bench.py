@@ -1,0 +1,91 @@
+"""Headline benchmark (driver contract).
+
+Runs the flagship extraction plus representative relational /
+dedup / similarity queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "extraction": {...}}
+
+The extraction block reports docs/sec (the BASELINE.json headline
+metric).  Scaling evidence (local[8] vs local[32]) is produced by
+scripts/scaling_bench.py, not here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_parts_by_brand",
+    "events_carry_forward",
+    "doc_token_stats",
+    "doc_quality",
+    "exact_dup_assignment",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "ann_topk_dot",
+    "x_extract_spans",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from exam_pdf_parser_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    qmap = entrymod.queries()
+
+    # warm the JVM/Python-worker pools so per-query numbers measure the
+    # plan, not process spin-up
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    n_docs = 0
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        cnt = qmap[name](spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        if name == "x_extract_spans":
+            n_spans = cnt
+    # extraction throughput on its own (docs/sec headline)
+    docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs_df.count()
+    t0 = time.perf_counter()
+    from exam_pdf_parser_spark.operators.extract import extract
+    from __spark_entry__ import _corpus_from_docids
+    extract(_corpus_from_docids(spark, sf_dir)).count()
+    extract_sec = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "headline-suite-wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extraction": {
+            "docs": n_docs,
+            "wall_sec": round(extract_sec, 3),
+            "docs_per_sec": round(n_docs / extract_sec, 2),
+            "spans": n_spans,
+        },
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

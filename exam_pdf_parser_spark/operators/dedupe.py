@@ -1,0 +1,315 @@
+"""Deduplication operators for a web-scale training-data pipeline:
+exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale notes (100 TB posture):
+  * exact dedup is a single shuffle on md5(text) — the canonical
+    "group by content hash, keep min id";
+  * MinHash/LSH replaces the quadratic all-pairs join with a
+    band-bucket join: candidates share a band key, then only
+    candidates pay the exact-Jaccard verification;
+  * pairwise queries are bounded by a pushed-down ``doc_id`` predicate
+    (visible as PushedFilters in the scan).
+
+Cross-engine exactness: every hash is md5 (identical bytes in Spark
+and DuckDB); min/lexicographic order over hex strings is identical;
+set sizes are ints; Jaccard is one IEEE division of two ints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import load
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+PAIR_SCOPE = 200          # doc_id bound for pairwise demos
+MINHASH_SEEDS = 12        # 12 hashes → 4 bands × 3 rows
+BAND_ROWS = 3
+JACCARD_DUP = 0.8         # verified-duplicate threshold
+SIMHASH_BITS = 32
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+def _words(col):
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+# --- exact dedup: canonical assignment by content hash -----------------------
+@register("exact_dup_assignment", """
+    WITH h AS (SELECT doc_id, md5(text) AS th FROM documents),
+    canon AS (SELECT th, min(doc_id) AS canonical_id, count(*) AS group_size
+              FROM h GROUP BY th)
+    SELECT h.doc_id, c.canonical_id,
+           h.doc_id <> c.canonical_id AS is_duplicate,
+           c.group_size
+    FROM h JOIN canon c ON h.th = c.th
+""")
+def exact_dup_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("th"))
+    canon = d.groupBy("th").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("group_size"),
+    )
+    return (
+        d.join(canon, "th")
+        .select(
+            "doc_id", "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+            "group_size",
+        )
+    )
+
+
+# --- n-gram (token-set) Jaccard pairs ----------------------------------------
+@register("jaccard_pairs", f"""
+    WITH t AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(string_split(text, ' '), x -> x <> ''))) AS token
+      FROM documents WHERE doc_id < {PAIR_SCOPE}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM t a JOIN t b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b, i.n_inter,
+           sa.n + sb.n - i.n_inter AS n_union,
+           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.8
+""")
+def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < PAIR_SCOPE)
+    t = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(_words(F.col("text")))).alias("token"),
+    )
+    sizes = t.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = t.alias("a"), t.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = (
+        inter
+        .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a", "doc_b", "n_inter",
+            (F.col("sa.n") + F.col("sb.n") - F.col("n_inter")).alias("n_union"),
+        )
+        .withColumn("jaccard",
+                    F.col("n_inter").cast("double") / F.col("n_union"))
+    )
+    return j.filter(F.col("jaccard") >= 0.8)
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+def _minhash_sql() -> str:
+    """DuckDB oracle for minhash_lsh_pairs, built programmatically so
+    the band structure stays in lockstep with the Spark side."""
+    mh_cols = ",\n             ".join(
+        f"min(md5('{s}:' || token)) AS mh{s}" for s in range(MINHASH_SEEDS)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band_idx, "
+        + " || ".join(f"mh{band * BAND_ROWS + r}" for r in range(BAND_ROWS))
+        + " AS band_key FROM sigs"
+        for band in range(MINHASH_SEEDS // BAND_ROWS)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(string_split(text, ' '), x -> x <> ''))) AS token
+      FROM documents WHERE doc_id < {PAIR_SCOPE}
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {mh_cols}
+      FROM t GROUP BY doc_id
+    ),
+    bands AS ({band_selects}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM t GROUP BY doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cands c
+      JOIN t ta ON ta.doc_id = c.doc_a
+      JOIN t tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT v.doc_a, v.doc_b, v.n_inter,
+           sa.n + sb.n - v.n_inter AS n_union
+    FROM verified v
+    JOIN sizes sa ON sa.doc_id = v.doc_a
+    JOIN sizes sb ON sb.doc_id = v.doc_b
+    WHERE CAST(v.n_inter AS DOUBLE) / (sa.n + sb.n - v.n_inter) >= {JACCARD_DUP}
+    """
+
+
+@register("minhash_lsh_pairs", _minhash_sql())
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (md5-based, k=12) → LSH band buckets (4×3) →
+    candidate pairs → exact-Jaccard verification.
+
+    This is the scale path for near-dup detection: the only shuffle
+    over pair space is the band-bucket self-join, whose size is the
+    number of colliding signatures, not n².
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < PAIR_SCOPE)
+    t = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(_words(F.col("text")))).alias("token"),
+    )
+    sigs = t.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("token")))).alias(f"mh{s}")
+        for s in range(MINHASH_SEEDS)
+    ])
+    band_rows = []
+    for band in range(MINHASH_SEEDS // BAND_ROWS):
+        key = F.concat(*[
+            F.col(f"mh{band * BAND_ROWS + r}") for r in range(BAND_ROWS)
+        ])
+        band_rows.append(sigs.select(
+            "doc_id", F.lit(band).alias("band_idx"), key.alias("band_key")))
+    bands = band_rows[0]
+    for br in band_rows[1:]:
+        bands = bands.unionAll(br)
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = t.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta, tb = t.alias("ta"), t.alias("tb")
+    verified = (
+        cands
+        .join(ta, F.col("doc_a") == F.col("ta.doc_id"))
+        .join(tb, (F.col("doc_b") == F.col("tb.doc_id"))
+              & (F.col("tb.token") == F.col("ta.token")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    out = (
+        verified
+        .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a", "doc_b", "n_inter",
+            (F.col("sa.n") + F.col("sb.n") - F.col("n_inter")).alias("n_union"),
+        )
+    )
+    return out.filter(
+        F.col("n_inter").cast("double") / F.col("n_union") >= JACCARD_DUP)
+
+
+# --- SimHash ------------------------------------------------------------------
+def _simhash_exprs(dialect: str) -> tuple[list[str], str]:
+    """(per-token bit expressions, per-doc recombination) for one
+    dialect.  32-bit simhash from the first 8 hex chars of md5(token):
+    nibble k = hexval(md5[k]); bit b of the hash comes from nibble
+    b//4, bit b%4."""
+    shift = (lambda x, n: f"({x} >> {n})") if dialect == "duckdb" \
+        else (lambda x, n: f"shiftright({x}, {n})")
+    pos = "strpos" if dialect == "duckdb" else "instr"
+    nib = [
+        f"({pos}('0123456789abcdef', substr(h, {k + 1}, 1)) - 1)"
+        for k in range(8)
+    ]
+    bit_terms = []
+    for b in range(SIMHASH_BITS):
+        nibble, j = divmod(b, 4)
+        bit = f"(({shift(nib[nibble], j)}) & 1)"
+        bit_terms.append(f"(2 * {bit} - 1) AS s{b}")
+    combine = " + ".join(
+        f"(CASE WHEN sum(s{b}) > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return bit_terms, combine
+
+
+@register("simhash_docs", f"""
+    WITH t AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(string_split(text, ' '), x -> x <> ''))) AS token
+      FROM documents WHERE doc_id < {PAIR_SCOPE}
+    ),
+    bits AS (
+      SELECT doc_id, {", ".join(_simhash_exprs("duckdb")[0])}
+      FROM (SELECT doc_id, md5(token) AS h FROM t)
+    )
+    SELECT doc_id, {_simhash_exprs("duckdb")[1]} AS simhash
+    FROM bits GROUP BY doc_id
+""")
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < PAIR_SCOPE)
+    t = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(_words(F.col("text")))).alias("token"),
+    ).select("doc_id", F.md5("token").alias("h"))
+    bit_exprs, combine_sql = _simhash_exprs("spark")
+    bits = t.selectExpr("doc_id", *bit_exprs)
+    return bits.groupBy("doc_id").agg(
+        F.expr(combine_sql).alias("simhash"))
+
+
+@register("simhash_near_pairs", f"""
+    WITH t AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(string_split(text, ' '), x -> x <> ''))) AS token
+      FROM documents WHERE doc_id < {PAIR_SCOPE}
+    ),
+    bits AS (
+      SELECT doc_id, {", ".join(_simhash_exprs("duckdb")[0])}
+      FROM (SELECT doc_id, md5(token) AS h FROM t)
+    ),
+    sh AS (SELECT doc_id, {_simhash_exprs("duckdb")[1]} AS simhash
+           FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+""")
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = simhash_docs(spark, sf_dir)
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )

@@ -1,0 +1,251 @@
+"""Similarity search over the ``embeddings`` table
+(``embedding: array<float>``, 64-dim).
+
+Two tiers:
+  * **driver-checked exact tier** (this module's QUERIES): embeddings
+    quantized per-element to integers (``floor(x*1000 + 0.5)``) so dot
+    products are order-independent integer sums — bit-exact in Spark
+    AND DuckDB (integer-valued doubles below 2^53 sum exactly).
+    Brute-force top-k and near-dup pairs are value-hash comparable.
+  * **fast float tier** (``cosine_topk_pandas``): Arrow-batched numpy
+    matmul Pandas-UDF path for real workloads, plus an LSH-bucketed
+    variant (random-hyperplane signs) that prunes the candidate space
+    — the 100 TB scale path where brute force is a cross join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.io import load
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+N_QUERY_VECS = 25      # vec_id bound for the top-k demo
+TOP_K = 5
+NEAR_DUP_SCOPE = 300   # vec_id bound for pairwise near-dup
+QUANT = 1000
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+def _quantized(col):
+    # floor(x*1000 + 0.5): identical IEEE result in both engines
+    # (unlike round(), whose half-rule differs across dialects).
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * QUANT + 0.5).cast("bigint"))
+
+
+def _dot_q(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+_DUCK_QUANT = f"list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * {QUANT} + 0.5))"
+
+
+# --- brute-force top-k by quantized inner product ---------------------------
+@register("ann_topk_dot", f"""
+    WITH q AS (SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings
+               WHERE vec_id < {N_QUERY_VECS}),
+         c AS (SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings)
+    SELECT query_id, neighbor_id, dot_q, rk FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS dot_q,
+             row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY CAST(list_dot_product(q.qv, c.qv) AS BIGINT) DESC,
+                          c.vec_id) AS rk
+      FROM q, c WHERE q.vec_id <> c.vec_id)
+    WHERE rk <= {TOP_K}
+""")
+def ann_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"),
+                _quantized(F.col("embedding")).alias("qv_q"))
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 _quantized(F.col("embedding")).alias("qv_c"))
+    # queries side is tiny → broadcast; candidates stream through.
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                _dot_q(F.col("qv_q"), F.col("qv_c")).alias("dot_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_q"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+    )
+
+
+# --- embedding near-duplicate pairs (quantized cosine threshold) -------------
+@register("embedding_near_dups", f"""
+    WITH v AS (SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings
+               WHERE vec_id < {NEAR_DUP_SCOPE}),
+         n AS (SELECT vec_id, qv,
+                      CAST(list_dot_product(qv, qv) AS BIGINT) AS norm2
+               FROM v)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot_q
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
+          / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)))
+          >= 0.55
+""")
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < NEAR_DUP_SCOPE)
+    v = e.select("vec_id", _quantized(F.col("embedding")).alias("qv"))
+    n = v.select(
+        "vec_id", "qv", _dot_q(F.col("qv"), F.col("qv")).alias("norm2"))
+    a = n.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"),
+                 F.col("norm2").alias("na"))
+    b = n.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"),
+                 F.col("norm2").alias("nb"))
+    pairs = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b",
+                _dot_q(F.col("qa"), F.col("qb")).alias("dot_q"),
+                "na", "nb")
+    )
+    cos = F.col("dot_q") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+    return pairs.filter(cos >= 0.55).select("vec_a", "vec_b", "dot_q")
+
+
+# --- fast tier: Arrow/numpy brute-force cosine top-k --------------------------
+def cosine_topk_pandas(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Float cosine top-k: numpy matmul per Arrow batch.
+
+    ``queries`` (vec_id, embedding) is collected and broadcast — the
+    standard design when queries ≪ corpus; the corpus streams through
+    executors, each batch doing one (batch × dim) @ (dim × n_q) GEMM.
+    """
+    qrows = queries.select("vec_id", "embedding").collect()
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True) + 1e-12
+    sc = embeddings.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat))
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+    out_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("cosine", DoubleType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bq.value
+        for pdf in batches:
+            c = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            c /= np.linalg.norm(c, axis=1, keepdims=True) + 1e-12
+            sims = c @ mat.T                       # (batch, n_q)
+            n_ids = pdf["vec_id"].to_numpy()
+            qcol, ncol, scol = [], [], []
+            for qi in range(len(ids)):
+                qcol.extend([ids[qi]] * len(n_ids))
+                ncol.extend(n_ids)
+                scol.extend(sims[:, qi])
+            yield pd.DataFrame(
+                {"query_id": qcol, "neighbor_id": ncol, "cosine": scol})
+
+    scored = embeddings.select("vec_id", "embedding").mapInPandas(
+        run, out_schema).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k)
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10,
+    n_planes: int = 12, seed: int = 7,
+) -> DataFrame:
+    """Scale path: random-hyperplane LSH buckets prune the corpus
+    before exact scoring.  Each vector hashes to a sign-pattern bucket;
+    only corpus vectors sharing a query's bucket (or at Hamming
+    distance ≤1, via single-bit flips) are scored exactly.  Recall is
+    tunable with n_planes; at 10^12 rows this replaces the cross join
+    with a bucket-key equi-join."""
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    sc = embeddings.sparkSession.sparkContext
+    bp = sc.broadcast(planes)
+
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+    sig_schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("bucket", LongType()),
+    ])
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bp.value
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = (m @ pl.T) > 0
+            buckets = bits @ (1 << np.arange(pl.shape[0], dtype=np.int64))
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"], "embedding": pdf["embedding"],
+                "bucket": buckets,
+            })
+
+    corpus_sig = embeddings.select("vec_id", "embedding").mapInPandas(
+        sig, sig_schema)
+    query_sig = queries.select("vec_id", "embedding").mapInPandas(
+        sig, sig_schema)
+    # probe buckets: the query's own bucket + all 1-bit flips
+    probes = query_sig.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(F.array(
+            F.col("bucket"),
+            *[F.expr(f"bucket ^ {1 << i}") for i in range(n_planes)],
+        )).alias("bucket"),
+    )
+    joined = probes.join(corpus_sig, "bucket")  # equi-join; AQE handles skew
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q_emb").cast("array<double>"),
+            F.col("embedding").cast("array<double>"),
+            lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (
+        joined.filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                dot.alias("score"))
+        .groupBy("query_id", "neighbor_id").agg(F.max("score").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k)

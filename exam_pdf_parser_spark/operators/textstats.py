@@ -1,0 +1,215 @@
+"""Text-analysis operators for a training-data pipeline over the
+``documents`` table: token counting, quality scoring, language-ID
+scoring, document fingerprinting.
+
+All expressions are JVM-side (whole-stage codegen) — no Python UDFs in
+this family.  Each query has a DuckDB oracle; cross-engine parity
+relies on: identical regexes (RE2-safe subset), integer arithmetic,
+md5 (identical in both engines), and single-IEEE-op divisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.io import load
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+# BPE-ish token regex: letter runs, digit runs, single other non-space.
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+# generic stopword panels for the language-ID scorer
+_STOP_A = ("the", "a", "of", "to", "and")            # article-ish
+_STOP_B = ("table", "row", "column", "scan", "key")  # storage-ish
+_STOP_C = ("join", "agg", "group", "window", "merge")  # relational-ish
+
+
+def _words(col):
+    return F.filter(F.split(col, " "), lambda x: x != "")
+
+
+# --- token counting (whitespace + BPE-ish regex) ----------------------------
+@register("doc_token_stats", """
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens,
+           length(text) AS chars
+    FROM documents
+""")
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_words(F.col("text"))).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(_BPE_RE)).alias("bpe_tokens"),
+        F.length("text").alias("chars"),
+    )
+
+
+# --- per-language rollup -----------------------------------------------------
+@register("lang_token_rollup", """
+    SELECT lang,
+           count(*) AS docs,
+           CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
+    FROM documents GROUP BY lang
+""")
+def lang_token_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.sum(F.size(_words(F.col("text")))).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+        (F.sum(F.length("text")).cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+# --- quality scoring: lexical-diversity + length heuristics ------------------
+# score components are exact ints; the two ratios are single divisions.
+@register("doc_quality", """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words,
+             length(text) AS chars
+      FROM documents
+    )
+    SELECT doc_id,
+           len(words) AS tokens,
+           len(list_distinct(words)) AS distinct_tokens,
+           CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS uniq_ratio,
+           CAST(chars - len(words) + 1 AS DOUBLE) / len(words) AS avg_word_len,
+           len(words) >= 20 AND
+             (CAST(len(list_distinct(words)) AS DOUBLE) / len(words)) >= 0.2
+             AS passes_quality
+    FROM w WHERE len(words) > 0
+""")
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    w = d.select(
+        "doc_id", words.alias("words"), F.length("text").alias("chars")
+    ).filter(F.size("words") > 0)
+    tokens = F.size("words")
+    distinct = F.size(F.array_distinct("words"))
+    uniq = distinct.cast("double") / tokens
+    # single-space-joined text: total word chars = chars - (tokens-1)
+    awl = (F.col("chars") - tokens + 1).cast("double") / tokens
+    return w.select(
+        "doc_id",
+        tokens.alias("tokens"),
+        distinct.alias("distinct_tokens"),
+        uniq.alias("uniq_ratio"),
+        awl.alias("avg_word_len"),
+        ((tokens >= 20) & (uniq >= 0.2)).alias("passes_quality"),
+    )
+
+
+# --- language-ID scoring (stopword-panel hits + argmax) ----------------------
+def _panel_sql(panel) -> str:
+    inlist = ", ".join(f"'{w}'" for w in panel)
+    return f"len(list_filter(words, x -> x IN ({inlist})))"
+
+
+@register("langid_scores", f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           {_panel_sql(_STOP_A)} AS hits_a,
+           {_panel_sql(_STOP_B)} AS hits_b,
+           {_panel_sql(_STOP_C)} AS hits_c,
+           CASE
+             WHEN {_panel_sql(_STOP_A)} >= {_panel_sql(_STOP_B)}
+              AND {_panel_sql(_STOP_A)} >= {_panel_sql(_STOP_C)} THEN 'a'
+             WHEN {_panel_sql(_STOP_B)} >= {_panel_sql(_STOP_C)} THEN 'b'
+             ELSE 'c'
+           END AS predicted_panel
+    FROM w
+""")
+def langid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", "lang", _words(F.col("text")).alias("words"))
+
+    def hits(panel):
+        return F.size(F.filter(
+            F.col("words"),
+            lambda x: x.isin(*panel),
+        ))
+
+    a, b, c = hits(_STOP_A), hits(_STOP_B), hits(_STOP_C)
+    pred = (
+        F.when((a >= b) & (a >= c), F.lit("a"))
+        .when(b >= c, F.lit("b"))
+        .otherwise(F.lit("c"))
+    )
+    return w.select(
+        "doc_id", "lang",
+        a.alias("hits_a"), b.alias("hits_b"), c.alias("hits_c"),
+        pred.alias("predicted_panel"),
+    )
+
+
+# --- document fingerprinting (md5 whole + prefix shingle) --------------------
+@register("doc_fingerprints", """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words,
+             text
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(text) AS full_md5,
+           md5(array_to_string(words[1:8], ' ')) AS prefix8_md5
+    FROM w
+""")
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("full_md5"),
+        F.md5(F.concat_ws(" ", F.slice(words, 1, 8))).alias("prefix8_md5"),
+    )
+
+
+# --- frequent-token top-k (explode + count + deterministic rank) -------------
+@register("top_tokens_per_lang", """
+    WITH tok AS (
+      SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token)
+    SELECT lang, token, n, rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rk
+          FROM cnt)
+    WHERE rk <= 10
+""")
+def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select("lang", F.explode(_words(F.col("text"))).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+    )

@@ -1,0 +1,333 @@
+"""Relational operator family (SURVEY.md §2.3-§2.8) over the driver
+testdata tables, each with a DuckDB oracle twin.
+
+Cross-engine exactness rules (these queries are value-hash-compared):
+  * money/double sums are quantized per-row to integer cents
+    (``cast(round(x*100) as bigint)``) before SUM — integer sums are
+    order-independent and bit-exact in both engines, double sums are
+    not;
+  * ratios are divisions of two exact integers — one IEEE op on
+    identical inputs is deterministic everywhere;
+  * top-k always breaks ties on a unique key (SURVEY.md §7.3.2).
+
+Each entry maps a reference operator (file:line cited) to its
+Spark-first expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.io import load
+
+QUERIES: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+def _cents(col):
+    return F.round(col * 100).cast("bigint")
+
+
+# --- A8 batch stats rollup (scripts/batch_parser.py:252-276) ---------------
+@register("pricing_summary", """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS count_order,
+           CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+           CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_price_c
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+""")
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("count_order"),
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_c"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_price_c"),
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("sum_disc_price_c"),
+        )
+    )
+
+
+# --- J1-style chain with broadcast dims (src/evaluator.py:302-357) ---------
+@register("revenue_by_nation", """
+    SELECT n.n_name AS nation,
+           count(DISTINCT c.c_custkey) AS customers,
+           CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY n.n_name
+""")
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    # dims are tiny → broadcast; fact-fact join shuffles on the key.
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.countDistinct("c_custkey").alias("customers"),
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue_c"),
+        )
+    )
+
+
+# --- A3/V8 numbering continuity (src/validator.py:216-229):
+# sequence(min,max) minus collected set → exploded missing numbers.
+# Rows with l_linenumber=3 are excluded first to guarantee gaps.
+@register("missing_linenumbers", """
+    WITH kept AS (SELECT * FROM lineitem WHERE l_linenumber <> 3),
+    bounds AS (
+      SELECT l_orderkey, max(l_linenumber) AS hi FROM kept GROUP BY l_orderkey
+    ),
+    expected AS (
+      SELECT l_orderkey, unnest(generate_series(1, hi)) AS ln FROM bounds
+    )
+    SELECT e.l_orderkey AS o_orderkey, e.ln AS missing_linenumber
+    FROM expected e
+    LEFT JOIN kept k ON k.l_orderkey = e.l_orderkey AND k.l_linenumber = e.ln
+    WHERE k.l_orderkey IS NULL
+""")
+def missing_linenumbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = load(spark, sf_dir, "lineitem").filter("l_linenumber <> 3")
+    return (
+        kept.groupBy("l_orderkey")
+        .agg(
+            F.max("l_linenumber").alias("hi"),
+            F.collect_set("l_linenumber").alias("seen"),
+        )
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.explode(
+                F.array_except(F.sequence(F.lit(1), F.col("hi")), F.col("seen"))
+            ).alias("missing_linenumber"),
+        )
+    )
+
+
+# --- J1 left outer with coalesce for not-found (src/evaluator.py:311-328) --
+@register("customer_order_stats", """
+    SELECT c.c_custkey,
+           count(o.o_orderkey) AS order_count,
+           CAST(coalesce(sum(CAST(round(o.o_totalprice*100) AS BIGINT)), 0) AS BIGINT) AS total_spent_c,
+           count(o.o_orderkey) = 0 AS never_ordered
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+""")
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.coalesce(F.sum(_cents(F.col("o_totalprice"))), F.lit(0))
+            .alias("total_spent_c"),
+            (F.count("o_orderkey") == 0).alias("never_ordered"),
+        )
+    )
+
+
+# --- J2 anti join (src/validator.py:507-519) -------------------------------
+@register("customers_without_orders", """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- W9 top-k with deterministic tie-break (scripts/benchmark.py:239-271) --
+@register("top_parts_by_brand", """
+    WITH rev AS (
+      SELECT p.p_brand, p.p_partkey,
+             CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
+      FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, p.p_partkey
+    )
+    SELECT p_brand, p_partkey, revenue_c, rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
+                 ORDER BY revenue_c DESC, p_partkey) AS rk FROM rev)
+    WHERE rk <= 5
+""")
+def top_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             .alias("revenue_c"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("revenue_c"), F.asc("p_partkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("p_brand", "p_partkey", "revenue_c", "rk")
+    )
+
+
+# --- W1 running last-non-null (the region-assignment window;
+# src/cropper/detector.py:118-207 re-expressed relationally) ----------------
+@register("events_carry_forward", """
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'click' THEN props END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_props
+    FROM events
+""")
+def events_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marker = F.when(F.col("event_type") == "click", F.col("props"))
+    return e.select(
+        "event_id", "user_id",
+        F.last(marker, ignorenulls=True).over(w).alias("last_click_props"),
+    )
+
+
+# --- W7 duplicate detection, first-wins (src/validator.py:428-445) ---------
+@register("first_wins_duplicates", """
+    SELECT event_id, first_id
+    FROM (SELECT event_id,
+                 first_value(event_id) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_id
+          FROM events)
+    WHERE event_id <> first_id
+""")
+def first_wins_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        e.select("event_id", F.first("event_id").over(w).alias("first_id"))
+        .filter(F.col("event_id") != F.col("first_id"))
+    )
+
+
+# --- A1 union-envelope aggregation (src/cropper/detector.py:322-328) -------
+@register("user_value_envelope", """
+    SELECT user_id,
+           min(CAST(round(value*100) AS BIGINT)) AS min_value_c,
+           max(CAST(round(value*100) AS BIGINT)) AS max_value_c,
+           min(ts) AS first_ts, max(ts) AS last_ts, count(*) AS n_events
+    FROM events GROUP BY user_id
+""")
+def user_value_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.min(_cents(F.col("value"))).alias("min_value_c"),
+        F.max(_cents(F.col("value"))).alias("max_value_c"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --- A10 conditional-share aggregation (scripts/validate.py:412-456) -------
+@register("priority_fill_rates", """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS fill_rate
+    FROM orders GROUP BY o_orderpriority
+""")
+def priority_fill_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    filled = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        filled.alias("n_filled"),
+        (filled.cast("double") / F.count("*")).alias("fill_rate"),
+    )
+
+
+# --- A14 missed-by-all intersection (scripts/run_comparison.py:314-326) ----
+@register("users_never_purchasing", """
+    SELECT user_id
+    FROM events
+    GROUP BY user_id
+    HAVING max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 0
+""")
+def users_never_purchasing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+             .alias("m"))
+        .filter("m = 0")
+        .select("user_id")
+    )
+
+
+# --- A3/A4 contiguity check (src/validator.py:200-239) ---------------------
+@register("linenumber_contiguity", """
+    SELECT l_orderkey,
+           min(l_linenumber) AS lo, max(l_linenumber) AS hi,
+           count(DISTINCT l_linenumber) AS n_distinct,
+           (max(l_linenumber) - min(l_linenumber) + 1) = count(DISTINCT l_linenumber)
+             AS contiguous
+    FROM lineitem GROUP BY l_orderkey
+""")
+def linenumber_contiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.min("l_linenumber").alias("lo"),
+        F.max("l_linenumber").alias("hi"),
+        F.countDistinct("l_linenumber").alias("n_distinct"),
+        ((F.max("l_linenumber") - F.min("l_linenumber") + 1)
+         == F.countDistinct("l_linenumber")).alias("contiguous"),
+    )
+
+
+# --- global deterministic top-k (P8 limit + W9) -----------------------------
+@register("top10_orders", """
+    SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_c
+    FROM orders
+    ORDER BY totalprice_c DESC, o_orderkey
+    LIMIT 10
+""")
+def top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", _cents(F.col("o_totalprice")).alias("totalprice_c"))
+        .orderBy(F.desc("totalprice_c"), F.asc("o_orderkey"))
+        .limit(10)
+    )
