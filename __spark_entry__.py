@@ -15,24 +15,31 @@ from collections.abc import Callable, Iterator
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _corpus_from_docids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _corpus_from_docids(
+    spark: SparkSession, sf_dir: str, with_answer_key: bool = False
+) -> DataFrame:
     """Deterministic synthetic corpus keyed by the testdata doc_ids:
     the same shape as BASELINE.json's input_hint table, derived from
     the driver's own parquet so scale follows sf."""
     import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
 
     from exam_pdf_parser_spark.corpus.generator import build_document
     from exam_pdf_parser_spark.operators.extract import DOCUMENTS_SCHEMA
 
     ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    schema = DOCUMENTS_SCHEMA
+    if with_answer_key:
+        schema = StructType(
+            schema.fields + [StructField("answer_md", StringType(), False)])
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in DOCUMENTS_SCHEMA.fields]
+        cols = [f.name for f in schema.fields]
         for pdf in batches:
             rows = [build_document(int(i)) for i in pdf["doc_id"]]
             yield pd.DataFrame({c: [r[c] for r in rows] for c in cols})
 
-    return ids.mapInPandas(gen, DOCUMENTS_SCHEMA)
+    return ids.mapInPandas(gen, schema)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -74,7 +81,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # extraction family: rows-only (oracle is the pytest golden suite)
     q["x_extract_spans"] = _x_extract_spans
     q["x_extract_doc_stats"] = _x_extract_doc_stats
+    q["x_parsed_questions"] = _x_parsed_questions
+    q["x_validation_issues"] = _x_validation_issues
+    q["x_eval_scores"] = _x_eval_scores
     return q
+
+
+def _x_parsed_questions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from exam_pdf_parser_spark.operators.parsed import parse_documents
+
+    return parse_documents(_corpus_from_docids(spark, sf_dir)).select(
+        "url", "number", "question_text", "question_type", "passage",
+        F.to_json("choices").alias("choices_json"),
+        "points", "group_range", "spans_page", "n_regions",
+    )
+
+
+def _x_validation_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exam_pdf_parser_spark.operators.parsed import (
+        answer_key_table, parse_documents,
+    )
+    from exam_pdf_parser_spark.operators.validation import validate
+
+    corpus = _corpus_from_docids(spark, sf_dir, with_answer_key=True)
+    return validate(parse_documents(corpus), answer_key_table(corpus))
+
+
+def _x_eval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exam_pdf_parser_spark.operators.evaluation import (
+        evaluate_questions, score_urls,
+    )
+    from exam_pdf_parser_spark.operators.parsed import (
+        answer_key_table, parse_documents,
+    )
+
+    corpus = _corpus_from_docids(spark, sf_dir, with_answer_key=True)
+    qe = evaluate_questions(parse_documents(corpus), answer_key_table(corpus))
+    return score_urls(qe)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -48,6 +48,13 @@ class Region:
     spans_page: bool = False
     group_range: str | None = None
     region_idx: int = field(default=-1)
+    # full accumulated region text (preview's untruncated source);
+    # consumed by the field-extraction stage, not part of the span table
+    full_text: str = ""
+    # text of pre-question pool blocks merged into this region's bbox by
+    # the "generous crop" branch — semantically belongs to the previous
+    # question in reading order (field stage reattributes it)
+    pre_text: str = ""
 
 
 def _union(bboxes: list[list[float]]) -> tuple[float, float, float, float]:
@@ -106,13 +113,16 @@ def scan_column(
     cur_group: str | None = None
     cur_boxes: list[list[float]] = []
     cur_text = ""
+    cur_pre = ""
     pool: list[list[float]] = []
+    pool_texts: list[str] = []
     saw_header = False
 
     def emit_current() -> None:
         bb = _union(cur_boxes)
         out.append(Region(cur_num, page_idx, *bb, cur_text[:PREVIEW_LEN],
-                          group_range=cur_group))
+                          group_range=cur_group, full_text=cur_text,
+                          pre_text=cur_pre))
 
     for b in blocks:
         bbox = b.get("bbox")
@@ -131,15 +141,19 @@ def scan_column(
                 emit_current()
             cur_num = q_num
             cur_group = group_range
+            cur_pre = ""
             if pool:
                 if not saw_header and carry_q is not None:
                     bb = _union(pool)
                     out.append(Region(carry_q, page_idx, *bb,
-                                      CONTINUATION_PREVIEW, spans_page=True))
+                                      CONTINUATION_PREVIEW, spans_page=True,
+                                      full_text=" ".join(pool_texts)))
                     cur_boxes = [bbox]
                 else:
                     cur_boxes = pool + [bbox]
+                    cur_pre = " ".join(pool_texts)
                 pool = []
+                pool_texts = []
             else:
                 cur_boxes = [bbox]
             cur_text = text
@@ -148,6 +162,7 @@ def scan_column(
             cur_text += " " + text
         else:
             pool.append(bbox)
+            pool_texts.append(text)
 
     if cur_num is not None:
         emit_current()
@@ -193,7 +208,8 @@ def repair_duplicates(regions: list[Region], max_q: int) -> list[Region]:
                 fixed.append(Region(
                     candidate, r.page_idx, r.x0, r.y0, r.x1, r.y1,
                     r.text_preview, spans_page=r.spans_page,
-                    group_range=r.group_range,
+                    group_range=r.group_range, full_text=r.full_text,
+                    pre_text=r.pre_text,
                 ))
                 all_nums.add(candidate)
                 break

@@ -1,0 +1,167 @@
+"""Stage C: structured field extraction from detected regions
+(SURVEY.md §2.7 F1-F9), shared verbatim by oracle and Spark UDFs.
+
+The reference obtains structured fields from an LLM
+(src/models/llm_backend.py:50-87); the north rule replaces that with a
+deterministic rule-based parser.  Field semantics below are the
+deterministic re-expression, reusing the reference's own parsing
+conventions where it has them:
+
+  * circled-digit choices ①-⑩   src/evaluator.py:45-48,72-93
+  * [3점] / +N point markers     src/evaluator.py:134-145
+  * whitespace normalization     src/evaluator.py:97-99
+  * question-start patterns      src/cropper/detector.py:20-26
+  * listening = positions 1-17   src/validator.py:318,342-356
+"""
+
+from __future__ import annotations
+
+import re
+
+from .detector import Region
+from .textfuncs import CIRCLE_DIGITS, QNUM_PATTERNS, normalize_text
+
+LISTENING_MAX = 17
+TYPE_LISTENING = "듣기"
+TYPE_READING = "독해"
+
+_CIRCLE_ALT = "|".join(sorted(CIRCLE_DIGITS))
+_CIRCLE_SPLIT_RE = re.compile(f"(?=(?:{_CIRCLE_ALT}))")
+
+
+def strip_question_marker(text: str) -> str:
+    """Remove the leading question-number marker that opened the region
+    (the same ordered-pattern cascade that detected it)."""
+    text = text.strip()
+    for pattern in QNUM_PATTERNS:
+        m = pattern.match(text)
+        if m:
+            return text[m.end():]
+    return text
+
+
+def parse_choices(text: str) -> list[dict]:
+    """Split circled-digit choices out of region text.
+
+    Returns ``[{"number": int, "text": str}, ...]`` sorted by number,
+    first occurrence wins (dedup rule of src/evaluator.py:79-81).
+    Also returns the residue (text before the first circle) via
+    :func:`split_choices`.
+    """
+    choices: list[dict] = []
+    seen: set[int] = set()
+    parts = _CIRCLE_SPLIT_RE.split(text)
+    for part in parts:
+        if not part:
+            continue
+        circle = part[0]
+        num = CIRCLE_DIGITS.get(circle)
+        if num is None:
+            continue
+        body = normalize_text(part[1:])
+        if num not in seen:
+            choices.append({"number": num, "text": body})
+            seen.add(num)
+    choices.sort(key=lambda c: c["number"])
+    return choices
+
+
+def split_choices(text: str) -> tuple[str, list[dict]]:
+    """(text-before-first-circle, parsed choices)."""
+    m = re.search(_CIRCLE_ALT, text)
+    if not m:
+        return text, []
+    return text[: m.start()], parse_choices(text[m.start():])
+
+
+def parse_question_fields(regions: list[Region]) -> list[dict]:
+    """Per-document ``parsed`` rows from the final region list.
+
+    Cross-page questions merge their regions' text in region_idx
+    order.  Continuation regions contribute their text to the body.
+    Output row shape = FIXTURES.md §4 (minus exam_info, which has no
+    deterministic source in the layout).
+    """
+    ordered = sorted(regions, key=lambda r: r.region_idx)
+    # text chunks per question, in emission order; a region's pre_text
+    # (pool blocks swallowed by the generous-crop bbox) belongs to the
+    # PREVIOUS question in reading order — reattribute it there.
+    chunks: dict[int, list[str]] = {}
+    prev_num: int | None = None
+    for r in ordered:
+        if r.pre_text:
+            owner = prev_num if prev_num is not None else r.question_number
+            chunks.setdefault(owner, []).append(r.pre_text)
+        if r.full_text:
+            chunks.setdefault(r.question_number, []).append(r.full_text)
+        prev_num = r.question_number
+
+    by_num: dict[int, list[Region]] = {}
+    for r in regions:
+        by_num.setdefault(r.question_number, []).append(r)
+
+    rows: list[dict] = []
+    for num in sorted(by_num):
+        group = sorted(by_num[num], key=lambda r: r.region_idx)
+        full = " ".join(chunks.get(num, []))
+        body, choices = split_choices(strip_question_marker(full))
+        # question text = first sentence-ish run: up to the first
+        # passage block; deterministic contract: the normalized body is
+        # split nowhere — question_text is the whole pre-choice body for
+        # listening, else its first segment before the passage.  We keep
+        # the simple, reproducible rule: everything before the choices
+        # normalized, passage = None for listening positions.
+        body_norm = normalize_text(body)
+        listening = num <= LISTENING_MAX
+        if listening:
+            question_text, passage = body_norm, None
+        else:
+            question_text, passage = _split_question_passage(body_norm)
+        points = 3 if "[3점]" in question_text else 2
+        rows.append({
+            "number": num,
+            "question_text": question_text,
+            "question_type": TYPE_LISTENING if listening else TYPE_READING,
+            "passage": passage,
+            "choices": choices,
+            "points": points,
+            "group_range": next(
+                (r.group_range for r in group if r.group_range), None),
+            "spans_page": any(r.spans_page for r in group),
+            "n_regions": len(group),
+        })
+
+    # F9 group-passage propagation (src/evaluator.py:230-255): members
+    # of a [a~b] group with no own passage inherit the group-first's.
+    by_number = {r["number"]: r for r in rows}
+    for row in rows:
+        gr = row["group_range"]
+        if not gr:
+            continue
+        m = re.match(r"^(\d+)~(\d+)$", gr)
+        if not m or int(m.group(1)) != row["number"]:
+            continue
+        for member in range(int(m.group(1)) + 1, int(m.group(2)) + 1):
+            mrow = by_number.get(member)
+            if mrow is not None and mrow["passage"] is None:
+                mrow["passage"] = row["passage"]
+    return rows
+
+
+def _split_question_passage(body: str) -> tuple[str, str | None]:
+    """Split a reading question's pre-choice body into (stem, passage).
+
+    Deterministic rule: the stem is the leading run of tokens that
+    contain non-ASCII characters (Korean instruction text); the
+    passage starts at the first all-ASCII token (the English prose
+    block).  No ASCII token → whole body is the stem.
+    """
+    tokens = body.split(" ")
+    cut = len(tokens)
+    for i, tok in enumerate(tokens):
+        if tok and all(ord(ch) < 128 for ch in tok):
+            cut = i
+            break
+    stem = " ".join(tokens[:cut]).strip()
+    passage = " ".join(tokens[cut:]).strip() or None
+    return stem, passage

@@ -208,8 +208,10 @@ def build_document(doc_id: int, seed: int = 42) -> dict:
             flow.add_block("", height=18.0)          # blank block (P2)
         if rng.random() < 0.05:
             flow.add_block(_sentence(rng, _EN_WORDS, 3, 6), no_bbox=True)  # P1
-        if qd["passage"]:
-            # passage split over 1-2 blocks → natural cross-page spans
+        if qd["passage"] and (q not in in_group or q in group_starts):
+            # group members share the group-first passage (real exam
+            # layout); others get their own.  Split over 1-2 blocks →
+            # natural cross-page spans.
             words = qd["passage"].split(" ")
             half = len(words) // 2
             if len(words) > 30 and rng.random() < 0.5:

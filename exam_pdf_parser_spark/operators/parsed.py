@@ -1,0 +1,92 @@
+"""Stage C as Spark operators: the ``parsed`` table (structured
+question fields) and the ``answer_key`` table.
+
+Both are single ``mapInPandas`` passes — no shuffle; cross-document
+work stays relational downstream (validation/evaluation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType, BooleanType, IntegerType, StringType, StructField, StructType,
+)
+
+from ..core.answerkey import parse_answer_md
+from ..core.assemble import extract_document
+from ..core.fields import parse_question_fields
+
+CHOICE_STRUCT = ArrayType(StructType([
+    StructField("number", IntegerType(), False),
+    StructField("text", StringType(), False),
+]))
+
+PARSED_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("number", IntegerType(), False),
+    StructField("question_text", StringType(), False),
+    StructField("question_type", StringType(), False),
+    StructField("passage", StringType(), True),
+    StructField("choices", CHOICE_STRUCT, False),
+    StructField("points", IntegerType(), False),
+    StructField("group_range", StringType(), True),
+    StructField("spans_page", BooleanType(), False),
+    StructField("n_regions", IntegerType(), False),
+])
+
+ANSWER_KEY_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("number", IntegerType(), False),
+    StructField("question_text", StringType(), False),
+    StructField("passage", StringType(), True),
+    StructField("choices", CHOICE_STRUCT, False),
+    StructField("points", IntegerType(), False),
+])
+
+_PARSED_COLS = [f.name for f in PARSED_SCHEMA.fields if f.name != "url"]
+
+
+def parse_documents(documents: DataFrame,
+                    min_q: int = 1, max_q: int = 50) -> DataFrame:
+    """documents(url, html) → parsed question rows (FIXTURES.md §4).
+
+    One decode+detect+field pass per row; corrupt payloads are skipped
+    silently here (they surface via ``extract``'s quarantine)."""
+    docs = documents.select("url", "html")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in ["url", *_PARSED_COLS]}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                try:
+                    _, regions = extract_document(bytes(html), min_q, max_q)
+                except Exception:
+                    continue
+                for row in parse_question_fields(regions):
+                    out["url"].append(url)
+                    for c in _PARSED_COLS:
+                        out[c].append(row[c])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, PARSED_SCHEMA)
+
+
+def answer_key_table(corpus_with_md: DataFrame) -> DataFrame:
+    """(url, answer_md) → exploded answer-key rows (S6)."""
+    src = corpus_with_md.select("url", "answer_md")
+    cols = [f.name for f in ANSWER_KEY_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for url, md in zip(pdf["url"], pdf["answer_md"]):
+                for e in parse_answer_md(md):
+                    out["url"].append(url)
+                    for c in cols[1:]:
+                        out[c].append(e[c])
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, ANSWER_KEY_SCHEMA)

@@ -1,0 +1,163 @@
+"""Byte-identity + semantics for stage C (parsed), validation (V-rules)
+and evaluation (scores) — Spark vs shared-code oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from exam_pdf_parser_spark.core.answerkey import parse_answer_md
+from exam_pdf_parser_spark.core.assemble import extract_document
+from exam_pdf_parser_spark.core.fields import parse_question_fields
+from exam_pdf_parser_spark.core.scoring import eval_questions, summarize
+from exam_pdf_parser_spark.corpus.generator import generate_rows
+from exam_pdf_parser_spark.operators.evaluation import (
+    evaluate_questions, score_urls,
+)
+from exam_pdf_parser_spark.operators.extract import corpus_df
+from exam_pdf_parser_spark.operators.parsed import (
+    answer_key_table, parse_documents,
+)
+from exam_pdf_parser_spark.operators.validation import validate, validity_rollup
+
+N_DOCS = 30
+
+
+@pytest.fixture(scope="module")
+def corpus_rows():
+    return generate_rows(N_DOCS)
+
+
+@pytest.fixture(scope="module")
+def spark_tables(spark):
+    full = corpus_df(spark, N_DOCS, partitions=4, with_answer_key=True)
+    full = full.persist()
+    parsed = parse_documents(full).persist()
+    key = answer_key_table(full).persist()
+    yield {"full": full, "parsed": parsed, "key": key}
+    full.unpersist()
+    parsed.unpersist()
+    key.unpersist()
+
+
+def _oracle_parsed(corpus_rows):
+    out = {}
+    for r in corpus_rows:
+        _, regions = extract_document(r["html"])
+        out[r["url"]] = parse_question_fields(regions)
+    return out
+
+
+def test_parsed_table_matches_oracle(spark_tables, corpus_rows):
+    gold = _oracle_parsed(corpus_rows)
+    got: dict[str, dict[int, dict]] = {}
+    for row in spark_tables["parsed"].collect():
+        d = row.asDict(recursive=True)
+        got.setdefault(d.pop("url"), {})[d["number"]] = d
+    assert set(got) == set(gold)
+    for url, rows in gold.items():
+        assert len(got[url]) == len(rows)
+        for want in rows:
+            have = got[url][want["number"]]
+            for k in ("question_text", "question_type", "passage", "points",
+                      "group_range", "spans_page", "n_regions"):
+                assert have[k] == want[k], (url, want["number"], k)
+            assert have["choices"] == want["choices"], (url, want["number"])
+
+
+def test_answer_key_matches_oracle(spark_tables, corpus_rows):
+    for url, md in [(r["url"], r["answer_md"]) for r in corpus_rows[:10]]:
+        want = parse_answer_md(md)
+        have = sorted(
+            (r.asDict(recursive=True)
+             for r in spark_tables["key"].filter(f"url = '{url}'").collect()),
+            key=lambda r: r["number"],
+        )
+        assert len(have) == len(want)
+        for h, w in zip(have, want):
+            assert h["number"] == w["number"]
+            assert h["question_text"] == w["question_text"]
+            assert h["passage"] == w["passage"]
+            assert h["choices"] == w["choices"]
+            assert h["points"] == w["points"]
+
+
+def test_scores_byte_identical_to_oracle(spark_tables, corpus_rows):
+    gold_parsed = _oracle_parsed(corpus_rows)
+    want = {}
+    for r in corpus_rows:
+        key_rows = parse_answer_md(r["answer_md"])
+        q = eval_questions(gold_parsed[r["url"]], key_rows)
+        want[r["url"]] = summarize(q)
+
+    qe = evaluate_questions(spark_tables["parsed"], spark_tables["key"])
+    got = {r["url"]: r.asDict() for r in score_urls(qe).collect()}
+    assert set(got) == set(want)
+    for url, w in want.items():
+        g = got[url]
+        for k, v in w.items():
+            # exact float equality — same code, same order, both sides
+            assert g[k] == v, (url, k, g[k], v)
+        assert not math.isnan(g["overall_score"])
+
+
+def test_validation_issue_semantics(spark_tables):
+    issues = validate(spark_tables["parsed"], spark_tables["key"]).persist()
+    by_rule = {
+        r["rule"]: r["n"]
+        for r in issues.groupBy("rule").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    # structural invariants of the corpus:
+    # all questions have text, valid points, types set
+    assert "V3" not in by_rule
+    assert "V4" not in by_rule
+    assert "V5" not in by_rule
+    # positions 1-17 are listening by construction
+    assert "V15b" not in by_rule
+    # group ranges are well-formed ASCII-tilde
+    assert "V16" not in by_rule
+    rollup = validity_rollup(issues, spark_tables["parsed"])
+    assert rollup.count() == N_DOCS
+    # every url has the rollup columns populated
+    row = rollup.first()
+    assert row["errors"] >= 0 and row["warnings"] >= 0
+    issues.unpersist()
+
+
+def test_validation_catches_planted_defects(spark):
+    # plant a defective parsed table and check each rule fires
+    from exam_pdf_parser_spark.operators.parsed import PARSED_SCHEMA
+
+    def q(number, text="질문 텍스트", qtype="독해", passage="p" * 30,
+          choices=None, points=2, group_range=None):
+        if choices is None:
+            choices = [{"number": i, "text": f"choice {i}"}
+                       for i in range(1, 6)]
+        return ("u1", number, text, qtype, passage, choices, points,
+                group_range, False, 1)
+
+    rows = [
+        q(18),
+        q(19, text=""),                                   # V3
+        q(20, points=9),                                  # V4
+        q(21, points=4),                                  # V4b
+        q(22, choices=[{"number": 2, "text": "x"},
+                       {"number": 3, "text": "x"}]),      # V10,V11,V21
+        q(23, choices=[{"number": 1, "text": " "}]),      # V12 (+V10)
+        q(24, choices=[]),                                # V13
+        q(25, passage="short"),                           # V20
+        q(26, text="질문 텍스트"),                        # V19 (dup of 18)
+        q(27, group_range="41-42"),                       # V16
+        q(41, group_range="41~43", passage=None),         # V17(42 43... ),V18
+        q(30), q(30),                                     # V7
+        # V8: gap at 28-29 etc. exists by construction
+    ]
+    parsed = spark.createDataFrame(rows, PARSED_SCHEMA)
+    issues = validate(parsed)
+    got = {r["rule"] for r in issues.select("rule").distinct().collect()}
+    for rule in ["V3", "V4", "V4b", "V7", "V8", "V10", "V11", "V12",
+                 "V13", "V16", "V17", "V18", "V19", "V20", "V21"]:
+        assert rule in got, rule
