@@ -84,7 +84,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["x_parsed_questions"] = _x_parsed_questions
     q["x_validation_issues"] = _x_validation_issues
     q["x_eval_scores"] = _x_eval_scores
+    q["x_boilerplate_strip"] = _x_boilerplate_strip
     return q
+
+
+def _x_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from exam_pdf_parser_spark.operators.htmlstrip import strip_text_lines
+
+    docs = _corpus_from_docids(spark, sf_dir)
+    return strip_text_lines(docs).select(
+        "url",
+        F.length("text").alias("raw_len"),
+        F.length("main_text").alias("main_len"),
+        (F.length("text") - F.length("main_text")).alias("stripped_chars"),
+    )
 
 
 def _x_parsed_questions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -55,6 +55,11 @@ class Region:
     # the "generous crop" branch — semantically belongs to the previous
     # question in reading order (field stage reattributes it)
     pre_text: str = ""
+    # non-text block presence inside the region (drives has_image /
+    # has_table in the parsed table; reference flags at
+    # src/schema.py:83-84, checked by V22 src/validator.py:478-498)
+    has_image: bool = False
+    has_table: bool = False
 
 
 def _union(bboxes: list[list[float]]) -> tuple[float, float, float, float]:
@@ -114,23 +119,34 @@ def scan_column(
     cur_boxes: list[list[float]] = []
     cur_text = ""
     cur_pre = ""
+    cur_img = cur_tbl = False
     pool: list[list[float]] = []
     pool_texts: list[str] = []
+    pool_img = pool_tbl = False
     saw_header = False
 
     def emit_current() -> None:
         bb = _union(cur_boxes)
         out.append(Region(cur_num, page_idx, *bb, cur_text[:PREVIEW_LEN],
                           group_range=cur_group, full_text=cur_text,
-                          pre_text=cur_pre))
+                          pre_text=cur_pre, has_image=cur_img,
+                          has_table=cur_tbl))
 
     for b in blocks:
         bbox = b.get("bbox")
         if bbox is None:
             continue
+        btype = b.get("type", "text")
         text = block_text(b.get("lines", []))
         if not text.strip():
-            (cur_boxes if cur_num is not None else pool).append(bbox)
+            if cur_num is not None:
+                cur_boxes.append(bbox)
+                cur_img = cur_img or btype == "image"
+                cur_tbl = cur_tbl or btype == "table"
+            else:
+                pool.append(bbox)
+                pool_img = pool_img or btype == "image"
+                pool_tbl = pool_tbl or btype == "table"
             continue
         if is_section_header(text):
             saw_header = True
@@ -142,27 +158,36 @@ def scan_column(
             cur_num = q_num
             cur_group = group_range
             cur_pre = ""
+            cur_img = cur_tbl = False
             if pool:
                 if not saw_header and carry_q is not None:
                     bb = _union(pool)
                     out.append(Region(carry_q, page_idx, *bb,
                                       CONTINUATION_PREVIEW, spans_page=True,
-                                      full_text=" ".join(pool_texts)))
+                                      full_text=" ".join(pool_texts),
+                                      has_image=pool_img,
+                                      has_table=pool_tbl))
                     cur_boxes = [bbox]
                 else:
                     cur_boxes = pool + [bbox]
                     cur_pre = " ".join(pool_texts)
+                    cur_img, cur_tbl = pool_img, pool_tbl
                 pool = []
                 pool_texts = []
+                pool_img = pool_tbl = False
             else:
                 cur_boxes = [bbox]
             cur_text = text
         elif cur_num is not None:
             cur_boxes.append(bbox)
             cur_text += " " + text
+            cur_img = cur_img or btype == "image"
+            cur_tbl = cur_tbl or btype == "table"
         else:
             pool.append(bbox)
             pool_texts.append(text)
+            pool_img = pool_img or btype == "image"
+            pool_tbl = pool_tbl or btype == "table"
 
     if cur_num is not None:
         emit_current()
@@ -209,7 +234,8 @@ def repair_duplicates(regions: list[Region], max_q: int) -> list[Region]:
                     candidate, r.page_idx, r.x0, r.y0, r.x1, r.y1,
                     r.text_preview, spans_page=r.spans_page,
                     group_range=r.group_range, full_text=r.full_text,
-                    pre_text=r.pre_text,
+                    pre_text=r.pre_text, has_image=r.has_image,
+                    has_table=r.has_table,
                 ))
                 all_nums.add(candidate)
                 break

@@ -105,6 +105,7 @@ def parse_question_fields(regions: list[Region]) -> list[dict]:
         group = sorted(by_num[num], key=lambda r: r.region_idx)
         full = " ".join(chunks.get(num, []))
         body, choices = split_choices(strip_question_marker(full))
+        body, vocab = split_vocabulary(body)
         # question text = first sentence-ish run: up to the first
         # passage block; deterministic contract: the normalized body is
         # split nowhere — question_text is the whole pre-choice body for
@@ -129,6 +130,14 @@ def parse_question_fields(regions: list[Region]) -> list[dict]:
                 (r.group_range for r in group if r.group_range), None),
             "spans_page": any(r.spans_page for r in group),
             "n_regions": len(group),
+            "vocabulary_notes": vocab,
+            "has_image": any(r.has_image for r in group),
+            "has_table": any(r.has_table for r in group),
+            # no deterministic source for a description in the layout —
+            # stays null; V22 flags figure questions without one
+            # (src/validator.py:478-498)
+            "image_description": None,
+            "sub_questions": [],
         })
 
     # F9 group-passage propagation (src/evaluator.py:230-255): members
@@ -146,6 +155,27 @@ def parse_question_fields(regions: list[Region]) -> list[dict]:
             if mrow is not None and mrow["passage"] is None:
                 mrow["passage"] = row["passage"]
     return rows
+
+
+_VOCAB_RE = re.compile(r"\*([A-Za-z]+) : ")
+
+
+def split_vocabulary(body: str) -> tuple[str, list[dict]]:
+    """Extract ``*word : meaning`` vocabulary notes from the body
+    (reference: vocabulary_notes src/schema.py:80-82; the corpus plants
+    them as standalone ``*word : meaning`` blocks).  Meaning runs until
+    the next ``*`` marker or end of body."""
+    matches = list(_VOCAB_RE.finditer(body))
+    if not matches:
+        return body, []
+    notes = []
+    for i, m in enumerate(matches):
+        end = matches[i + 1].start() if i + 1 < len(matches) else len(body)
+        notes.append({
+            "word": m.group(1),
+            "meaning": body[m.end():end].strip(),
+        })
+    return body[: matches[0].start()].strip(), notes
 
 
 def _split_question_passage(body: str) -> tuple[str, str | None]:

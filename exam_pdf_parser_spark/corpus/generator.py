@@ -219,6 +219,26 @@ def build_document(doc_id: int, seed: int = 42) -> dict:
                 flow.add_block(" ".join(words[half:]), height=float(rng.randint(120, 260)))
             else:
                 flow.add_block(qd["passage"], height=float(rng.randint(160, 320)))
+        # figures/tables inside some reading questions (has_image /
+        # has_table flags; reference src/schema.py:83-84)
+        if not qd["listening"] and rng.random() < 0.10:
+            kind = "image" if rng.random() < 0.6 else "table"
+            flow.add_block("", height=float(rng.randint(80, 160)))
+            flow.pages[-1]["blocks"][-1]["type"] = kind
+            qd["has_image"] = kind == "image"
+            qd["has_table"] = kind == "table"
+        else:
+            qd["has_image"] = qd["has_table"] = False
+        # vocabulary notes (*word : meaning lines; src/schema.py:80-82)
+        if not qd["listening"] and rng.random() < 0.12:
+            qd["vocab"] = [
+                (rng.choice(_EN_WORDS), _sentence(rng, _KO_WORDS, 2, 3))
+                for _ in range(rng.randint(1, 3))
+            ]
+            for w, m in qd["vocab"]:
+                flow.add_block(f"*{w} : {m}", height=18.0)
+        else:
+            qd["vocab"] = []
         if qd["listening"]:
             flow.add_block(" ".join(qd["choices"]), height=60.0)
         else:

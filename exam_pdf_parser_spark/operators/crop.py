@@ -1,0 +1,103 @@
+"""Per-question crop sink (S11: src/cropper/cropper.py:32-91).
+
+The reference renders a clipped pixmap per question region and writes
+``q{n:02d}{_pN}.png`` files.  Here the crop is a deterministic
+byte-level render over the synthetic layout payload (no raster codec in
+the sandbox): a real PNG signature + an uncompressed deterministic
+body derived from the region's blocks, so the sink schema, naming
+scheme, pad/clamp arithmetic (F16, src/cropper/cropper.py:64-71) and
+partitioned write are all real; only the pixel encoding is a stub.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType, DoubleType, IntegerType, StringType, StructField, StructType,
+)
+
+from ..core.assemble import decode_payload
+from ..core.detector import detect_regions
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+PAD = 10.0  # crop padding, reference default src/cropper/cropper.py:64
+
+CROP_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("question_number", IntegerType(), False),
+    StructField("page_idx", IntegerType(), False),
+    StructField("file_name", StringType(), False),
+    StructField("x0", DoubleType(), False),
+    StructField("y0", DoubleType(), False),
+    StructField("x1", DoubleType(), False),
+    StructField("y1", DoubleType(), False),
+    StructField("png", BinaryType(), False),
+])
+
+
+def pad_clamp(bbox, page_w: float, page_h: float,
+              pad: float = PAD) -> tuple[float, float, float, float]:
+    """F16: ``max(0, x0-pad) … min(page_w, x1+pad)``
+    (src/cropper/cropper.py:64-71)."""
+    x0, y0, x1, y1 = bbox
+    return (max(0.0, x0 - pad), max(0.0, y0 - pad),
+            min(page_w, x1 + pad), min(page_h, y1 + pad))
+
+
+def _stub_png(url: str, q: int, page: int, bbox) -> bytes:
+    """Deterministic fake raster: PNG signature + crop geometry + a
+    content hash — byte-stable, collision-resistant, codec-free."""
+    h = hashlib.sha256(
+        f"{url}|{q}|{page}|{bbox}".encode("utf-8")).digest()
+    w = max(1, int(bbox[2] - bbox[0]))
+    ht = max(1, int(bbox[3] - bbox[1]))
+    return PNG_SIG + struct.pack(">II", w, ht) + h
+
+
+def crop_regions(documents: DataFrame,
+                 min_q: int = 1, max_q: int = 50) -> DataFrame:
+    """documents(url, html) → one crop row per (question, page) with the
+    reference's file-naming scheme ``q{n:02d}`` / ``q{n:02d}_p{k}``
+    (src/cropper/cropper.py:76-79)."""
+    src = documents.select("url", "html")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                try:
+                    payload = decode_payload(bytes(html))
+                except Exception:
+                    continue
+                pages = payload.get("pages", [])
+                sizes = {
+                    p.get("page_idx", 0): (p.get("page_size") or [842, 1191])
+                    for p in pages
+                }
+                regions = detect_regions(pages, min_q, max_q)
+                multi = {r.question_number for r in regions if r.spans_page}
+                for r in regions:
+                    pw, ph = sizes.get(r.page_idx, [842, 1191])
+                    bbox = pad_clamp((r.x0, r.y0, r.x1, r.y1), pw, ph)
+                    name = (f"q{r.question_number:02d}_p{r.page_idx}"
+                            if r.question_number in multi
+                            else f"q{r.question_number:02d}")
+                    rows.append({
+                        "url": url,
+                        "question_number": r.question_number,
+                        "page_idx": r.page_idx,
+                        "file_name": f"{name}.png",
+                        "x0": bbox[0], "y0": bbox[1],
+                        "x1": bbox[2], "y1": bbox[3],
+                        "png": _stub_png(url, r.question_number,
+                                         r.page_idx, bbox),
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              CROP_SCHEMA.fields])
+
+    return src.mapInPandas(run, CROP_SCHEMA)

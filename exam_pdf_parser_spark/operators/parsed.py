@@ -24,6 +24,11 @@ CHOICE_STRUCT = ArrayType(StructType([
     StructField("text", StringType(), False),
 ]))
 
+VOCAB_STRUCT = ArrayType(StructType([
+    StructField("word", StringType(), False),
+    StructField("meaning", StringType(), False),
+]))
+
 PARSED_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("number", IntegerType(), False),
@@ -35,6 +40,11 @@ PARSED_SCHEMA = StructType([
     StructField("group_range", StringType(), True),
     StructField("spans_page", BooleanType(), False),
     StructField("n_regions", IntegerType(), False),
+    StructField("vocabulary_notes", VOCAB_STRUCT, False),
+    StructField("has_image", BooleanType(), False),
+    StructField("has_table", BooleanType(), False),
+    StructField("image_description", StringType(), True),
+    StructField("sub_questions", ArrayType(StringType()), False),
 ])
 
 ANSWER_KEY_SCHEMA = StructType([
@@ -72,6 +82,30 @@ def parse_documents(documents: DataFrame,
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(run, PARSED_SCHEMA)
+
+
+def exam_info_table(parsed: DataFrame) -> DataFrame:
+    """Per-url exam_info (A11 total_questions sync src/schema.py:109-113
+    + F10 exam-type detection src/validator.py:61-75, re-expressed as a
+    deterministic CASE over parsed structure)."""
+    from pyspark.sql import functions as F
+
+    agg = parsed.groupBy("url").agg(
+        F.count("*").alias("total_questions"),
+        F.sum(F.when(F.col("question_type") == "듣기", 1).otherwise(0))
+        .alias("n_listening"),
+        F.min("number").alias("first_number"),
+        F.max("number").alias("last_number"),
+        F.sum(F.when(F.col("points") == 3, 1).otherwise(0))
+        .alias("n_three_point"),
+    )
+    exam_type = (
+        F.when((F.col("n_listening") > 0)
+               & (F.col("total_questions") > F.col("n_listening")), "수능형")
+        .when(F.col("n_listening") > 0, "듣기평가형")
+        .otherwise("워크북형")
+    )
+    return agg.withColumn("exam_type", exam_type)
 
 
 def answer_key_table(corpus_with_md: DataFrame) -> DataFrame:

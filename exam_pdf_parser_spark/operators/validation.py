@@ -32,11 +32,27 @@ def _issue(df: DataFrame, level: str, rule: str, message) -> DataFrame:
     )
 
 
-def validate(parsed: DataFrame, answer_key: DataFrame | None = None) -> DataFrame:
+def validate(
+    parsed: DataFrame,
+    answer_key: DataFrame | None = None,
+    documents: DataFrame | None = None,
+) -> DataFrame:
     """All rules unioned; ``parsed`` should be cached by the caller
     when issues + scores are both derived from it."""
     p = parsed
     rules: list[DataFrame] = []
+
+    if documents is not None:
+        # V2 document produced no questions (error) —
+        # src/validator.py:136-138 (anti join urls vs parsed)
+        rules.append(
+            documents.select("url").distinct()
+            .join(p.select("url").distinct(), "url", "left_anti")
+            .select("url", F.lit("error").alias("level"),
+                    F.lit(None).cast("int").alias("question_number"),
+                    F.lit("V2").alias("rule"),
+                    F.lit("no questions parsed").alias("message"))
+        )
 
     # V3 missing question_text (error) — src/validator.py:141-148
     rules.append(_issue(
@@ -185,6 +201,24 @@ def validate(parsed: DataFrame, answer_key: DataFrame | None = None) -> DataFram
                          F.col("first_num")).alias("message"))
     )
 
+    # V6 empty sub_questions entries (warning) — src/validator.py:179-189
+    rules.append(_issue(
+        p.filter(F.exists("sub_questions", lambda s: F.trim(s) == "")),
+        "warning", "V6", "empty sub_question entry"))
+
+    # V6b empty vocabulary note fields (same family)
+    rules.append(_issue(
+        p.filter(F.exists(
+            "vocabulary_notes",
+            lambda v: (F.trim(v["word"]) == "") | (F.trim(v["meaning"]) == ""))),
+        "warning", "V6b", "empty vocabulary note"))
+
+    # V22 has_image/has_table without description (warning) — :478-498
+    rules.append(_issue(
+        p.filter((F.col("has_image") | F.col("has_table"))
+                 & F.col("image_description").isNull()),
+        "warning", "V22", "figure/table without description"))
+
     # V20 short passage (warning) — src/validator.py:447-456
     rules.append(_issue(
         p.filter(F.col("passage").isNotNull()
@@ -207,6 +241,21 @@ def validate(parsed: DataFrame, answer_key: DataFrame | None = None) -> DataFram
                     F.col("number").alias("question_number"),
                     F.lit("V23").alias("rule"),
                     F.lit("in answer key but not parsed").alias("message"))
+        )
+        # V9 parsed count ≠ expected count (warning) —
+        # src/validator.py:231-239 (expected = answer-key size)
+        kc = answer_key.groupBy("url").agg(F.count("*").alias("expected"))
+        pc = p.groupBy("url").agg(F.count("*").alias("got"))
+        rules.append(
+            kc.join(pc, "url", "left_outer")
+            .filter(F.coalesce("got", F.lit(0)) != F.col("expected"))
+            .select("url", F.lit("warning").alias("level"),
+                    F.lit(None).cast("int").alias("question_number"),
+                    F.lit("V9").alias("rule"),
+                    F.concat(F.lit("parsed "),
+                             F.coalesce("got", F.lit(0)),
+                             F.lit(" of expected "),
+                             F.col("expected")).alias("message"))
         )
         # V24 choice-count mismatch vs key (warning) — :521-535 (J3)
         k = answer_key.select(

@@ -317,6 +317,41 @@ def linenumber_contiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- F15 cost arithmetic vs a broadcast pricing dim (src/parser.py:102-109,
+# pricing table src/config.py:59-86; J7-style literal broadcast join) --------
+_PRICING = [
+    ("en", 125, 1000),   # (lang, input µ¢ per 1k chars, output µ¢ flat)
+    ("de", 150, 1200),
+    ("es", 140, 1100),
+    ("fr", 145, 1150),
+    ("zh", 200, 1500),
+]
+
+
+@register("doc_cost_model", f"""
+    WITH pricing(lang, in_ucents_per_kchar, out_ucents) AS (
+      VALUES {", ".join(f"('{lang}', {a}, {b})" for lang, a, b in _PRICING)}
+    )
+    SELECT d.doc_id, d.lang,
+           CAST(floor(d.n_chars * p.in_ucents_per_kchar / 1000) AS BIGINT)
+             + p.out_ucents AS est_cost_ucents
+    FROM documents d JOIN pricing p ON d.lang = p.lang
+""")
+def doc_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pricing = spark.createDataFrame(
+        _PRICING, "lang string, in_ucents_per_kchar int, out_ucents int")
+    return (
+        d.join(F.broadcast(pricing), "lang")
+        .select(
+            "doc_id", "lang",
+            (F.floor(F.col("n_chars") * F.col("in_ucents_per_kchar") / 1000)
+             .cast("bigint") + F.col("out_ucents"))
+            .alias("est_cost_ucents"),
+        )
+    )
+
+
 # --- global deterministic top-k (P8 limit + W9) -----------------------------
 @register("top10_orders", """
     SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_c

@@ -1,0 +1,122 @@
+"""Per-partition checkpoint manifest + resume (north rule).
+
+Work is keyed by ``url_bucket = pmod(xxhash64(url), n_buckets)`` — the
+same bucketing an Iceberg table would declare (``bucket(N, url)``).
+A run writes extraction output partitioned by bucket with DYNAMIC
+partition overwrite, then appends one manifest row per completed
+bucket.  Crash recovery = anti-join pending buckets against the
+manifest: finished buckets are never recomputed, half-written bucket
+directories are overwritten idempotently on retry.
+
+Reference analogues: the resumable job store (src/server.py:52-69),
+batch CSV report (scripts/batch_parser.py:117-127), layout cache
+(test_debug_blocks.py:36-39) — unified here into exactly-once-per-
+bucket lineage (SURVEY.md §4 item 2).
+
+Layout:
+  {out_dir}/extracted/bucket=<n>/*.parquet   extraction output
+  {out_dir}/manifest/*.parquet               (run_id, bucket, status,
+                                              rows_out, docs_in,
+                                              errors, wall_ms)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract
+
+MANIFEST_SCHEMA = (
+    "run_id string, bucket int, status string, rows_out long, "
+    "docs_in long, errors long, wall_ms long"
+)
+
+
+def with_bucket(documents: DataFrame, n_buckets: int) -> DataFrame:
+    return documents.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
+
+
+def completed_buckets(spark: SparkSession, out_dir: str) -> list[int]:
+    path = os.path.join(out_dir, "manifest")
+    try:
+        mdf = spark.read.parquet(path)
+    except Exception:
+        return []
+    return [
+        r["bucket"]
+        for r in mdf.filter(F.col("status") == "done")
+        .select("bucket").distinct().collect()
+    ]
+
+
+def run_extraction(
+    spark: SparkSession,
+    documents: DataFrame,
+    out_dir: str,
+    run_id: str,
+    n_buckets: int = 64,
+    min_q: int = 1,
+    max_q: int = 50,
+) -> dict:
+    """Execute (or resume) a bucketed extraction run.
+
+    Returns summary stats.  Idempotent per bucket: rerunning after a
+    crash only processes buckets absent from the manifest, and dynamic
+    partition overwrite replaces any half-written bucket dirs.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    docs = with_bucket(documents, n_buckets)
+
+    done = set(completed_buckets(spark, out_dir))
+    pending = docs if not done else docs.filter(~F.col("bucket").isin(*done))
+
+    t0 = time.perf_counter()
+    out = extract(pending, min_q, max_q).join(
+        pending.select("url", "bucket"), "url")
+
+    ext_path = os.path.join(out_dir, "extracted")
+    (out.select("url", "extracted_text", "spans", "status", "error", "bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(ext_path))
+    wall_ms = int((time.perf_counter() - t0) * 1000)
+
+    # per-bucket metrics from what was just written (read-back keeps the
+    # numbers honest — they describe the durable output, not the plan)
+    written = spark.read.parquet(ext_path)
+    pending_buckets = {r["bucket"] for r in
+                       pending.select("bucket").distinct().collect()}
+    stats = (
+        written.filter(F.col("bucket").isin(*pending_buckets)
+                       if pending_buckets else F.lit(False))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("docs_in"),
+            F.sum(F.size("spans")).alias("rows_out"),
+            F.sum(F.when(F.col("status") == "error", 1).otherwise(0))
+            .alias("errors"),
+        )
+    )
+    manifest_rows = stats.select(
+        F.lit(run_id).alias("run_id"),
+        "bucket",
+        F.lit("done").alias("status"),
+        F.col("rows_out").cast("long"),
+        F.col("docs_in").cast("long"),
+        F.col("errors").cast("long"),
+        F.lit(wall_ms).alias("wall_ms"),
+    )
+    manifest_rows.write.mode("append").parquet(
+        os.path.join(out_dir, "manifest"))
+
+    n_done = len(pending_buckets)
+    return {
+        "run_id": run_id,
+        "buckets_processed": n_done,
+        "buckets_skipped": len(done),
+        "wall_ms": wall_ms,
+    }

@@ -1,0 +1,69 @@
+"""Standalone extraction job for the scaling bench — submitted via
+``spark-submit --py-files exam_pdf_parser_spark.zip`` (north rule
+launch mode).
+
+Measures steady-state extraction throughput: the input is pinned in
+executor memory (so parquet/shuffle I/O variance is out of the timed
+section), the Python worker pool is warmed with one full pass, then
+the best of two timed passes is reported.
+
+argv: corpus_parquet_path cpus [n_partitions]
+Prints one JSON line: {"cpus": N, "docs": D, "wall_sec": S,
+"docs_per_sec": R, "spans": K}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    corpus_path, cpus = sys.argv[1], int(sys.argv[2])
+    n_parts = int(sys.argv[3]) if len(sys.argv) > 3 else cpus * 4
+
+    spark = (
+        SparkSession.builder.appName(f"extract-scaling-{cpus}")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.locality.wait", "0")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from exam_pdf_parser_spark.operators.extract import extract
+
+    docs = spark.read.parquet(corpus_path).repartition(n_parts).persist()
+    n_docs = docs.count()  # materialize in memory
+
+    def one_pass() -> tuple[float, int, int]:
+        t0 = time.perf_counter()
+        agg = extract(docs).select(
+            F.count("*").alias("docs"),
+            F.sum(F.size("spans")).alias("spans"),
+        ).collect()[0]
+        return time.perf_counter() - t0, agg["docs"], int(agg["spans"])
+
+    one_pass()                      # warm: python workers + code paths
+    results = [one_pass() for _ in range(2)]
+    wall, docs_n, spans = min(results, key=lambda r: r[0])
+
+    print(json.dumps({
+        "cpus": cpus,
+        "docs": docs_n,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(docs_n / wall, 2),
+        "spans": spans,
+    }))
+    assert docs_n == n_docs
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Tests for A/B compare (J6), crop sink (S11), report sinks (S8-S10),
+exam_info (A11/F10) and the extractor registry (§2.9)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from exam_pdf_parser_spark.operators.compare import compare_runs, missed_by_all
+from exam_pdf_parser_spark.operators.crop import PNG_SIG, crop_regions, pad_clamp
+from exam_pdf_parser_spark.operators.extract import corpus_df
+from exam_pdf_parser_spark.operators.parsed import exam_info_table, parse_documents
+from exam_pdf_parser_spark.plans.pipeline import EXTRACTORS, full_pipeline, get_extractor
+from exam_pdf_parser_spark.sources.report import (
+    dump_golden_json, load_golden_json, markdown_summary, write_csv_report,
+)
+
+N_DOCS = 15
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = corpus_df(spark, N_DOCS, partitions=2, with_answer_key=True).persist()
+    yield d
+    d.unpersist()
+
+
+def test_compare_identical_runs(spark, docs):
+    parsed = parse_documents(docs).persist()
+    diff = compare_runs(parsed, parsed).persist()
+    assert diff.filter("NOT in_a OR NOT in_b").count() == 0
+    assert diff.filter("qtext_sim < 1.0 OR passage_sim < 1.0").count() == 0
+    assert diff.filter("points_delta != 0 OR choices_delta != 0").count() == 0
+    diff.unpersist()
+    parsed.unpersist()
+
+
+def test_compare_different_configs(spark, docs):
+    a = parse_documents(docs, max_q=50)
+    b = parse_documents(docs, max_q=10)   # caps detection at Q10
+    diff = compare_runs(a, b)
+    only_a = diff.filter("in_a AND NOT in_b")
+    assert only_a.count() > 0
+    assert only_a.filter("number <= 10").count() == 0
+
+
+def test_missed_by_all(spark):
+    qe = spark.createDataFrame(
+        [("u", 1, True), ("u", 2, False)], "url string, number int, found boolean")
+    qe2 = spark.createDataFrame(
+        [("u", 1, False), ("u", 2, False)], "url string, number int, found boolean")
+    rows = missed_by_all({"a": qe, "b": qe2}).collect()
+    assert [(r["url"], r["number"]) for r in rows] == [("u", 2)]
+
+
+def test_crop_sink(spark, docs):
+    crops = crop_regions(docs).persist()
+    rows = crops.collect()
+    assert rows
+    for r in rows[:50]:
+        assert bytes(r["png"]).startswith(PNG_SIG)
+        assert r["x0"] <= r["x1"] and r["y0"] <= r["y1"]
+        assert r["file_name"].startswith(f"q{r['question_number']:02d}")
+    # cross-page questions get the _pN suffix
+    multi = [r for r in rows if "_p" in r["file_name"]]
+    assert multi
+    # deterministic rerun
+    again = {(r["url"], r["file_name"]): bytes(r["png"])
+             for r in crop_regions(docs).collect()}
+    for r in rows:
+        assert again[(r["url"], r["file_name"])] == bytes(r["png"])
+    crops.unpersist()
+
+
+def test_pad_clamp():
+    assert pad_clamp((5, 5, 840, 1189), 842, 1191) == (0, 0, 842, 1191)
+    assert pad_clamp((100, 100, 200, 200), 842, 1191) == (90, 90, 210, 210)
+
+
+def test_exam_info(spark, docs):
+    parsed = parse_documents(docs)
+    info = {r["url"]: r for r in exam_info_table(parsed).collect()}
+    assert len(info) == N_DOCS
+    for r in info.values():
+        assert r["exam_type"] == "수능형"     # corpus always has both parts
+        assert r["n_listening"] == 17
+        assert r["total_questions"] >= 20
+
+
+def test_golden_json_roundtrip_stable(tmp_path):
+    rows = [{"b": 1, "a": "한글", "nested": {"y": [2, 1]}}]
+    p1, p2 = str(tmp_path / "g1.json"), str(tmp_path / "g2.json")
+    dump_golden_json(rows, p1)
+    dump_golden_json(rows, p2)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+    assert "한글" in open(p1, encoding="utf-8").read()  # ensure_ascii=False
+    assert load_golden_json(p1) == rows
+
+
+def test_csv_and_markdown_reports(spark, docs, tmp_path):
+    pipe = full_pipeline(docs, answer_key_src=docs)
+    scores = pipe["scores"].persist()
+    out = os.path.join(tempfile.gettempdir(), "csv_report_test")
+    write_csv_report(scores, out)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == N_DOCS
+    md = markdown_summary("eval", [r.asDict() for r in scores.collect()])
+    assert "mean overall score" in md and md.count("\n") > N_DOCS
+    scores.unpersist()
+
+
+def test_extractor_registry(spark, docs):
+    assert set(EXTRACTORS) >= {"layout", "htmlstrip"}
+    layout = get_extractor("layout")(docs)
+    assert layout.count() == N_DOCS
+    with pytest.raises(KeyError):
+        get_extractor("nope")

@@ -1,0 +1,81 @@
+"""Checkpoint-manifest semantics: resume skips completed buckets and
+the resumed output is identical to a clean one-shot run."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from exam_pdf_parser_spark.operators.extract import corpus_df
+from exam_pdf_parser_spark.sources.manifest import (
+    completed_buckets, run_extraction, with_bucket,
+)
+
+N_DOCS = 60
+N_BUCKETS = 8
+
+
+@pytest.fixture()
+def out_dir():
+    d = tempfile.mkdtemp(prefix="manifest_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_run_then_resume_noop(spark, out_dir):
+    docs = corpus_df(spark, N_DOCS, partitions=4)
+    s1 = run_extraction(spark, docs, out_dir, "run1", n_buckets=N_BUCKETS)
+    assert s1["buckets_processed"] > 0
+    done = completed_buckets(spark, out_dir)
+    assert len(done) == s1["buckets_processed"]
+
+    # resume with nothing pending → no bucket reprocessed
+    s2 = run_extraction(spark, docs, out_dir, "run2", n_buckets=N_BUCKETS)
+    assert s2["buckets_processed"] == 0
+    assert s2["buckets_skipped"] == len(done)
+
+
+def test_resume_after_partial_failure(spark, out_dir):
+    docs = corpus_df(spark, N_DOCS, partitions=4)
+    full = run_extraction(spark, docs, out_dir, "full", n_buckets=N_BUCKETS)
+    expected = (
+        spark.read.parquet(f"{out_dir}/extracted")
+        .select("url", "extracted_text").orderBy("url").collect()
+    )
+
+    # simulate a crash: keep only half the manifest rows (some buckets
+    # "never finished") and corrupt their output dirs by deleting them
+    mdf = spark.read.parquet(f"{out_dir}/manifest")
+    buckets = sorted(r["bucket"] for r in
+                     mdf.select("bucket").distinct().collect())
+    lost = buckets[: len(buckets) // 2]
+    kept = mdf.filter(~F.col("bucket").isin(lost)).collect()
+    shutil.rmtree(f"{out_dir}/manifest")
+    spark.createDataFrame(kept, mdf.schema).write.parquet(
+        f"{out_dir}/manifest")
+    for b in lost:
+        shutil.rmtree(f"{out_dir}/extracted/bucket={b}", ignore_errors=True)
+
+    s = run_extraction(spark, docs, out_dir, "resume", n_buckets=N_BUCKETS)
+    assert s["buckets_processed"] == len(lost)
+    assert s["buckets_skipped"] == len(buckets) - len(lost)
+
+    got = (
+        spark.read.parquet(f"{out_dir}/extracted")
+        .select("url", "extracted_text").orderBy("url").collect()
+    )
+    assert got == expected  # byte-identical to the clean run
+    assert full["buckets_processed"] == len(buckets)
+
+
+def test_bucketing_is_deterministic(spark):
+    docs = corpus_df(spark, 20, partitions=2)
+    a = {r["url"]: r["bucket"]
+         for r in with_bucket(docs, 16).select("url", "bucket").collect()}
+    b = {r["url"]: r["bucket"]
+         for r in with_bucket(docs, 16).select("url", "bucket").collect()}
+    assert a == b
+    assert all(0 <= v < 16 for v in a.values())

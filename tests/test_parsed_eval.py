@@ -62,7 +62,9 @@ def test_parsed_table_matches_oracle(spark_tables, corpus_rows):
         for want in rows:
             have = got[url][want["number"]]
             for k in ("question_text", "question_type", "passage", "points",
-                      "group_range", "spans_page", "n_regions"):
+                      "group_range", "spans_page", "n_regions",
+                      "vocabulary_notes", "has_image", "has_table",
+                      "image_description", "sub_questions"):
                 assert have[k] == want[k], (url, want["number"], k)
             assert have["choices"] == want["choices"], (url, want["number"])
 
@@ -132,12 +134,14 @@ def test_validation_catches_planted_defects(spark):
     from exam_pdf_parser_spark.operators.parsed import PARSED_SCHEMA
 
     def q(number, text="질문 텍스트", qtype="독해", passage="p" * 30,
-          choices=None, points=2, group_range=None):
+          choices=None, points=2, group_range=None, vocab=None,
+          has_image=False, sub_questions=None):
         if choices is None:
             choices = [{"number": i, "text": f"choice {i}"}
                        for i in range(1, 6)]
         return ("u1", number, text, qtype, passage, choices, points,
-                group_range, False, 1)
+                group_range, False, 1, vocab or [], has_image, False,
+                None, sub_questions or [])
 
     rows = [
         q(18),
@@ -153,11 +157,15 @@ def test_validation_catches_planted_defects(spark):
         q(27, group_range="41-42"),                       # V16
         q(41, group_range="41~43", passage=None),         # V17(42 43... ),V18
         q(30), q(30),                                     # V7
+        q(31, vocab=[{"word": "x", "meaning": " "}]),     # V6b
+        q(32, sub_questions=["ok", " "]),                 # V6
+        q(33, has_image=True),                            # V22
         # V8: gap at 28-29 etc. exists by construction
     ]
     parsed = spark.createDataFrame(rows, PARSED_SCHEMA)
     issues = validate(parsed)
     got = {r["rule"] for r in issues.select("rule").distinct().collect()}
-    for rule in ["V3", "V4", "V4b", "V7", "V8", "V10", "V11", "V12",
-                 "V13", "V16", "V17", "V18", "V19", "V20", "V21"]:
+    for rule in ["V3", "V4", "V4b", "V6", "V6b", "V7", "V8", "V10", "V11",
+                 "V12", "V13", "V16", "V17", "V18", "V19", "V20", "V21",
+                 "V22"]:
         assert rule in got, rule

@@ -1,0 +1,77 @@
+"""Structured Streaming tests: windowed counts match the batch
+equivalent, watermark plan is present, sessionization state op runs."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from exam_pdf_parser_spark.sources.io import load
+from exam_pdf_parser_spark.streaming.events import (
+    rate_limit_counts, read_event_stream, run_to_memory, sessionize,
+    windowed_event_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    # copy events into a dir the file-stream source can list
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    load(spark, SF_DIR, "events").repartition(4).write.mode(
+        "overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_windowed_counts_match_batch(spark, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    q = run_to_memory(windowed_event_counts(stream), "win_counts")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["value_c"])
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.round(F.col("value") * 100).cast("bigint"))
+             .alias("value_c"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "value_c")
+        .collect()
+    )
+    want = {(r["ws"], r["event_type"]): (r["n"], r["value_c"])
+            for r in batch}
+    assert got == want
+    q.stop()
+
+
+def test_watermark_in_plan(spark, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    plan = windowed_event_counts(stream)._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
+
+
+def test_rate_limit_counts_run(spark, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    q = run_to_memory(rate_limit_counts(stream, limit=2), "rl_counts")
+    rows = spark.sql("select * from rl_counts").collect()
+    assert rows
+    assert {"window_start", "user_id", "n", "over_limit"} <= set(rows[0].asDict())
+    q.stop()
+
+
+def test_sessionize_stateful(spark, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    q = run_to_memory(sessionize(stream), "sessions", mode="append")
+    rows = spark.sql("select * from sessions").collect()
+    # sessions flush on gap within the data; events span days so gaps exist
+    assert rows
+    for r in rows:
+        assert r["session_events"] >= 1
+        assert r["session_start"] <= r["session_end"]
+    q.stop()
