@@ -85,7 +85,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["x_validation_issues"] = _x_validation_issues
     q["x_eval_scores"] = _x_eval_scores
     q["x_boilerplate_strip"] = _x_boilerplate_strip
+    q["x_exam_info"] = _x_exam_info
+    q["x_crop_manifest"] = _x_crop_manifest
+    q["x_compare_configs"] = _x_compare_configs
     return q
+
+
+def _x_exam_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exam_pdf_parser_spark.operators.parsed import (
+        exam_info_table, parse_documents,
+    )
+
+    return exam_info_table(parse_documents(_corpus_from_docids(spark, sf_dir)))
+
+
+def _x_crop_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from exam_pdf_parser_spark.operators.crop import crop_regions
+
+    return crop_regions(_corpus_from_docids(spark, sf_dir)).select(
+        "url", "question_number", "page_idx", "file_name",
+        "x0", "y0", "x1", "y1", F.length("png").alias("png_bytes"),
+    )
+
+
+def _x_compare_configs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from exam_pdf_parser_spark.operators.compare import compare_runs
+    from exam_pdf_parser_spark.operators.parsed import parse_documents
+
+    docs = _corpus_from_docids(spark, sf_dir)
+    a = parse_documents(docs, max_q=50)
+    b = parse_documents(docs, max_q=20)
+    return compare_runs(a, b)
 
 
 def _x_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:

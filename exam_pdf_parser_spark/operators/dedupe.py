@@ -56,19 +56,22 @@ def _words(col):
     FROM h JOIN canon c ON h.th = c.th
 """)
 def exact_dup_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single shuffle: canonical pick + group size as windows over the
+    # content-hash partition (vs groupBy + join-back = 2 extra
+    # exchanges of the full table)
+    from pyspark.sql.window import Window
+
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.md5("text").alias("th"))
-    canon = d.groupBy("th").agg(
-        F.min("doc_id").alias("canonical_id"),
-        F.count("*").alias("group_size"),
-    )
-    return (
-        d.join(canon, "th")
-        .select(
-            "doc_id", "canonical_id",
-            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
-            "group_size",
-        )
+    w = Window.partitionBy("th")
+    return d.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("group_size"),
+    ).select(
+        "doc_id", "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        "group_size",
     )
 
 
@@ -186,48 +189,46 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(_words(F.col("text")))).alias("token"),
     )
-    sigs = t.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("token")))).alias(f"mh{s}")
-        for s in range(MINHASH_SEEDS)
-    ])
-    band_rows = []
-    for band in range(MINHASH_SEEDS // BAND_ROWS):
-        key = F.concat(*[
-            F.col(f"mh{band * BAND_ROWS + r}") for r in range(BAND_ROWS)
-        ])
-        band_rows.append(sigs.select(
-            "doc_id", F.lit(band).alias("band_idx"), key.alias("band_key")))
-    bands = band_rows[0]
-    for br in band_rows[1:]:
-        bands = bands.unionAll(br)
-    a, b = bands.alias("a"), bands.alias("b")
-    cands = (
-        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-               & (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    # ONE aggregation produces signatures + set size + the token set —
+    # bands explode from it (no unionAll recompute), and verification
+    # is array_intersect on the carried sets (no re-join of the token
+    # table).  Plan: 1 agg shuffle + 1 band self-join + 1 distinct.
+    sigs = t.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("token"))))
+          .alias(f"mh{s}") for s in range(MINHASH_SEEDS)],
+        F.count("*").alias("n"),
+        F.collect_set("token").alias("toks"),
     )
-    sizes = t.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ta, tb = t.alias("ta"), t.alias("tb")
-    verified = (
-        cands
-        .join(ta, F.col("doc_a") == F.col("ta.doc_id"))
-        .join(tb, (F.col("doc_b") == F.col("tb.doc_id"))
-              & (F.col("tb.token") == F.col("ta.token")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    out = (
-        verified
-        .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a", "doc_b", "n_inter",
-            (F.col("sa.n") + F.col("sb.n") - F.col("n_inter")).alias("n_union"),
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band_idx"),
+            F.concat(*[F.col(f"mh{band * BAND_ROWS + r}")
+                       for r in range(BAND_ROWS)]).alias("band_key"),
         )
+        for band in range(MINHASH_SEEDS // BAND_ROWS)
+    ]
+    bands = sigs.select(
+        "doc_id", "n", "toks",
+        F.explode(F.array(*band_structs)).alias("b"),
+    ).select("doc_id", "n", "toks",
+             F.col("b.band_idx").alias("band_idx"),
+             F.col("b.band_key").alias("band_key"))
+    a = bands.select(*[F.col(c).alias(f"{c}_a") for c in
+                       ("doc_id", "n", "toks")], "band_idx", "band_key")
+    b = bands.select(*[F.col(c).alias(f"{c}_b") for c in
+                       ("doc_id", "n", "toks")], "band_idx", "band_key")
+    pairs = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "n_a", "n_b", "toks_a", "toks_b")
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    out = pairs.select(
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        F.size(F.array_intersect("toks_a", "toks_b")).alias("n_inter"),
+        (F.col("n_a") + F.col("n_b")
+         - F.size(F.array_intersect("toks_a", "toks_b"))).alias("n_union"),
     )
     return out.filter(
         F.col("n_inter").cast("double") / F.col("n_union") >= JACCARD_DUP)

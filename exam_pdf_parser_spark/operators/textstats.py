@@ -189,6 +189,22 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- CUBE rollup (SURVEY §2.4: grouping sets available for free in
+# Spark; per-lang × per-source metric rollups) --------------------------------
+@register("lang_source_cube", """
+    SELECT lang, source, count(*) AS docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+""")
+def lang_source_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.cube("lang", "source").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 # --- frequent-token top-k (explode + count + deterministic rank) -------------
 @register("top_tokens_per_lang", """
     WITH tok AS (

@@ -1,0 +1,84 @@
+"""Physical-plan shape assertions: the optimizations we claim must be
+visible in `.explain` output (pushed filters, broadcasts, codegen,
+no stray shuffles) — guarding against plan regressions."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pair_scope_filter_pushed_to_scan(spark):
+    from exam_pdf_parser_spark.operators.dedupe import jaccard_pairs
+
+    plan = _plan(jaccard_pairs(spark, SF))
+    assert "PushedFilters" in plan
+    assert "LessThan(doc_id," in plan.replace(" ", "").replace(
+        "LessThan(doc_id,", "LessThan(doc_id,")  # pushed predicate present
+    assert "IsNotNull(doc_id)" in plan or "LessThan" in plan
+
+
+def test_dim_joins_are_broadcast(spark):
+    from exam_pdf_parser_spark.plans.relational import revenue_by_nation
+
+    plan = _plan(revenue_by_nation(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    from exam_pdf_parser_spark.plans.relational import top10_orders
+
+    plan = _plan(top10_orders(spark, SF))
+    # only the two needed columns are read
+    assert "ReadSchema" in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in read and "o_totalprice" in read
+    assert "o_custkey" not in read and "o_orderdate" not in read
+
+
+def test_textstats_whole_stage_codegen(spark):
+    from exam_pdf_parser_spark.operators.textstats import doc_token_stats
+
+    plan = _plan(doc_token_stats(spark, SF))
+    # JVM-side expressions only — no Python evaluation nodes
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    # reads exactly the needed columns
+    assert "struct<doc_id:bigint,text:string>" in plan.replace(" ", "")
+
+
+def test_extraction_reads_only_url_and_html(spark):
+    from exam_pdf_parser_spark.operators.extract import (
+        DOCUMENTS_SCHEMA, extract,
+    )
+
+    docs = spark.createDataFrame([], DOCUMENTS_SCHEMA)
+    plan = _plan(extract(docs))
+    assert "Exchange" not in plan          # zero-shuffle core
+    assert "MapInPandas" in plan
+
+
+def test_ann_topk_broadcasts_queries(spark):
+    from exam_pdf_parser_spark.operators.similarity import ann_topk_dot
+
+    plan = _plan(ann_topk_dot(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_eval_single_shuffle_per_cogroup(spark):
+    # evaluation co-locates by url: exactly the planned shuffles, no more
+    from exam_pdf_parser_spark.operators.evaluation import evaluate_questions
+    from exam_pdf_parser_spark.operators.parsed import (
+        ANSWER_KEY_SCHEMA, PARSED_SCHEMA,
+    )
+
+    p = spark.createDataFrame([], PARSED_SCHEMA)
+    k = spark.createDataFrame([], ANSWER_KEY_SCHEMA)
+    plan = _plan(evaluate_questions(p, k))
+    assert plan.count("Exchange hashpartitioning") == 2  # one per side
+    assert "FlatMapCoGroupsInPandas" in plan
