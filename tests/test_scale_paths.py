@@ -1,0 +1,111 @@
+"""Scale-path mechanics: bucketed co-located joins, binaryFile
+ingestion, salted repartitioning under host skew, streaming
+extraction — each asserting the property that matters at 100 TB,
+not just that code runs."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from exam_pdf_parser_spark.operators.extract import (
+    corpus_df, extract, salted_repartition, spans_table,
+)
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Iceberg-style bucketing stand-in: two tables bucketed by url
+    join WITHOUT a shuffle (SortMergeJoin over pre-bucketed scans)."""
+    docs = corpus_df(spark, 40, partitions=4)
+    ext = extract(docs)
+    try:
+        (docs.select("url", "lang").write.mode("overwrite")
+         .bucketBy(8, "url").sortBy("url").saveAsTable("docs_b"))
+        (spans_table(ext).write.mode("overwrite")
+         .bucketBy(8, "url").sortBy("url").saveAsTable("spans_b"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("spans_b").join(spark.table("docs_b"), "url")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS docs_b")
+        spark.sql("DROP TABLE IF EXISTS spans_b")
+
+
+def test_binaryfile_ingestion_path(spark, tmp_path):
+    """S5: raw-file ingestion via the binaryFile source with a glob
+    filter — the WARC-dump-on-disk entry point."""
+    from exam_pdf_parser_spark.corpus.generator import generate_rows
+
+    rows = generate_rows(6)
+    d = str(tmp_path / "raw")
+    os.makedirs(d)
+    for i, r in enumerate(rows):
+        with open(f"{d}/doc{i:04d}.xlay", "wb") as f:
+            f.write(r["html"])
+        with open(f"{d}/ignore{i}.txt", "w") as f:
+            f.write("junk")
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.xlay")
+        .load(d)
+        .select(F.col("path").alias("url"), F.col("content").alias("html"))
+    )
+    assert raw.count() == 6
+    out = extract(raw)
+    assert out.filter("status = 'ok'").count() == 6
+    # same spans as the table path, modulo url naming
+    n_spans = spans_table(out).count()
+    from exam_pdf_parser_spark.core.oracle import oracle_spans_and_text
+
+    gold_spans, _ = oracle_spans_and_text(rows)
+    assert n_spans == len(gold_spans)
+
+
+def test_salted_repartition_breaks_host_skew(spark):
+    """Host-level skew (20% of urls on host000): salted repartitioning
+    must spread the hot host across many partitions."""
+    docs = corpus_df(spark, 400, partitions=4)
+    hot = docs.filter(F.col("url").contains("host000"))
+    n_hot = hot.count()
+    assert n_hot > 30  # generator plants ~20% on host000
+
+    salted = salted_repartition(docs, 16, salt_mod=8)
+    dist = (
+        salted.filter(F.col("url").contains("host000"))
+        .select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid").count().collect()
+    )
+    parts_with_hot = len(dist)
+    max_share = max(r["count"] for r in dist) / n_hot
+    assert parts_with_hot >= 6          # spread over many partitions
+    assert max_share < 0.5              # no partition owns the host
+
+
+def test_streaming_extraction(spark, tmp_path):
+    """The extraction core runs unchanged on a file stream (stateless
+    mapInPandas is streaming-compatible) — ingest-as-it-lands mode."""
+    src = str(tmp_path / "stream_src")
+    corpus_df(spark, 12, partitions=3).write.mode("overwrite").parquet(src)
+
+    from exam_pdf_parser_spark.operators.extract import DOCUMENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = extract(stream).select("url", "status", F.size("spans").alias("n"))
+    q = (
+        out.writeStream.format("memory").queryName("stream_extract")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from stream_extract").collect()
+    assert len(rows) == 12
+    assert all(r["status"] == "ok" and r["n"] > 0 for r in rows)
+    q.stop()
