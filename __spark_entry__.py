@@ -73,10 +73,10 @@ def _x_extract_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from exam_pdf_parser_spark.operators import dedupe, similarity, textstats
-    from exam_pdf_parser_spark.plans import relational
+    from exam_pdf_parser_spark.plans import relational, temporal
 
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, textstats, dedupe, similarity):
+    for mod in (relational, temporal, textstats, dedupe, similarity):
         q.update(mod.QUERIES)
     # extraction family: rows-only (oracle is the pytest golden suite)
     q["x_extract_spans"] = _x_extract_spans
@@ -171,9 +171,9 @@ def _x_eval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def oracle_sql() -> dict[str, str]:
     from exam_pdf_parser_spark.operators import dedupe, similarity, textstats
-    from exam_pdf_parser_spark.plans import relational
+    from exam_pdf_parser_spark.plans import relational, temporal
 
     o: dict[str, str] = {}
-    for mod in (relational, textstats, dedupe, similarity):
+    for mod in (relational, temporal, textstats, dedupe, similarity):
         o.update(mod.ORACLE)
     return o
