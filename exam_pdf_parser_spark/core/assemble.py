@@ -59,10 +59,20 @@ def assemble_text(pages: list[dict]) -> str:
     for page in pages:
         texts = [
             t for b in page_reading_order(page)
-            if (t := block_text(b.get("lines", [])))
+            if (t := (b["_txt"] if "_txt" in b
+                      else block_text(b.get("lines", []))))
         ]
         page_texts.append("\n".join(texts))
     return page_framed_text(page_texts)
+
+
+def annotate_block_texts(pages: list[dict]) -> None:
+    """Compute each block's joined text once and cache it on the block
+    (``_txt``) — both the reading-order assembly and the detector scan
+    consume it, halving the span-join work per document."""
+    for page in pages:
+        for b in page.get("blocks", []):
+            b["_txt"] = block_text(b.get("lines", []))
 
 
 def extract_document(
@@ -75,4 +85,5 @@ def extract_document(
     stage and once per row by the single-node oracle.
     """
     pages = decode_payload(html).get("pages", [])
+    annotate_block_texts(pages)
     return assemble_text(pages), detect_regions(pages, min_q, max_q)

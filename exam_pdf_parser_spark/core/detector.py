@@ -137,7 +137,7 @@ def scan_column(
         if bbox is None:
             continue
         btype = b.get("type", "text")
-        text = block_text(b.get("lines", []))
+        text = b["_txt"] if "_txt" in b else block_text(b.get("lines", []))
         if not text.strip():
             if cur_num is not None:
                 cur_boxes.append(bbox)

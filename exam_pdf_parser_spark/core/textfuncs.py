@@ -78,6 +78,9 @@ def block_text(lines: list) -> str:
     return " ".join(parts).strip()
 
 
+_SECTION_OPEN_RE = re.compile(r"^\[\s*\d")
+
+
 def is_section_header(text: str) -> bool:
     """True for short range-bracket headers like ``[31~34] 다음...``.
 
@@ -87,7 +90,7 @@ def is_section_header(text: str) -> bool:
     are NOT headers.
     """
     text = text.strip()
-    if re.match(r"^\[\s*\d", text) and ("\\sim" in text or "~" in text or "∼" in text):
+    if _SECTION_OPEN_RE.match(text) and ("\\sim" in text or "~" in text or "∼" in text):
         bracket_end = text.find("]")
         if bracket_end != -1:
             after = text[bracket_end + 1:].strip()

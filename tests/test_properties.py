@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis) for the deterministic core —
+randomized layouts and strings must uphold the detector/parser
+invariants regardless of input shape.  (The reference has no
+property tests at all — SURVEY.md §5.6.)
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from exam_pdf_parser_spark.core.detector import detect_regions, split_columns
+from exam_pdf_parser_spark.core.fields import (
+    parse_choices, parse_question_fields, split_vocabulary,
+)
+from exam_pdf_parser_spark.core.textfuncs import (
+    detect_question_start, is_section_header, normalize_text, similarity,
+)
+
+# --- strategies --------------------------------------------------------------
+
+text_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=120)
+
+
+def block_st():
+    return st.builds(
+        lambda x0, y0, w, h, words: {
+            "type": "text",
+            "bbox": [x0, y0, x0 + w, y0 + h],
+            "lines": [{"spans": [{"content": " ".join(words)}]}],
+        },
+        st.floats(0, 800, allow_nan=False),
+        st.floats(0, 1100, allow_nan=False),
+        st.floats(1, 400, allow_nan=False),
+        st.floats(1, 100, allow_nan=False),
+        st.lists(st.sampled_from(
+            ["1.", "18.", "[41~42]", "다음", "글을", "word", "①", "x"]),
+            max_size=6),
+    )
+
+
+def page_st(idx: int):
+    return st.builds(
+        lambda blocks: {"page_idx": idx, "page_size": [842.0, 1191.0],
+                        "blocks": blocks},
+        st.lists(block_st(), max_size=12),
+    )
+
+
+# --- textfuncs ---------------------------------------------------------------
+
+@given(text_st)
+def test_normalize_idempotent(s):
+    once = normalize_text(s)
+    assert normalize_text(once) == once
+    assert "  " not in once and once == once.strip()
+
+
+@given(text_st, text_st)
+def test_similarity_bounds_and_symmetry_of_equal(a, b):
+    r = similarity(a, b)
+    assert 0.0 <= r <= 1.0
+    assert similarity(a, a) == 1.0 if a else similarity(a, a) == 1.0
+
+
+@given(text_st)
+def test_qstart_in_range_or_none(s):
+    num, grp = detect_question_start(s)
+    if num is not None:
+        assert 1 <= num <= 50
+    if grp is not None:
+        lo, hi = grp.split("~")
+        assert int(lo) == num
+
+
+@given(text_st)
+def test_section_header_never_crashes(s):
+    is_section_header(s)  # total function over arbitrary text
+
+
+# --- detector ----------------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(block_st(), max_size=20))
+def test_split_columns_partitions_blocks(blocks):
+    cols = split_columns(blocks, 842.0)
+    flat = [b for c in cols for b in c]
+    with_bbox = [b for b in blocks if "bbox" in b]
+    assert len(flat) == len(with_bbox)
+    for col in cols:
+        ys = [b["bbox"][1] for b in col]
+        assert ys == sorted(ys)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(page_st(0), min_size=1, max_size=1),
+       st.lists(block_st(), max_size=12))
+def test_detector_invariants(pages, extra):
+    pages.append({"page_idx": 1, "page_size": [842.0, 1191.0],
+                  "blocks": extra})
+    regions = detect_regions(pages)
+    # determinism
+    assert regions == detect_regions(pages)
+    nums = [r.question_number for r in regions]
+    assert nums == sorted(nums)
+    for r in regions:
+        assert 1 <= r.question_number <= 50
+        assert r.x0 <= r.x1 and r.y0 <= r.y1
+        assert len(r.text_preview) <= 80
+        assert r.page_idx in (0, 1)
+    # fields never crash on whatever the detector produced
+    rows = parse_question_fields(regions)
+    assert len(rows) == len(set(nums))
+    for row in rows:
+        assert row["points"] in (2, 3)
+        ch_nums = [c["number"] for c in row["choices"]]
+        assert ch_nums == sorted(set(ch_nums))
+
+
+# --- fields ------------------------------------------------------------------
+
+@given(text_st)
+def test_parse_choices_sorted_dedup(s):
+    ch = parse_choices(s)
+    nums = [c["number"] for c in ch]
+    assert nums == sorted(set(nums))
+    assert all(1 <= n <= 10 for n in nums)
+
+
+@given(text_st)
+def test_split_vocabulary_total(s):
+    body, notes = split_vocabulary(s)
+    assert isinstance(body, str)
+    for n in notes:
+        assert n["word"].isalpha()
