@@ -77,11 +77,16 @@ def run_extraction(
     pending = docs if not done else docs.filter(~F.col("bucket").isin(*done))
 
     t0 = time.perf_counter()
-    out = extract(pending, min_q, max_q).join(
-        pending.select("url", "bucket"), "url")
+    # bucket is a pure function of url — recompute it on the output
+    # instead of joining back to the input (saves a full shuffle), then
+    # co-locate each bucket in one task so partitionBy writes one file
+    # per bucket dir instead of (tasks × buckets) small files.
+    out = extract(pending, min_q, max_q).withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
 
     ext_path = os.path.join(out_dir, "extracted")
     (out.select("url", "extracted_text", "spans", "status", "error", "bucket")
+        .repartition(n_buckets, F.col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(ext_path))
     wall_ms = int((time.perf_counter() - t0) * 1000)
 
