@@ -63,6 +63,8 @@ def compare_runs(a: DataFrame, b: DataFrame) -> DataFrame:
 
 def missed_by_all(qevals_by_run: dict[str, DataFrame]) -> DataFrame:
     """A14: questions not found by ANY run (bool_and over found)."""
+    if not qevals_by_run:
+        raise ValueError("missed_by_all requires at least one run")
     tagged = None
     for name, df in qevals_by_run.items():
         t = df.select("url", "number", F.col("found").alias("f"))

@@ -97,7 +97,8 @@ def crop_regions(documents: DataFrame,
                         "png": _stub_png(url, r.question_number,
                                          r.page_idx, bbox),
                     })
-            yield pd.DataFrame(rows, columns=[f.name for f in
-                                              CROP_SCHEMA.fields])
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in
+                                                  CROP_SCHEMA.fields])
 
     return src.mapInPandas(run, CROP_SCHEMA)

@@ -102,10 +102,11 @@ def extract(documents: DataFrame, min_q: int = 1, max_q: int = 50) -> DataFrame:
                 ])
                 status.append("ok")
                 errors.append(None)
-            yield pd.DataFrame({
-                "url": urls, "extracted_text": texts, "spans": spans,
-                "status": status, "error": errors,
-            })
+            if urls:
+                yield pd.DataFrame({
+                    "url": urls, "extracted_text": texts, "spans": spans,
+                    "status": status, "error": errors,
+                })
 
     return docs.mapInPandas(run, EXTRACT_SCHEMA)
 
@@ -132,11 +133,12 @@ def extracted_table(extracted: DataFrame) -> DataFrame:
 
 
 def salted_repartition(df: DataFrame, num_partitions: int, salt_mod: int = 16) -> DataFrame:
-    """Break host-level url skew before a heavy per-row stage
-    (SURVEY.md §4 item 1): hash(url) + salt spreads one hot host over
-    ``salt_mod`` partitions.  Use ahead of ``extract`` when the source
-    table's layout is host-clustered."""
-    salt = F.pmod(F.xxhash64(F.col("url"), F.lit(7)), F.lit(salt_mod))
+    """Break key-level url skew before a heavy per-row stage
+    (SURVEY.md §4 item 1): a per-ROW salt spreads even identical urls
+    (re-crawls, duplicate WARC records) over ``salt_mod`` partitions —
+    a salt derived from the key itself could never do that.  Placement
+    is allowed to vary run-to-run; row content is untouched."""
+    salt = F.floor(F.rand(7) * salt_mod).cast("int")
     return df.repartition(num_partitions, F.pmod(F.hash("url"), F.lit(10**9)) + salt)
 
 

@@ -121,11 +121,12 @@ def strip_text_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
     is_nav = lambda x: (  # noqa: E731
         F.size(F.split(x, r"\|")) > NAV_SEP_MIN
     )
-    is_foot = lambda x: (  # noqa: E731
-        x.contains("©")
-        | F.lower(x).contains("all rights reserved")
-        | F.lower(x).contains("sitemap")
-    )
+
+    def is_foot(x):
+        cond = F.lit(False)
+        for marker in FOOT_MARKERS:
+            cond = cond | F.lower(x).contains(marker.lower())
+        return cond
     kept = F.filter(lines, lambda x: ~is_nav(x) & ~is_foot(x)
                     & (F.length(F.trim(x)) > 0))
     return df.withColumn("main_text", F.array_join(kept, "\n"))

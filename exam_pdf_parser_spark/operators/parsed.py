@@ -79,7 +79,10 @@ def parse_documents(documents: DataFrame,
                     out["url"].append(url)
                     for c in _PARSED_COLS:
                         out[c].append(row[c])
-            yield pd.DataFrame(out)
+            if out["url"]:
+                # empty frames infer float64 columns, which Arrow cannot
+                # convert to list<struct> — emit nothing instead
+                yield pd.DataFrame(out)
 
     return docs.mapInPandas(run, PARSED_SCHEMA)
 
@@ -121,6 +124,7 @@ def answer_key_table(corpus_with_md: DataFrame) -> DataFrame:
                     out["url"].append(url)
                     for c in cols[1:]:
                         out[c].append(e[c])
-            yield pd.DataFrame(out)
+            if out["url"]:
+                yield pd.DataFrame(out)
 
     return src.mapInPandas(run, ANSWER_KEY_SCHEMA)

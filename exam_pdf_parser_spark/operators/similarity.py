@@ -167,13 +167,11 @@ def cosine_topk_pandas(
             c /= np.linalg.norm(c, axis=1, keepdims=True) + 1e-12
             sims = c @ mat.T                       # (batch, n_q)
             n_ids = pdf["vec_id"].to_numpy()
-            qcol, ncol, scol = [], [], []
-            for qi in range(len(ids)):
-                qcol.extend([ids[qi]] * len(n_ids))
-                ncol.extend(n_ids)
-                scol.extend(sims[:, qi])
-            yield pd.DataFrame(
-                {"query_id": qcol, "neighbor_id": ncol, "cosine": scol})
+            yield pd.DataFrame({
+                "query_id": np.repeat(ids, len(n_ids)),
+                "neighbor_id": np.tile(n_ids, len(ids)),
+                "cosine": sims.T.ravel(),
+            })
 
     scored = embeddings.select("vec_id", "embedding").mapInPandas(
         run, out_schema).filter(F.col("query_id") != F.col("neighbor_id"))
@@ -185,64 +183,76 @@ def cosine_topk_pandas(
 
 def lsh_bucketed_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 10,
-    n_planes: int = 12, seed: int = 7,
+    n_planes: int = 10, n_tables: int = 4, seed: int = 7,
 ) -> DataFrame:
-    """Scale path: random-hyperplane LSH buckets prune the corpus
-    before exact scoring.  Each vector hashes to a sign-pattern bucket;
-    only corpus vectors sharing a query's bucket (or at Hamming
-    distance ≤1, via single-bit flips) are scored exactly.  Recall is
-    tunable with n_planes; at 10^12 rows this replaces the cross join
-    with a bucket-key equi-join."""
+    """Scale path: multi-table random-hyperplane LSH prunes the corpus
+    before exact cosine scoring.  Each of ``n_tables`` independent
+    sign-pattern hashes buckets every vector; a corpus vector is a
+    candidate if it shares a query's bucket (or a 1-bit-flip probe of
+    it) in ANY table.  Recall rises with tables, cost with
+    tables × probes; at 10^12 rows this replaces the cross join with
+    bucket-key equi-joins."""
     dim = len(embeddings.select("embedding").first()["embedding"])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = rng.standard_normal((n_tables, n_planes, dim))
     sc = embeddings.sparkSession.sparkContext
     bp = sc.broadcast(planes)
 
     from pyspark.sql.types import (
-        ArrayType, FloatType, LongType, StructField, StructType,
+        ArrayType, FloatType, IntegerType, LongType, StructField, StructType,
     )
     sig_schema = StructType([
         StructField("vec_id", LongType()),
         StructField("embedding", ArrayType(FloatType())),
+        StructField("table", IntegerType()),
         StructField("bucket", LongType()),
     ])
 
     def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pl = bp.value
+        pls = bp.value
         for pdf in batches:
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            bits = (m @ pl.T) > 0
-            buckets = bits @ (1 << np.arange(pl.shape[0], dtype=np.int64))
-            yield pd.DataFrame({
-                "vec_id": pdf["vec_id"], "embedding": pdf["embedding"],
-                "bucket": buckets,
-            })
+            frames = []
+            for t in range(pls.shape[0]):
+                bits = (m @ pls[t].T) > 0
+                buckets = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+                frames.append(pd.DataFrame({
+                    "vec_id": pdf["vec_id"], "embedding": pdf["embedding"],
+                    "table": t, "bucket": buckets,
+                }))
+            yield pd.concat(frames, ignore_index=True)
 
     corpus_sig = embeddings.select("vec_id", "embedding").mapInPandas(
         sig, sig_schema)
     query_sig = queries.select("vec_id", "embedding").mapInPandas(
         sig, sig_schema)
-    # probe buckets: the query's own bucket + all 1-bit flips
+    # probe buckets per table: the query's own bucket + all 1-bit flips
     probes = query_sig.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        "table",
         F.explode(F.array(
             F.col("bucket"),
             *[F.expr(f"bucket ^ {1 << i}") for i in range(n_planes)],
         )).alias("bucket"),
     )
-    joined = probes.join(corpus_sig, "bucket")  # equi-join; AQE handles skew
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("q_emb").cast("array<double>"),
-            F.col("embedding").cast("array<double>"),
-            lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x)
+    joined = probes.join(corpus_sig, ["table", "bucket"])  # AQE handles skew
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a.cast("array<double>"), b.cast("array<double>"),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    # rank by COSINE (same metric as the brute-force tier) — raw dot
+    # products would mis-rank non-normalized embeddings
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) + F.lit(1e-12))
     scored = (
         joined.filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                dot.alias("score"))
+                cos.alias("score"))
         .groupBy("query_id", "neighbor_id").agg(F.max("score").alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -279,8 +279,13 @@ def validate(
 
 def validity_rollup(issues: DataFrame, parsed: DataFrame) -> DataFrame:
     """Per-url error/warning counts + is_valid
-    (src/validator.py:115-123)."""
-    urls = parsed.select("url").distinct()
+    (src/validator.py:115-123).
+
+    The url universe is parsed ∪ issues — a document that produced zero
+    parsed rows (V2 / corrupt payload) must still appear, as invalid."""
+    urls = (
+        parsed.select("url").unionAll(issues.select("url")).distinct()
+    )
     counts = issues.groupBy("url").agg(
         F.sum(F.when(F.col("level") == "error", 1).otherwise(0))
         .alias("errors"),

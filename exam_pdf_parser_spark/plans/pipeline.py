@@ -15,12 +15,15 @@ from ..operators.htmlstrip import strip_html_documents
 from ..operators.parsed import answer_key_table, exam_info_table, parse_documents
 from ..operators.validation import validate, validity_rollup
 
-# extractor plugins: name → (documents → (url, extracted-ish rows)).
-# Register new engines here exactly like the reference registers OCR
-# engines (src/ocr/__init__.py:19-24).
+# extractor plugins: name → (documents → (url, extracted_text)).
+# Uniform output contract so engines are interchangeable; register new
+# engines exactly like the reference registers OCR engines
+# (src/ocr/__init__.py:19-24).  'layout' consumes XLAY1 payloads,
+# 'htmlstrip' consumes real HTML bytes — pick per source corpus.
 EXTRACTORS: dict[str, Callable[[DataFrame], DataFrame]] = {
     "layout": lambda docs: extracted_table(extract(docs)),
-    "htmlstrip": strip_html_documents,
+    "htmlstrip": lambda docs: strip_html_documents(docs).withColumnRenamed(
+        "main_content", "extracted_text"),
 }
 
 

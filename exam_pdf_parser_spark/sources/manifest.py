@@ -91,37 +91,40 @@ def run_extraction(
     wall_ms = int((time.perf_counter() - t0) * 1000)
 
     # per-bucket metrics from what was just written (read-back keeps the
-    # numbers honest — they describe the durable output, not the plan)
+    # numbers honest — they describe the durable output, not the plan).
+    # Pending buckets are the id-space complement of the manifest — no
+    # extra pass over the source.  Buckets that turned out empty still
+    # get a zero-row manifest entry so resume never revisits them.
+    # wall_ms is the RUN wall stamped on each of its bucket rows (group
+    # by run_id for timing; the column is run-level, not per-bucket).
     written = spark.read.parquet(ext_path)
-    pending_buckets = {r["bucket"] for r in
-                       pending.select("bucket").distinct().collect()}
-    stats = (
-        written.filter(F.col("bucket").isin(*pending_buckets)
-                       if pending_buckets else F.lit(False))
+    pending_buckets = sorted(set(range(n_buckets)) - done)
+    stats = {
+        r["bucket"]: r
+        for r in written.filter(F.col("bucket").isin(pending_buckets))
         .groupBy("bucket")
         .agg(
             F.count("*").alias("docs_in"),
             F.sum(F.size("spans")).alias("rows_out"),
             F.sum(F.when(F.col("status") == "error", 1).otherwise(0))
             .alias("errors"),
-        )
-    )
-    manifest_rows = stats.select(
-        F.lit(run_id).alias("run_id"),
-        "bucket",
-        F.lit("done").alias("status"),
-        F.col("rows_out").cast("long"),
-        F.col("docs_in").cast("long"),
-        F.col("errors").cast("long"),
-        F.lit(wall_ms).alias("wall_ms"),
-    )
-    manifest_rows.write.mode("append").parquet(
-        os.path.join(out_dir, "manifest"))
+        ).collect()
+    } if pending_buckets else {}
+    manifest_rows = [
+        (run_id, b, "done",
+         int(stats[b]["rows_out"]) if b in stats else 0,
+         int(stats[b]["docs_in"]) if b in stats else 0,
+         int(stats[b]["errors"]) if b in stats else 0,
+         wall_ms)
+        for b in pending_buckets
+    ]
+    if manifest_rows:
+        spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA).write.mode(
+            "append").parquet(os.path.join(out_dir, "manifest"))
 
-    n_done = len(pending_buckets)
     return {
         "run_id": run_id,
-        "buckets_processed": n_done,
+        "buckets_processed": len(pending_buckets),
         "buckets_skipped": len(done),
         "wall_ms": wall_ms,
     }

@@ -117,3 +117,8 @@ def test_extractor_registry(spark, docs):
     assert layout.count() == N_DOCS
     with pytest.raises(KeyError):
         get_extractor("nope")
+
+
+def test_missed_by_all_empty_dict_raises():
+    with pytest.raises(ValueError):
+        missed_by_all({})

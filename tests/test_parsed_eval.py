@@ -169,3 +169,19 @@ def test_validation_catches_planted_defects(spark):
                  "V12", "V13", "V16", "V17", "V18", "V19", "V20", "V21",
                  "V22"]:
         assert rule in got, rule
+
+
+def test_validity_rollup_includes_zero_parsed_urls(spark):
+    # a url that produced no parsed rows (V2) must appear as invalid
+    from exam_pdf_parser_spark.operators.parsed import PARSED_SCHEMA
+
+    parsed = spark.createDataFrame(
+        [("u_ok", 1, "q", "듣기", None,
+          [{"number": 1, "text": "a"}], 2, None, False, 1,
+          [], False, False, None, [])],
+        PARSED_SCHEMA)
+    docs = spark.createDataFrame([("u_ok",), ("u_empty",)], "url string")
+    issues = validate(parsed, documents=docs)
+    rollup = {r["url"]: r for r in validity_rollup(issues, parsed).collect()}
+    assert set(rollup) == {"u_ok", "u_empty"}
+    assert not rollup["u_empty"]["is_valid"]

@@ -109,3 +109,18 @@ def test_streaming_extraction(spark, tmp_path):
     assert len(rows) == 12
     assert all(r["status"] == "ok" and r["n"] > 0 for r in rows)
     q.stop()
+
+
+def test_salted_repartition_spreads_identical_urls(spark):
+    # duplicate urls (re-crawls) are THE skew case a key-derived salt
+    # can never fix — the per-row salt must spread them
+    one = spark.createDataFrame(
+        [("https://hot.example/dup", i) for i in range(400)],
+        "url string, i int")
+    salted = salted_repartition(one, 16, salt_mod=8)
+    dist = (
+        salted.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid").count().collect()
+    )
+    assert len(dist) >= 6
+    assert max(r["count"] for r in dist) / 400 < 0.5

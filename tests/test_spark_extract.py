@@ -92,3 +92,21 @@ def test_corrupt_payload_quarantined_not_fatal(spark, documents):
     assert len(q) == 1 and q[0]["url"] == "https://x.example/bad"
     assert "payload" in q[0]["error"] or "Error" in q[0]["error"]
     assert extracted_table(out).count() == N_DOCS
+
+
+def test_all_corrupt_partition_survives(spark):
+    # a partition where EVERY payload is garbage must not break Arrow
+    # conversion (empty pandas frames infer float64 for list<struct>)
+    import datetime
+
+    from exam_pdf_parser_spark.operators.parsed import parse_documents
+
+    bad = spark.createDataFrame(
+        [(f"https://x.example/bad{i}", datetime.datetime(2025, 1, 1),
+          b"\x00junk", "t", "ko") for i in range(5)],
+        DOCUMENTS_SCHEMA,
+    ).repartition(3)
+    out = extract(bad)
+    assert out.count() == 5
+    assert out.filter("status = 'error'").count() == 5
+    assert parse_documents(bad).count() == 0
