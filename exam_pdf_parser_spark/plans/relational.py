@@ -352,6 +352,74 @@ def doc_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact median via positional selection (rank-based statistics are
+# cross-engine-exact where interpolation-based percentile() is not) ----------
+@register("event_value_median", """
+    WITH r AS (
+      SELECT event_type, CAST(round(value*100) AS BIGINT) AS v_c,
+             row_number() OVER (PARTITION BY event_type
+                 ORDER BY CAST(round(value*100) AS BIGINT), event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN rn IN ((n+1)//2, (n+2)//2) THEN v_c END)
+                / count(CASE WHEN rn IN ((n+1)//2, (n+2)//2) THEN 1 END)
+                AS DOUBLE) AS median_c
+    FROM r GROUP BY event_type
+""")
+def event_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", _cents(F.col("value")).alias("v_c"))
+    wo = Window.partitionBy("event_type").orderBy("v_c", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type", "v_c",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    mid = F.col("rn").isin(
+        F.floor((F.col("n") + 1) / 2), F.floor((F.col("n") + 2) / 2))
+    picked = F.when(mid, F.col("v_c"))
+    return r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        (F.sum(picked) / F.count(picked)).cast("double").alias("median_c"),
+    )
+
+
+# --- TPC-H Q3-style shipping priority (filter + 2 joins + agg + top-k) ------
+@register("shipping_priority", """
+    SELECT l.l_orderkey AS o_orderkey,
+           CAST(sum(CAST(round(l.l_extendedprice*(1-l.l_discount)*100)
+                AS BIGINT)) AS BIGINT) AS revenue_c,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND l.l_shipdate > o.o_orderdate
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_c DESC, o_orderkey
+    LIMIT 20
+""")
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"),
+                 "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             .alias("revenue_c"))
+        .select("o_orderkey", "revenue_c", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue_c"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
 # --- global deterministic top-k (P8 limit + W9) -----------------------------
 @register("top10_orders", """
     SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_c
