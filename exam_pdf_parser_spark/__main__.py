@@ -1,0 +1,142 @@
+"""CLI — the reference's user surface re-expressed over the engine.
+
+    python -m exam_pdf_parser_spark extract   IN.parquet OUT_DIR
+    python -m exam_pdf_parser_spark parse     IN.parquet OUT_DIR
+    python -m exam_pdf_parser_spark validate  IN.parquet OUT_DIR
+    python -m exam_pdf_parser_spark evaluate  IN.parquet OUT_DIR
+    python -m exam_pdf_parser_spark crop      IN.parquet OUT_DIR
+    python -m exam_pdf_parser_spark run       IN.parquet OUT_DIR   (manifest+resume)
+    python -m exam_pdf_parser_spark gen-corpus N OUT.parquet       (synthetic input)
+
+IN.parquet must carry the input_hint schema (url, warc_ts, html, text,
+lang); ``evaluate``/``validate`` additionally use an ``answer_md``
+column when present.  Reference analogues: src/cli.py (single parse),
+scripts/batch_parser.py (batch), --validate (src/cli.py:263-283),
+src/evaluator.py, crop_and_explain (src/cropper/__init__.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="exam_pdf_parser_spark")
+    ap.add_argument("command", choices=[
+        "extract", "parse", "validate", "evaluate", "crop", "run",
+        "gen-corpus"])
+    ap.add_argument("input", help="input parquet (or N for gen-corpus)")
+    ap.add_argument("output", help="output directory / parquet path")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--run-id", default="cli")
+    args = ap.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(f"cli-{args.command}", master=args.master)
+    try:
+        return _dispatch(spark, args)
+    finally:
+        spark.stop()
+
+
+def _dispatch(spark, args) -> int:
+    from pyspark.sql import functions as F
+
+    if args.command == "gen-corpus":
+        from .operators.extract import corpus_df
+
+        n = int(args.input)
+        corpus_df(spark, n, with_answer_key=True).write.mode(
+            "overwrite").parquet(args.output)
+        print(json.dumps({"command": "gen-corpus", "docs": n,
+                          "path": args.output}))
+        return 0
+
+    docs = spark.read.parquet(args.input)
+
+    if args.command == "extract":
+        from .operators.extract import (
+            extract, extracted_table, quarantine_table, spans_table,
+        )
+
+        ext = extract(docs).persist()
+        spans_table(ext).write.mode("overwrite").parquet(
+            f"{args.output}/spans")
+        extracted_table(ext).write.mode("overwrite").parquet(
+            f"{args.output}/extracted")
+        quarantine_table(ext).write.mode("overwrite").parquet(
+            f"{args.output}/quarantine")
+        stats = ext.groupBy("status").count().collect()
+        print(json.dumps({"command": "extract",
+                          "status": {r["status"]: r["count"] for r in stats}}))
+        return 0
+
+    if args.command == "parse":
+        from .operators.parsed import parse_documents
+
+        parsed = parse_documents(docs)
+        parsed.write.mode("overwrite").parquet(f"{args.output}/parsed")
+        print(json.dumps({"command": "parse",
+                          "questions": parsed.count()}))
+        return 0
+
+    if args.command == "validate":
+        from .operators.parsed import answer_key_table, parse_documents
+        from .operators.validation import validate, validity_rollup
+
+        key = answer_key_table(docs) if "answer_md" in docs.columns else None
+        parsed = parse_documents(docs).persist()
+        issues = validate(parsed, key, documents=docs).persist()
+        issues.write.mode("overwrite").parquet(f"{args.output}/issues")
+        rollup = validity_rollup(issues, parsed)
+        rollup.write.mode("overwrite").parquet(f"{args.output}/validity")
+        n_invalid = rollup.filter("NOT is_valid").count()
+        print(json.dumps({"command": "validate",
+                          "issues": issues.count(),
+                          "invalid_docs": n_invalid}))
+        return 1 if n_invalid else 0  # exit-code contract like validate.py:807
+
+    if args.command == "evaluate":
+        from .operators.evaluation import evaluate_questions, score_urls
+        from .operators.parsed import answer_key_table, parse_documents
+        from .sources.report import markdown_summary
+
+        if "answer_md" not in docs.columns:
+            print("evaluate requires an answer_md column", file=sys.stderr)
+            return 2
+        qe = evaluate_questions(parse_documents(docs), answer_key_table(docs))
+        scores = score_urls(qe).persist()
+        scores.write.mode("overwrite").parquet(f"{args.output}/scores")
+        rows = [r.asDict() for r in scores.collect()]
+        with open(f"{args.output}/report.md", "w") as f:
+            f.write(markdown_summary("evaluation", rows))
+        mean = sum(r["overall_score"] for r in rows) / max(1, len(rows))
+        print(json.dumps({"command": "evaluate", "docs": len(rows),
+                          "mean_overall": round(mean, 4)}))
+        return 0
+
+    if args.command == "crop":
+        from .operators.crop import crop_regions
+
+        crops = crop_regions(docs)
+        crops.write.mode("overwrite").parquet(f"{args.output}/crops")
+        print(json.dumps({"command": "crop", "crops": crops.count()}))
+        return 0
+
+    if args.command == "run":
+        from .sources.manifest import run_extraction
+
+        stats = run_extraction(spark, docs, args.output, args.run_id,
+                               n_buckets=args.buckets)
+        print(json.dumps({"command": "run", **stats}))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

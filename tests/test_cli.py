@@ -1,0 +1,54 @@
+"""CLI surface test (the reference's user-facing entry points:
+src/cli.py, scripts/batch_parser.py, scripts/validate.py re-expressed).
+Runs in-process against the shared session via main(argv)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from exam_pdf_parser_spark.__main__ import _dispatch
+
+
+class _Args:
+    def __init__(self, **kw):
+        self.master = None
+        self.buckets = 8
+        self.run_id = "t"
+        self.__dict__.update(kw)
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    from exam_pdf_parser_spark.operators.extract import corpus_df
+
+    p = str(tmp_path_factory.mktemp("cli") / "corpus.parquet")
+    corpus_df(spark, 12, partitions=2, with_answer_key=True).write.parquet(p)
+    return p
+
+
+def test_cli_extract(spark, corpus_path, tmp_path, capsys):
+    rc = _dispatch(spark, _Args(command="extract", input=corpus_path,
+                                output=str(tmp_path / "x")))
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"]["ok"] == 12
+    assert spark.read.parquet(str(tmp_path / "x" / "spans")).count() > 200
+
+
+def test_cli_validate_exit_codes(spark, corpus_path, tmp_path, capsys):
+    rc = _dispatch(spark, _Args(command="validate", input=corpus_path,
+                                output=str(tmp_path / "v")))
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # exit 1 iff invalid docs exist (validate.py:807 contract)
+    assert rc == (1 if out["invalid_docs"] else 0)
+
+
+def test_cli_evaluate(spark, corpus_path, tmp_path, capsys):
+    rc = _dispatch(spark, _Args(command="evaluate", input=corpus_path,
+                                output=str(tmp_path / "e")))
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.8 <= out["mean_overall"] <= 1.0
+    assert (tmp_path / "e" / "report.md").exists()
