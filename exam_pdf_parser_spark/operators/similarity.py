@@ -134,6 +134,95 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(cos >= 0.55).select("vec_a", "vec_b", "dot_q")
 
 
+# --- IVF (inverted-file) ANN: coarse k-means quantizer + probed clusters -----
+def ivf_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 10,
+    n_clusters: int = 16, n_probe: int = 4, sample: int = 2048,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF index: a coarse quantizer (k-means on a deterministic,
+    driver-side sample — index building is a small offline step even at
+    10^12 rows) partitions the corpus into clusters; a query scores
+    only its ``n_probe`` nearest clusters.  The cluster-id equi-join
+    replaces the cross join, like the LSH variant but with
+    data-adaptive cells."""
+    rows = (embeddings.select("vec_id", "embedding")
+            .orderBy("vec_id").limit(sample).collect())
+    train = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    train /= np.linalg.norm(train, axis=1, keepdims=True) + 1e-12
+
+    rng = np.random.default_rng(seed)
+    centroids = train[rng.choice(len(train), n_clusters, replace=False)]
+    for _ in range(10):  # lite Lloyd iterations, deterministic
+        assign = np.argmax(train @ centroids.T, axis=1)
+        for c in range(n_clusters):
+            members = train[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids /= np.linalg.norm(centroids, axis=1, keepdims=True) + 1e-12
+
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast(centroids)
+
+    from pyspark.sql.types import (
+        ArrayType, FloatType, IntegerType, LongType, StructField, StructType,
+    )
+
+    def assign_schema(col: str) -> StructType:
+        return StructType([
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField(col, IntegerType()),
+        ])
+
+    def assigner(n_nearest: int, col: str):
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cents = bc.value
+            for pdf in batches:
+                m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                m_n = m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12)
+                sims = m_n @ cents.T
+                top = np.argsort(-sims, axis=1)[:, :n_nearest]
+                frames = []
+                for j in range(n_nearest):
+                    frames.append(pd.DataFrame({
+                        "vec_id": pdf["vec_id"],
+                        "embedding": pdf["embedding"],
+                        col: top[:, j].astype("int32"),
+                    }))
+                yield pd.concat(frames, ignore_index=True)
+        return run
+
+    corpus = embeddings.select("vec_id", "embedding").mapInPandas(
+        assigner(1, "cluster"), assign_schema("cluster"))
+    probes = queries.select("vec_id", "embedding").mapInPandas(
+        assigner(n_probe, "cluster"), assign_schema("cluster")).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"), "cluster")
+
+    joined = probes.join(corpus, "cluster")
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a.cast("array<double>"), b.cast("array<double>"),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) + F.lit(1e-12))
+    scored = (
+        joined.filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cos.alias("score"))
+        .groupBy("query_id", "neighbor_id").agg(F.max("score").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k)
+
+
 # --- fast tier: Arrow/numpy brute-force cosine top-k --------------------------
 def cosine_topk_pandas(
     embeddings: DataFrame, queries: DataFrame, k: int = 10

@@ -32,3 +32,26 @@ def test_lsh_recall_against_brute_force(spark):
     ]
     assert sum(recalls) / len(recalls) >= 0.4, recalls
     emb.unpersist()
+
+
+def test_ivf_recall_against_brute_force(spark):
+    from exam_pdf_parser_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, SF, "embeddings").persist()
+    queries = emb.filter("vec_id < 10")
+    exact = cosine_topk_pandas(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=3).collect()
+
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # probing 3/8 clusters examines ~38% of the corpus; recall must be
+    # well above that random-baseline share for a working index
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    emb.unpersist()
