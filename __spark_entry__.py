@@ -20,26 +20,44 @@ def _corpus_from_docids(
 ) -> DataFrame:
     """Deterministic synthetic corpus keyed by the testdata doc_ids:
     the same shape as BASELINE.json's input_hint table, derived from
-    the driver's own parquet so scale follows sf."""
+    the driver's own parquet so scale follows sf.
+
+    Synthesis is cached as parquet per sf_dir (the generator is pure,
+    so the cache is byte-equivalent to regeneration) — the extraction-
+    family queries would otherwise each pay the full generation cost.
+    """
+    import hashlib
+    import os
+    import tempfile
+
     import pandas as pd
     from pyspark.sql.types import StringType, StructField, StructType
 
     from exam_pdf_parser_spark.corpus.generator import build_document
     from exam_pdf_parser_spark.operators.extract import DOCUMENTS_SCHEMA
 
-    ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    schema = DOCUMENTS_SCHEMA
+    schema = StructType(
+        DOCUMENTS_SCHEMA.fields
+        + [StructField("answer_md", StringType(), False)])
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    cache = os.path.join(tempfile.gettempdir(), f"epps_corpus_{tag}")
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        ids = spark.read.parquet(
+            f"{sf_dir}/documents.parquet").select("doc_id")
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cols = [f.name for f in schema.fields]
+            for pdf in batches:
+                rows = [build_document(int(i)) for i in pdf["doc_id"]]
+                yield pd.DataFrame({c: [r[c] for r in rows] for c in cols})
+
+        ids.mapInPandas(gen, schema).write.mode("overwrite").parquet(cache)
+
+    df = spark.read.parquet(cache)
     if with_answer_key:
-        schema = StructType(
-            schema.fields + [StructField("answer_md", StringType(), False)])
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in schema.fields]
-        for pdf in batches:
-            rows = [build_document(int(i)) for i in pdf["doc_id"]]
-            yield pd.DataFrame({c: [r[c] for r in rows] for c in cols})
-
-    return ids.mapInPandas(gen, schema)
+        return df
+    return df.select(*[f.name for f in DOCUMENTS_SCHEMA.fields])
 
 
 def entry(spark: SparkSession) -> DataFrame:
