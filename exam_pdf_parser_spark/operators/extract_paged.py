@@ -1,0 +1,130 @@
+"""Giant-document skew path (SURVEY.md §7.3.5): page-granularity
+stage A, url-regrouped stage B.
+
+The whole-doc ``extract()`` is optimal when documents are small and
+numerous.  One pathological document (thousands of pages) would stall
+a task there — this variant takes a PAGED input table
+``(url, page_idx, page_html)`` (one payload per page, the shape an
+Iceberg ingest of chunked WARC records would produce), decodes pages
+fully in parallel, then shuffles blocks by url for the stateful
+detection — "page-level parallelism inside one url, then a url-keyed
+group; the shuffle is the price of balance".
+
+Byte-identity: stage B rebuilds the exact pages list (sorted by
+page_idx) and calls the same shared ``detect_regions``/
+``assemble_text`` — output equals the whole-doc path bit for bit
+(asserted in tests/test_extract_paged.py).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from ..core.assemble import (
+    assemble_text, decode_payload, encode_payload,
+)
+from ..core.detector import detect_regions
+from .extract import EXTRACT_SCHEMA
+
+PAGED_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("page_idx", IntegerType(), False),
+    StructField("page_html", BinaryType(), False),
+])
+
+_DECODED_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("page_idx", IntegerType(), False),
+    StructField("page_json", StringType(), False),
+])
+
+
+def paged_corpus_df(spark: SparkSession, n_docs: int, seed: int = 42,
+                    partitions: int | None = None) -> DataFrame:
+    """The synthetic corpus re-shaped to one row per page."""
+    from ..corpus.generator import build_document
+
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, idxs, payloads = [], [], []
+            for i in pdf["id"]:
+                d = build_document(int(i), seed)
+                pages = decode_payload(d["html"])["pages"]
+                for p in pages:
+                    urls.append(d["url"])
+                    idxs.append(p["page_idx"])
+                    payloads.append(encode_payload({"v": 1, "pages": [p]}))
+            if urls:
+                yield pd.DataFrame(
+                    {"url": urls, "page_idx": idxs, "page_html": payloads})
+
+    return spark.range(0, n_docs, 1, parts).mapInPandas(gen, PAGED_SCHEMA)
+
+
+def extract_paged(paged: DataFrame, min_q: int = 1, max_q: int = 50) -> DataFrame:
+    """(url, page_idx, page_html) → EXTRACT_SCHEMA rows, byte-identical
+    to ``extract()`` over the equivalent whole-doc table."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # stage A: heavy zlib+json decode, embarrassingly parallel per PAGE
+        for pdf in batches:
+            urls, idxs, jsons = [], [], []
+            for url, idx, blob in zip(
+                    pdf["url"], pdf["page_idx"], pdf["page_html"]):
+                try:
+                    page = decode_payload(bytes(blob))["pages"][0]
+                except Exception:
+                    page = None  # page-level quarantine marker
+                urls.append(url)
+                idxs.append(int(idx))
+                jsons.append(json.dumps(page, ensure_ascii=False,
+                                        sort_keys=True))
+            if urls:
+                yield pd.DataFrame(
+                    {"url": urls, "page_idx": idxs, "page_json": jsons})
+
+    decoded = paged.mapInPandas(decode, _DECODED_SCHEMA)
+
+    def detect(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # stage B: the url-keyed stateful scan over rebuilt pages
+        url = key[0]
+        pages = []
+        corrupt = False
+        for _, row in pdf.sort_values("page_idx").iterrows():
+            page = json.loads(row["page_json"])
+            if page is None:
+                corrupt = True
+                continue
+            pages.append(page)
+        if corrupt and not pages:
+            return pd.DataFrame([{
+                "url": url, "extracted_text": None, "spans": [],
+                "status": "error", "error": "all pages undecodable",
+            }])
+        regions = detect_regions(pages, min_q, max_q)
+        return pd.DataFrame([{
+            "url": url,
+            "extracted_text": assemble_text(pages),
+            "spans": [{
+                "question_number": r.question_number,
+                "page_idx": r.page_idx,
+                "x0": r.x0, "y0": r.y0, "x1": r.x1, "y1": r.y1,
+                "text_preview": r.text_preview,
+                "spans_page": r.spans_page,
+                "group_range": r.group_range,
+                "region_idx": r.region_idx,
+            } for r in regions],
+            "status": "ok" if not corrupt else "partial",
+            "error": None if not corrupt else "some pages undecodable",
+        }])
+
+    return decoded.groupBy("url").applyInPandas(detect, EXTRACT_SCHEMA)
