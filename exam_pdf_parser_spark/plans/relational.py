@@ -352,6 +352,99 @@ def doc_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- semi join (J-family completeness) --------------------------------------
+@register("customers_with_orders_semi", """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment")
+
+
+# --- EXCEPT set op (§2.8): parts never ordered -------------------------------
+@register("parts_never_ordered", """
+    SELECT p_partkey FROM part
+    EXCEPT
+    SELECT l_partkey AS p_partkey FROM lineitem
+""")
+def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"))
+    return p.exceptAll(li).distinct()
+
+
+# --- string-function family (F12-ish sanitization pipeline) -----------------
+@register("part_label_sanitize", """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           replace(p_type, ' ', '_') AS type_key,
+           substr(p_name, 1, 12) AS name_prefix,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_key,
+           p_brand || '/' || replace(p_type, ' ', '_') AS label
+    FROM part
+""")
+def part_label_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    type_key = F.replace(F.col("p_type"), F.lit(" "), F.lit("_"))
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        type_key.alias("type_key"),
+        F.substring("p_name", 1, 12).alias("name_prefix"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_key"),
+        F.concat_ws("/", F.col("p_brand"), type_key).alias("label"),
+    )
+
+
+# --- null-semantics demo: count(col) vs count(*) over nullable marker --------
+@register("event_props_null_stats", """
+    WITH e AS (SELECT user_id,
+                      CASE WHEN event_type = 'view' THEN NULL ELSE props END
+                        AS p
+               FROM events)
+    SELECT user_id,
+           count(*) AS n_rows,
+           count(p) AS n_nonnull,
+           count(*) - count(p) AS n_null,
+           count(DISTINCT p) AS n_distinct
+    FROM e GROUP BY user_id
+""")
+def event_props_null_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("event_type") == "view", F.lit(None))
+        .otherwise(F.col("props")).alias("p"))
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_rows"),
+        F.count("p").alias("n_nonnull"),
+        (F.count("*") - F.count("p")).alias("n_null"),
+        F.countDistinct("p").alias("n_distinct"),
+    )
+
+
+# --- explicit GROUPING SETS (beyond the cube demo) ----------------------------
+@register("orders_grouping_sets", """
+    SELECT o_orderpriority, o_orderstatus, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                            (o_orderpriority, o_orderstatus))
+""")
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_ogs_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        FROM _ogs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                                (o_orderpriority, o_orderstatus))
+    """)
+
+
 # --- exact median via positional selection (rank-based statistics are
 # cross-engine-exact where interpolation-based percentile() is not) ----------
 @register("event_value_median", """
