@@ -141,3 +141,19 @@ def test_determinism_rerun():
     a = oracle_spans_and_text(generate_rows(10))
     b = oracle_spans_and_text(generate_rows(10))
     assert a == b
+
+
+def test_full_45_question_exam_detected():
+    """Reference smoke-test analogue (test_crop.py:17-62: asserts 45/45
+    regions on the real exam) — doc 23 is a 45-question synthetic exam;
+    every question must be detected."""
+    from exam_pdf_parser_spark.core.assemble import extract_document
+    from exam_pdf_parser_spark.corpus.generator import build_document
+
+    d = build_document(23)
+    assert d["n_questions"] == 45
+    _, regions = extract_document(d["html"])
+    detected = {r.question_number for r in regions}
+    missing = set(range(1, 46)) - detected
+    extra = detected - set(range(1, 46))
+    assert not missing and not extra, (sorted(missing), sorted(extra))

@@ -124,3 +124,12 @@ def test_salted_repartition_spreads_identical_urls(spark):
     )
     assert len(dist) >= 6
     assert max(r["count"] for r in dist) / 400 < 0.5
+
+
+def test_partition_stats(spark):
+    from exam_pdf_parser_spark.sources.io import partition_stats
+
+    docs = corpus_df(spark, 64, partitions=4)
+    stats = partition_stats(docs).collect()
+    assert sum(r["n_rows"] for r in stats) == 64
+    assert len(stats) == 4
