@@ -21,7 +21,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CORPUS_DIR = "/tmp/scaling_corpus"
-N_LOW, N_HIGH = 4, 16
+N_LOW, N_HIGH = 2, 8
 
 
 def materialize_corpus(n_docs: int) -> None:
