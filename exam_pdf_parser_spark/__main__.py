@@ -44,8 +44,6 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _dispatch(spark, args) -> int:
-    from pyspark.sql import functions as F
-
     if args.command == "gen-corpus":
         from .operators.extract import corpus_df
 

@@ -4,8 +4,6 @@ no stray shuffles) — guarding against plan regressions."""
 
 from __future__ import annotations
 
-import pytest
-
 SF = "/root/testdata/sf0.001"
 
 

@@ -55,3 +55,10 @@ def test_block_text_joins_spans():
 
 def test_page_framing():
     assert page_framed_text(["x", "y"]) == "--- Page 1 ---\nx\n\n--- Page 2 ---\ny"
+
+
+def test_section_header_latex_sim_literal():
+    # the reference also treats OCR'd LaTeX ranges as headers via the
+    # literal '\\sim' check (src/cropper/detector.py:226)
+    assert is_section_header(r"[31\sim34] 안내")
+    assert not is_section_header(r"[31\sim34] " + "x" * 40)
