@@ -138,6 +138,25 @@ def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- hourly event windows (batch twin of streaming windowed_event_counts) ----
+@register("hourly_event_counts", """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+""")
+def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.round(F.col("value") * 100).cast("bigint"))
+             .alias("value_c"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n", "value_c")
+    )
+
+
 # --- calendar rollup: orders per month ---------------------------------------
 @register("orders_by_month", """
     SELECT date_trunc('month', o_orderdate) AS month,

@@ -13,7 +13,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 AUDIT = [
     "pricing_summary", "revenue_by_nation", "top_parts_by_brand",
     "events_carry_forward", "doc_quality", "exact_dup_assignment",
-    "minhash_lsh_pairs", "ann_topk_dot", "x_extract_spans",
+    "minhash_lsh_pairs", "ann_topk_dot", "event_sessions",
+    "shipping_priority", "x_extract_spans",
 ]
 
 
