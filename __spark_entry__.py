@@ -40,7 +40,14 @@ def _corpus_from_docids(
         DOCUMENTS_SCHEMA.fields
         + [StructField("answer_md", StringType(), False)])
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # cache key covers the sf AND the generator+codec source, so a
+    # semantic change in synthesis can never serve a stale corpus
+    import exam_pdf_parser_spark.core.assemble as _asm
+    import exam_pdf_parser_spark.corpus.generator as _gen
+
+    src = (open(_gen.__file__, "rb").read()
+           + open(_asm.__file__, "rb").read())
+    tag = hashlib.md5(sf_dir.encode() + src).hexdigest()[:12]
     cache = os.path.join(tempfile.gettempdir(), f"epps_corpus_{tag}")
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         ids = spark.read.parquet(
