@@ -67,20 +67,13 @@ def main() -> None:
     # EXTRACTION (the engine), not synthetic-corpus generation; the
     # worker pool is warmed with one pass (steady-state, as on a
     # long-lived cluster).
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from __spark_entry__ import _corpus_from_docids
     from exam_pdf_parser_spark.operators.extract import extract
 
-    corpus_path = os.path.join(
-        tempfile.gettempdir(), f"bench_corpus_sf{sf}")
-    marker = os.path.join(corpus_path, "_SUCCESS")
-    if not os.path.exists(marker):
-        _corpus_from_docids(spark, sf_dir).write.mode("overwrite").parquet(
-            corpus_path)
-    docs_df = spark.read.parquet(corpus_path).repartition(
+    # _corpus_from_docids is parquet-cached (version-keyed) already
+    docs_df = _corpus_from_docids(spark, sf_dir).repartition(
         int(cpus) * 4).persist()
     n_docs = docs_df.count()
     extract(docs_df).select(F.count("*")).collect()  # warm pass
