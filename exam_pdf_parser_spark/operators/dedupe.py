@@ -284,6 +284,79 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(combine_sql).alias("simhash"))
 
 
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_iter: int = 20) -> DataFrame:
+    """Transitive closure over a near-dup pair graph → cluster ids.
+
+    Production dedup keeps ONE document per connected component of the
+    similarity graph; pairs alone under-merge (A~B, B~C must collapse
+    to one cluster).  Min-label propagation: every node repeatedly
+    adopts the smallest id among itself and its neighbors until a
+    fixpoint — O(diameter) iterative joins, each a hash shuffle on the
+    node id; localCheckpoint every iteration truncates the lineage so
+    plans stay flat at scale.  Deterministic (min is order-free).
+
+    Returns (node, component) with component = min node id reachable.
+    """
+    F_ = F
+    edges = (
+        pairs.select(F_.col(src).alias("a"), F_.col(dst).alias("b"))
+        .unionAll(pairs.select(F_.col(dst).alias("a"), F_.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F_.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F_.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(F_.col("a").alias("node"))
+            .agg(F_.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left_outer")
+            .select(
+                "node",
+                F_.least(
+                    F_.col("component"),
+                    F_.coalesce("nbr_component", F_.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F_.col("u.component") != F_.col("l.component"))
+            .limit(1).count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(documents: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Full dedup decision table: every document with its cluster id
+    and keep/drop flag (keep = smallest id in the component; isolated
+    documents keep themselves)."""
+    comps = connected_components(pairs)
+    return (
+        documents.select(id_col)
+        .join(comps, F.col(id_col) == comps.node, "left_outer")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
 @register("simhash_near_pairs", f"""
     WITH t AS (
       SELECT doc_id, unnest(list_distinct(
