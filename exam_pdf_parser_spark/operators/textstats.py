@@ -205,6 +205,70 @@ def lang_source_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- winnowing fingerprints (rolling-window k-gram minima, MOSS-style) -------
+# Shingle size 5, window 4: every 4-consecutive-shingle window
+# contributes its minimum hash — the standard partial-overlap
+# fingerprint (robust to insertions, unlike whole-doc md5).
+_WINNOW_K = 5
+_WINNOW_W = 4
+
+
+@register("winnowing_fingerprints", f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents WHERE doc_id < 100
+    ),
+    positions AS (
+      SELECT doc_id, words,
+             unnest(generate_series(1, len(words) - {_WINNOW_K - 1})) AS pos
+      FROM toks WHERE len(words) > {_WINNOW_K - 1}
+    ),
+    shingles AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(words[pos:pos+{_WINNOW_K - 1}], ' ')) AS h
+      FROM positions
+    ),
+    winmin AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+             pos, count(*) OVER (PARTITION BY doc_id) AS n
+      FROM shingles
+    )
+    SELECT DISTINCT doc_id, fp AS fingerprint
+    FROM winmin WHERE pos <= n - {_WINNOW_W - 1}
+""")
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = d.select("doc_id", _words(F.col("text")).alias("words"))
+    n_sh = F.size("words") - (_WINNOW_K - 1)
+    shingles = toks.filter(n_sh > 0).select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(
+                    " ", F.slice("words", i, _WINNOW_K))).alias("h")),
+        )).alias("s"),
+    ).select("doc_id", "s.pos", "s.h")
+    w = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(0, _WINNOW_W - 1)
+    )
+    wn = Window.partitionBy("doc_id")
+    return (
+        shingles
+        .withColumn("fp", F.min("h").over(w))
+        .withColumn("n", F.count("*").over(wn))
+        .filter(F.col("pos") <= F.col("n") - (_WINNOW_W - 1))
+        .select("doc_id", F.col("fp").alias("fingerprint"))
+        .distinct()
+    )
+
+
 # --- frequent-token top-k (explode + count + deterministic rank) -------------
 @register("top_tokens_per_lang", """
     WITH tok AS (
