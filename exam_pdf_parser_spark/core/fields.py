@@ -85,13 +85,15 @@ def parse_question_fields(regions: list[Region]) -> list[dict]:
     ordered = sorted(regions, key=lambda r: r.region_idx)
     # text chunks per question, in emission order; a region's pre_text
     # (pool blocks swallowed by the generous-crop bbox) belongs to the
-    # PREVIOUS question in reading order — reattribute it there.
+    # PREVIOUS question in reading order — reattribute it there.  The
+    # very first region's pre_text is the document banner (exam title),
+    # not question content — it feeds exam_info (A11/V1), see
+    # :func:`parse_exam_title`.
     chunks: dict[int, list[str]] = {}
     prev_num: int | None = None
     for r in ordered:
-        if r.pre_text:
-            owner = prev_num if prev_num is not None else r.question_number
-            chunks.setdefault(owner, []).append(r.pre_text)
+        if r.pre_text and prev_num is not None:
+            chunks.setdefault(prev_num, []).append(r.pre_text)
         if r.full_text:
             chunks.setdefault(r.question_number, []).append(r.full_text)
         prev_num = r.question_number
@@ -155,6 +157,16 @@ def parse_question_fields(regions: list[Region]) -> list[dict]:
             if mrow is not None and mrow["passage"] is None:
                 mrow["passage"] = row["passage"]
     return rows
+
+
+def parse_exam_title(regions: list[Region]) -> str | None:
+    """exam_info.title source: the pre-question banner above Q1 (the
+    first region's pool text; reference field src/schema.py:92, checked
+    by V1 src/validator.py:131-135)."""
+    ordered = sorted(regions, key=lambda r: r.region_idx)
+    if ordered and ordered[0].pre_text:
+        return normalize_text(ordered[0].pre_text) or None
+    return None
 
 
 _VOCAB_RE = re.compile(r"\*([A-Za-z]+) : ")

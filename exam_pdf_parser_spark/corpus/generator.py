@@ -173,6 +173,16 @@ def build_document(doc_id: int, seed: int = 42) -> dict:
         })
 
     # --- lay out blocks ---
+    # exam title banner above Q1 (pre-question pool; the bbox merges
+    # into Q1's region per the reference's generous-crop rule while the
+    # TEXT feeds exam_info.title — V1 fires for the titleless docs)
+    exam_title = None
+    if rng.random() < 0.8:
+        year = rng.randint(2020, 2026)
+        month = rng.choice([3, 6, 9, 11])
+        exam_title = f"{year}학년도 {month}월 전국연합학력평가 영어영역"
+        flow.add_block(exam_title, height=30.0)
+
     prev_block_split = False
     for qd in questions:
         q = qd["number"]
@@ -267,6 +277,7 @@ def build_document(doc_id: int, seed: int = 42) -> dict:
         "answer_md": build_answer_md(questions, group_starts),
         "n_questions": n_q,
         "n_listening": n_listen,
+        "exam_title": exam_title,
     }
 
 

@@ -17,7 +17,7 @@ from pyspark.sql.types import (
 
 from ..core.answerkey import parse_answer_md
 from ..core.assemble import extract_document
-from ..core.fields import parse_question_fields
+from ..core.fields import parse_exam_title, parse_question_fields
 
 CHOICE_STRUCT = ArrayType(StructType([
     StructField("number", IntegerType(), False),
@@ -45,6 +45,7 @@ PARSED_SCHEMA = StructType([
     StructField("has_table", BooleanType(), False),
     StructField("image_description", StringType(), True),
     StructField("sub_questions", ArrayType(StringType()), False),
+    StructField("exam_title", StringType(), True),
 ])
 
 ANSWER_KEY_SCHEMA = StructType([
@@ -75,10 +76,12 @@ def parse_documents(documents: DataFrame,
                     _, regions = extract_document(bytes(html), min_q, max_q)
                 except Exception:
                     continue
+                title = parse_exam_title(regions)
                 for row in parse_question_fields(regions):
                     out["url"].append(url)
                     for c in _PARSED_COLS:
-                        out[c].append(row[c])
+                        out[c].append(title if c == "exam_title"
+                                      else row[c])
             if out["url"]:
                 # empty frames infer float64 columns, which Arrow cannot
                 # convert to list<struct> — emit nothing instead
@@ -94,6 +97,7 @@ def exam_info_table(parsed: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     agg = parsed.groupBy("url").agg(
+        F.first("exam_title").alias("title"),
         F.count("*").alias("total_questions"),
         F.sum(F.when(F.col("question_type") == "듣기", 1).otherwise(0))
         .alias("n_listening"),

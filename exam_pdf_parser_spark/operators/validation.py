@@ -54,6 +54,16 @@ def validate(
                     F.lit("no questions parsed").alias("message"))
         )
 
+    # V1 empty/missing exam title (warning) — src/validator.py:131-135
+    rules.append(
+        p.groupBy("url").agg(F.first("exam_title").alias("t"))
+        .filter(F.col("t").isNull() | (F.trim("t") == ""))
+        .select("url", F.lit("warning").alias("level"),
+                F.lit(None).cast("int").alias("question_number"),
+                F.lit("V1").alias("rule"),
+                F.lit("exam title missing").alias("message"))
+    )
+
     # V3 missing question_text (error) — src/validator.py:141-148
     rules.append(_issue(
         p.filter(F.trim("question_text") == ""),

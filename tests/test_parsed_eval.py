@@ -65,6 +65,7 @@ def test_parsed_table_matches_oracle(spark_tables, corpus_rows):
                       "group_range", "spans_page", "n_regions",
                       "vocabulary_notes", "has_image", "has_table",
                       "image_description", "sub_questions"):
+                # exam_title checked separately (url-level)
                 assert have[k] == want[k], (url, want["number"], k)
             assert have["choices"] == want["choices"], (url, want["number"])
 
@@ -141,7 +142,7 @@ def test_validation_catches_planted_defects(spark):
                        for i in range(1, 6)]
         return ("u1", number, text, qtype, passage, choices, points,
                 group_range, False, 1, vocab or [], has_image, False,
-                None, sub_questions or [])
+                None, sub_questions or [], "모의고사 제목")
 
     rows = [
         q(18),
@@ -178,7 +179,7 @@ def test_validity_rollup_includes_zero_parsed_urls(spark):
     parsed = spark.createDataFrame(
         [("u_ok", 1, "q", "듣기", None,
           [{"number": 1, "text": "a"}], 2, None, False, 1,
-          [], False, False, None, [])],
+          [], False, False, None, [], "제목")],
         PARSED_SCHEMA)
     docs = spark.createDataFrame([("u_ok",), ("u_empty",)], "url string")
     issues = validate(parsed, documents=docs)
