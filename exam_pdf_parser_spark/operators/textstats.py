@@ -205,6 +205,67 @@ def lang_source_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- repetition quality signals (Gopher-style training-data filters) --------
+@register("doc_repetition_stats", """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             array_to_string(words[pos:pos+2], ' ') AS g3
+      FROM (SELECT doc_id, words,
+                   unnest(generate_series(1, len(words) - 2)) AS pos
+            FROM toks WHERE len(words) > 2)
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_g3, count(DISTINCT g3) AS d_g3
+      FROM grams GROUP BY doc_id
+    ),
+    top_gram AS (
+      SELECT doc_id, max(c) AS top_c FROM (
+        SELECT doc_id, g3, count(*) AS c FROM grams GROUP BY doc_id, g3
+      ) GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_g3, p.d_g3,
+           1.0 - CAST(p.d_g3 AS DOUBLE) / p.n_g3 AS dup_3gram_ratio,
+           CAST(t.top_c AS DOUBLE) / p.n_g3 AS top_3gram_share,
+           (1.0 - CAST(p.d_g3 AS DOUBLE) / p.n_g3) <= 0.6
+             AND CAST(t.top_c AS DOUBLE) / p.n_g3 <= 0.18
+             AS passes_repetition
+    FROM per_doc p JOIN top_gram t ON p.doc_id = t.doc_id
+""")
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filters (duplicate-3-gram ratio and
+    top-3-gram share) — the Gopher-rule family every pretraining
+    pipeline applies before tokenization."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _words(F.col("text")).alias("words"))
+    n_g = F.size("words") - 2
+    grams = toks.filter(n_g > 0).select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), n_g),
+            lambda i: F.concat_ws(" ", F.slice("words", i, 3)),
+        )).alias("g3"),
+    )
+    counts = grams.groupBy("doc_id", "g3").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_g3"),
+        F.count("*").alias("d_g3"),
+        F.max("c").alias("top_c"),
+    )
+    dup = 1.0 - F.col("d_g3").cast("double") / F.col("n_g3")
+    top = F.col("top_c").cast("double") / F.col("n_g3")
+    return per_doc.select(
+        "doc_id", "n_g3", "d_g3",
+        dup.alias("dup_3gram_ratio"),
+        top.alias("top_3gram_share"),
+        ((dup <= 0.6) & (top <= 0.18)).alias("passes_repetition"),
+    )
+
+
 # --- winnowing fingerprints (rolling-window k-gram minima, MOSS-style) -------
 # Shingle size 5, window 4: every 4-consecutive-shingle window
 # contributes its minimum hash — the standard partial-overlap
