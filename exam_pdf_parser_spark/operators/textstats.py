@@ -330,6 +330,68 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- partial-overlap candidates via shared winnowing fingerprints -----------
+_OVERLAP_MIN = 5
+
+
+def _winnow_cte() -> str:
+    # reuse the winnowing pipeline as a CTE body (same constants)
+    return f"""
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents WHERE doc_id < 100
+    ),
+    positions AS (
+      SELECT doc_id, words,
+             unnest(generate_series(1, len(words) - {_WINNOW_K - 1})) AS pos
+      FROM toks WHERE len(words) > {_WINNOW_K - 1}
+    ),
+    shingles AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(words[pos:pos+{_WINNOW_K - 1}], ' ')) AS h
+      FROM positions
+    ),
+    winmin AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+             pos, count(*) OVER (PARTITION BY doc_id) AS n
+      FROM shingles
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp
+      FROM winmin WHERE pos <= n - {_WINNOW_W - 1}
+    )"""
+
+
+@register("partial_overlap_pairs", f"""
+    WITH {_winnow_cte()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {_OVERLAP_MIN}
+""")
+def partial_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring-overlap candidates (Lee et al.-style dedup):
+    documents sharing ≥{_OVERLAP_MIN} winnowing fingerprints contain
+    near-verbatim passages even when whole-doc similarity is low."""
+    fps = winnowing_fingerprints(spark, sf_dir)
+    a = fps.select(F.col("doc_id").alias("doc_a"),
+                   F.col("fingerprint").alias("fp"))
+    b = fps.select(F.col("doc_id").alias("doc_b"),
+                   F.col("fingerprint").alias("fp"))
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= _OVERLAP_MIN)
+    )
+
+
 # --- frequent-token top-k (explode + count + deterministic rank) -------------
 @register("top_tokens_per_lang", """
     WITH tok AS (
