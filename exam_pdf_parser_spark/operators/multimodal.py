@@ -144,6 +144,42 @@ def byte_histogram_features(media: DataFrame, bins: int = 16) -> DataFrame:
     return src.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_media(media: DataFrame, scale_num: int = 1,
+                 scale_den: int = 2) -> DataFrame:
+    """Resize stage: emits payloads with scaled dimensions and a
+    deterministically downsampled body (every ``scale_den``-th byte of
+    every ``scale_num``) — the Spark-side shape of a real resize (a
+    codec would produce resampled pixels here; the header arithmetic,
+    schema, and batch plumbing are the real thing)."""
+    src = media.select("media_id", "kind", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = {"media_id": [], "kind": [], "payload": []}
+        for pdf in batches:
+            for mid, kind, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"]):
+                payload = bytes(payload)
+                meta = parse_meta(payload)
+                if meta["valid"] != "ok":
+                    continue
+                w = max(1, meta["width"] * scale_num // scale_den)
+                h = max(1, meta["height"] * scale_num // scale_den)
+                body = payload[12:]
+                stride = max(1, scale_den // max(1, scale_num))
+                new_body = body[::stride]
+                k = {v: kk for kk, v in KINDS.items()}[meta["kind"]]
+                rows["media_id"].append(int(mid))
+                rows["kind"].append(kind)
+                rows["payload"].append(
+                    MAGIC + k.encode()
+                    + struct.pack(">HHH", w, h, meta["n_frames"])
+                    + new_body)
+        if rows["media_id"]:
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(run, MEDIA_SCHEMA)
+
+
 FRAME_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
     StructField("frame_idx", IntegerType(), False),

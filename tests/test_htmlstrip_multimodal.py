@@ -115,3 +115,19 @@ def test_frame_sampling(spark, media):
 def test_decode_stub_is_explicit():
     with pytest.raises(NotImplementedError):
         decode_image(b"anything")
+
+
+def test_resize_media(spark, media):
+    from exam_pdf_parser_spark.operators.multimodal import resize_media
+
+    resized = resize_media(media, 1, 2)
+    meta = {m["media_id"]: m for m in extract_metadata(media).collect()}
+    out = {m["media_id"]: m for m in
+           extract_metadata(resized).collect()}
+    assert set(out) == set(meta)
+    for mid, m in out.items():
+        assert m["valid"] == "ok"
+        assert m["width"] == max(1, meta[mid]["width"] // 2)
+        assert m["height"] == max(1, meta[mid]["height"] // 2)
+        assert m["n_frames"] == meta[mid]["n_frames"]
+        assert m["n_bytes"] < meta[mid]["n_bytes"]
