@@ -183,7 +183,6 @@ def build_document(doc_id: int, seed: int = 42) -> dict:
         exam_title = f"{year}학년도 {month}월 전국연합학력평가 영어영역"
         flow.add_block(exam_title, height=30.0)
 
-    prev_block_split = False
     for qd in questions:
         q = qd["number"]
         # section header before each group (short text after bracket)
@@ -202,7 +201,7 @@ def build_document(doc_id: int, seed: int = 42) -> dict:
             filler = _sentence(rng, _EN_WORDS, 6, 12)
             flow.add_block(filler, extra_span=str(tens))
             start_text = f"{ones}.{qd['question_text']}"
-            prev_block_split = True
+
         else:
             style = rng.random()
             if style < 0.70:
@@ -254,7 +253,6 @@ def build_document(doc_id: int, seed: int = 42) -> dict:
         else:
             for ch in qd["choices"]:
                 flow.add_block(ch, height=24.0)
-    _ = prev_block_split
 
     payload = {"v": 1, "pages": flow.pages}
 
