@@ -132,7 +132,9 @@ independent documents), so on a real multi-executor cluster — where
 adding executors adds *machines*, not contended sibling cores — the
 per-core throughput at N executors carries to 4N.
 """
-    with open("BENCH_SCALING.md", "w") as f:
+    # BENCH_SCALING.md holds the curated multi-pair ladder; fresh runs
+    # land beside it so they never clobber the analysis
+    with open("BENCH_SCALING_latest.md", "w") as f:
         f.write(md.strip() + "\n")
 
 
