@@ -3,7 +3,8 @@
 Every document is a pure function of ``(seed, doc_id)`` — no wall
 clock, no global RNG — so the corpus can be generated on the driver for
 unit tests AND distributed via ``spark.range(n).mapInPandas`` for the
-50k-doc scaling bench, producing byte-identical rows either way.
+scaling/soak benches (120k-250k docs), producing byte-identical rows
+either way.
 
 Each document plants known instances of the reference's hard cases
 (citations into /root/reference):
@@ -19,7 +20,8 @@ Each document plants known instances of the reference's hard cases
 
 Row schema == BASELINE.json input_hint:
   (url string, warc_ts timestamp, html binary, text string, lang string)
-plus a side table ``answer_key_md(url, answer_md)``.
+plus generator-only columns (answer_md, n_questions, n_listening,
+exam_title in the row dict) consumed by tests and the answer-key table.
 """
 
 from __future__ import annotations
