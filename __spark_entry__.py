@@ -40,14 +40,26 @@ def _corpus_from_docids(
         DOCUMENTS_SCHEMA.fields
         + [StructField("answer_md", StringType(), False)])
 
-    # cache key covers the sf AND the generator+codec source, so a
-    # semantic change in synthesis can never serve a stale corpus
+    # cache key covers the sf dir path, the generator+codec source AND
+    # the input parquet's file fingerprint — a change to synthesis code
+    # or to the testdata itself invalidates the cache.  (Rare race:
+    # two processes missing _SUCCESS simultaneously both overwrite the
+    # same dir; the driver runs queries sequentially, and an
+    # incomplete write lacks _SUCCESS so it is never read.)
     import exam_pdf_parser_spark.core.assemble as _asm
     import exam_pdf_parser_spark.corpus.generator as _gen
 
     src = (open(_gen.__file__, "rb").read()
            + open(_asm.__file__, "rb").read())
-    tag = hashlib.md5(sf_dir.encode() + src).hexdigest()[:12]
+    src_dir = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(src_dir):
+        finger = ";".join(
+            f"{f}:{os.path.getsize(os.path.join(src_dir, f))}"
+            for f in sorted(os.listdir(src_dir)))
+    else:
+        finger = str(os.path.getsize(src_dir))
+    tag = hashlib.md5(
+        sf_dir.encode() + src + finger.encode()).hexdigest()[:12]
     cache = os.path.join(tempfile.gettempdir(), f"epps_corpus_{tag}")
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         ids = spark.read.parquet(

@@ -285,7 +285,7 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
-                         dst: str = "doc_b", max_iter: int = 20) -> DataFrame:
+                         dst: str = "doc_b", max_iter: int = 50) -> DataFrame:
     """Transitive closure over a near-dup pair graph → cluster ids.
 
     Production dedup keeps ONE document per connected component of the
@@ -310,6 +310,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         .distinct()
         .withColumn("component", F_.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
@@ -335,17 +336,24 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # returning partial labels would silently create phantom
+        # clusters with zero keepers downstream — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            f"iterations (graph diameter too large); raise max_iter")
     return labels
 
 
 def dedup_clusters(documents: DataFrame, pairs: DataFrame,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id", max_iter: int = 50) -> DataFrame:
     """Full dedup decision table: every document with its cluster id
     and keep/drop flag (keep = smallest id in the component; isolated
     documents keep themselves)."""
-    comps = connected_components(pairs)
+    comps = connected_components(pairs, max_iter=max_iter)
     return (
         documents.select(id_col)
         .join(comps, F.col(id_col) == comps.node, "left_outer")

@@ -28,7 +28,7 @@ from pyspark.sql.types import (
 )
 
 from ..core.assemble import (
-    assemble_text, decode_payload, encode_payload,
+    annotate_block_texts, assemble_text, decode_payload, encode_payload,
 )
 from ..core.detector import detect_regions
 from .extract import EXTRACT_SCHEMA
@@ -95,8 +95,20 @@ def extract_paged(paged: DataFrame, min_q: int = 1, max_q: int = 50) -> DataFram
     decoded = paged.mapInPandas(decode, _DECODED_SCHEMA)
 
     def detect(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        # stage B: the url-keyed stateful scan over rebuilt pages
+        # stage B: the url-keyed stateful scan over rebuilt pages.
+        # Same quarantine contract as extract(): nothing a document
+        # contains may fail the task.
         url = key[0]
+        try:
+            return _detect_one(url, pdf)
+        except Exception as e:
+            return pd.DataFrame([{
+                "url": url, "extracted_text": None, "spans": [],
+                "status": "error",
+                "error": f"{type(e).__name__}: {e}"[:500],
+            }])
+
+    def _detect_one(url: str, pdf: pd.DataFrame) -> pd.DataFrame:
         pages = []
         corrupt = False
         for _, row in pdf.sort_values("page_idx").iterrows():
@@ -110,6 +122,7 @@ def extract_paged(paged: DataFrame, min_q: int = 1, max_q: int = 50) -> DataFram
                 "url": url, "extracted_text": None, "spans": [],
                 "status": "error", "error": "all pages undecodable",
             }])
+        annotate_block_texts(pages)  # single text pass, as in extract()
         regions = detect_regions(pages, min_q, max_q)
         return pd.DataFrame([{
             "url": url,

@@ -58,9 +58,11 @@ _DROP_XPATH = "//script|//style|//nav|//header|//footer|//aside"
 
 
 def _block_scores_lxml(html: str) -> list[dict] | None:
-    """Real-DOM segmentation when lxml is installed (the production
-    parser; this sandbox lacks it, so the regex path below is the one
-    under test — same scoring semantics either way)."""
+    """Real-DOM segmentation via lxml (OPT-IN: segmentation differs
+    from the regex path on nested block elements, so it must be chosen
+    explicitly rather than silently activating wherever lxml happens
+    to be installed — byte determinism is environment-independent by
+    default)."""
     try:
         from lxml import html as lhtml
     except ImportError:
@@ -88,13 +90,17 @@ def _block_scores_lxml(html: str) -> list[dict] | None:
     return blocks
 
 
-def block_scores(html: str) -> list[dict]:
-    """Segment HTML into blocks with (text, link_density, n_chars) —
-    lxml DOM when available, deterministic regex segmentation
-    otherwise."""
-    via_lxml = _block_scores_lxml(html)
-    if via_lxml is not None:
-        return via_lxml
+def block_scores(html: str, use_lxml: bool = False) -> list[dict]:
+    """Segment HTML into blocks with (text, link_density, n_chars).
+
+    Default: deterministic regex segmentation (identical on every
+    machine).  ``use_lxml=True`` switches to real-DOM parsing where
+    lxml is installed — note nested block elements then contribute one
+    block per ancestor, a different segmentation."""
+    if use_lxml:
+        via_lxml = _block_scores_lxml(html)
+        if via_lxml is not None:
+            return via_lxml
     html = _SCRIPT_RE.sub(" ", html)
     blocks = []
     for m in _BLOCK_RE.finditer(html):

@@ -154,16 +154,24 @@ def resize_media(media: DataFrame, scale_num: int = 1,
     src = media.select("media_id", "kind", "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = {"media_id": [], "kind": [], "payload": []}
+        # one output frame PER input batch — never buffer the whole
+        # partition's binaries in memory
         for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": []}
             for mid, kind, payload in zip(
                     pdf["media_id"], pdf["kind"], pdf["payload"]):
                 payload = bytes(payload)
                 meta = parse_meta(payload)
                 if meta["valid"] != "ok":
+                    # corrupt payloads pass through untouched (nothing
+                    # is silently dropped; metadata stage flags them)
+                    rows["media_id"].append(int(mid))
+                    rows["kind"].append(kind)
+                    rows["payload"].append(payload)
                     continue
-                w = max(1, meta["width"] * scale_num // scale_den)
-                h = max(1, meta["height"] * scale_num // scale_den)
+                # header fields are uint16 — clamp upscales
+                w = min(65535, max(1, meta["width"] * scale_num // scale_den))
+                h = min(65535, max(1, meta["height"] * scale_num // scale_den))
                 body = payload[12:]
                 stride = max(1, scale_den // max(1, scale_num))
                 new_body = body[::stride]
@@ -174,8 +182,8 @@ def resize_media(media: DataFrame, scale_num: int = 1,
                     MAGIC + k.encode()
                     + struct.pack(">HHH", w, h, meta["n_frames"])
                     + new_body)
-        if rows["media_id"]:
-            yield pd.DataFrame(rows)
+            if rows["media_id"]:
+                yield pd.DataFrame(rows)
 
     return src.mapInPandas(run, MEDIA_SCHEMA)
 

@@ -151,6 +151,10 @@ def ivf_topk(
     train = np.array([r["embedding"] for r in rows], dtype=np.float64)
     train /= np.linalg.norm(train, axis=1, keepdims=True) + 1e-12
 
+    # tiny corpora: fewer cells than requested, probe what exists
+    n_clusters = max(1, min(n_clusters, len(train)))
+    n_probe = max(1, min(n_probe, n_clusters))
+
     rng = np.random.default_rng(seed)
     centroids = train[rng.choice(len(train), n_clusters, replace=False)]
     for _ in range(10):  # lite Lloyd iterations, deterministic

@@ -274,8 +274,12 @@ _WINNOW_K = 5
 _WINNOW_W = 4
 
 
-@register("winnowing_fingerprints", f"""
-    WITH toks AS (
+def _winnow_cte() -> str:
+    """The winnowing pipeline as a shared CTE body — single source for
+    BOTH the winnowing_fingerprints and partial_overlap_pairs oracles
+    (they must never desynchronize)."""
+    return f"""
+    toks AS (
       SELECT doc_id,
              list_filter(string_split(text, ' '), x -> x <> '') AS words
       FROM documents WHERE doc_id < 100
@@ -297,9 +301,16 @@ _WINNOW_W = 4
                           AND {_WINNOW_W - 1} FOLLOWING) AS fp,
              pos, count(*) OVER (PARTITION BY doc_id) AS n
       FROM shingles
-    )
-    SELECT DISTINCT doc_id, fp AS fingerprint
-    FROM winmin WHERE pos <= n - {_WINNOW_W - 1}
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp
+      FROM winmin WHERE pos <= n - {_WINNOW_W - 1}
+    )"""
+
+
+@register("winnowing_fingerprints", f"""
+    WITH {_winnow_cte()}
+    SELECT doc_id, fp AS fingerprint FROM fps
 """)
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -332,38 +343,6 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- partial-overlap candidates via shared winnowing fingerprints -----------
 _OVERLAP_MIN = 5
-
-
-def _winnow_cte() -> str:
-    # reuse the winnowing pipeline as a CTE body (same constants)
-    return f"""
-    toks AS (
-      SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS words
-      FROM documents WHERE doc_id < 100
-    ),
-    positions AS (
-      SELECT doc_id, words,
-             unnest(generate_series(1, len(words) - {_WINNOW_K - 1})) AS pos
-      FROM toks WHERE len(words) > {_WINNOW_K - 1}
-    ),
-    shingles AS (
-      SELECT doc_id, pos,
-             md5(array_to_string(words[pos:pos+{_WINNOW_K - 1}], ' ')) AS h
-      FROM positions
-    ),
-    winmin AS (
-      SELECT doc_id,
-             min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                          ROWS BETWEEN CURRENT ROW
-                          AND {_WINNOW_W - 1} FOLLOWING) AS fp,
-             pos, count(*) OVER (PARTITION BY doc_id) AS n
-      FROM shingles
-    ),
-    fps AS (
-      SELECT DISTINCT doc_id, fp
-      FROM winmin WHERE pos <= n - {_WINNOW_W - 1}
-    )"""
 
 
 @register("partial_overlap_pairs", f"""

@@ -186,3 +186,29 @@ def test_validity_rollup_includes_zero_parsed_urls(spark):
     rollup = {r["url"]: r for r in validity_rollup(issues, parsed).collect()}
     assert set(rollup) == {"u_ok", "u_empty"}
     assert not rollup["u_empty"]["is_valid"]
+
+
+def test_exam_title_matches_generator(spark_tables, corpus_rows):
+    # parsed exam_title must equal the generator's planted banner
+    got = {
+        r["url"]: r["title"]
+        for r in __import__(
+            "exam_pdf_parser_spark.operators.parsed",
+            fromlist=["exam_info_table"],
+        ).exam_info_table(spark_tables["parsed"]).collect()
+    }
+    n_titled = n_untitled = 0
+    for row in corpus_rows:
+        want = row.get("exam_title")
+        assert got[row["url"]] == want, row["url"]
+        if want:
+            n_titled += 1
+        else:
+            n_untitled += 1
+    assert n_titled > 0 and n_untitled > 0  # both branches exercised
+
+    # V1 fires exactly for the titleless urls
+    issues = validate(spark_tables["parsed"])
+    v1_urls = {r["url"] for r in issues.filter("rule = 'V1'").collect()}
+    want_v1 = {r["url"] for r in corpus_rows if not r.get("exam_title")}
+    assert v1_urls == want_v1
