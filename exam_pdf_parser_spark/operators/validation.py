@@ -18,9 +18,6 @@ from pyspark.sql.window import Window
 
 LISTENING = "듣기"
 
-_ISSUE_COLS = ("url", "level", "question_number", "rule", "message")
-
-
 def _issue(df: DataFrame, level: str, rule: str, message) -> DataFrame:
     return df.select(
         "url",
