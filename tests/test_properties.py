@@ -134,3 +134,36 @@ def test_split_vocabulary_total(s):
     assert isinstance(body, str)
     for n in notes:
         assert n["word"].isalpha()
+
+
+# --- answerkey parser totality -----------------------------------------------
+
+md_st = st.text(
+    alphabet=st.sampled_from(list("문제지답: #*[]~～①②③④⑤-0123456789 \nabc한글")),
+    max_size=400)
+
+
+@given(md_st)
+@settings(max_examples=80, deadline=None)
+def test_parse_answer_md_total(md):
+    from exam_pdf_parser_spark.core.answerkey import parse_answer_md
+
+    entries = parse_answer_md(md)
+    nums = [e["number"] for e in entries]
+    assert nums == sorted(set(nums))          # unique, ascending
+    for e in entries:
+        assert e["points"] in (2, 3)
+        ch = [c["number"] for c in e["choices"]]
+        assert ch == sorted(set(ch))
+        assert all(1 <= n <= 10 for n in ch)
+
+
+@given(st.lists(st.text(
+    alphabet=st.sampled_from(list("①②③④⑤- x2한")), max_size=30),
+    max_size=10))
+def test_parse_choice_lines_total(lines):
+    from exam_pdf_parser_spark.core.answerkey import parse_choice_lines
+
+    ch = parse_choice_lines("\n".join(lines))
+    nums = [c["number"] for c in ch]
+    assert nums == sorted(set(nums))
