@@ -52,3 +52,35 @@ def test_cli_evaluate(spark, corpus_path, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0.8 <= out["mean_overall"] <= 1.0
     assert (tmp_path / "e" / "report.md").exists()
+
+
+def test_cli_parse_and_crop(spark, corpus_path, tmp_path, capsys):
+    rc = _dispatch(spark, _Args(command="parse", input=corpus_path,
+                                output=str(tmp_path / "p")))
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["questions"] > 200
+    assert spark.read.parquet(str(tmp_path / "p" / "parsed")).count() == \
+        out["questions"]
+
+    rc = _dispatch(spark, _Args(command="crop", input=corpus_path,
+                                output=str(tmp_path / "c")))
+    assert rc == 0
+    crops = spark.read.parquet(str(tmp_path / "c" / "crops"))
+    assert crops.count() > 200
+
+
+def test_cli_run_and_resume(spark, corpus_path, tmp_path, capsys):
+    out_dir = str(tmp_path / "r")
+    rc = _dispatch(spark, _Args(command="run", input=corpus_path,
+                                output=out_dir, buckets=4, run_id="a"))
+    assert rc == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["buckets_processed"] == 4
+
+    rc = _dispatch(spark, _Args(command="run", input=corpus_path,
+                                output=out_dir, buckets=4, run_id="b"))
+    assert rc == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["buckets_processed"] == 0
+    assert second["buckets_skipped"] == 4
