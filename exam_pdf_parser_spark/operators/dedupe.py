@@ -30,6 +30,22 @@ MINHASH_SEEDS = 12        # 12 hashes → 4 bands × 3 rows
 BAND_ROWS = 3
 JACCARD_DUP = 0.8         # verified-duplicate threshold
 SIMHASH_BITS = 32
+HAMMING_MAX = 6           # simhash near-dup radius
+
+
+def _simhash_chunks() -> tuple[list[int], list[int]]:
+    """(bit offsets, bit widths) splitting SIMHASH_BITS into
+    HAMMING_MAX+1 near-equal chunks: a pair within hamming HAMMING_MAX
+    differs in ≤ HAMMING_MAX chunks, hence matches on ≥ 1 (pigeonhole),
+    so a (chunk_idx, chunk_val) equi-join finds every qualifying pair."""
+    n = HAMMING_MAX + 1
+    base, extra = divmod(SIMHASH_BITS, n)
+    sizes = [base + (1 if i < extra else 0) for i in range(n)]
+    offsets = [sum(sizes[:i]) for i in range(n)]
+    return offsets, sizes
+
+
+_SIMHASH_CHUNKS = _simhash_chunks()
 
 
 def register(name: str, sql: str | None):
@@ -189,15 +205,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(_words(F.col("text")))).alias("token"),
     )
-    # ONE aggregation produces signatures + set size + the token set —
-    # bands explode from it (no unionAll recompute), and verification
-    # is array_intersect on the carried sets (no re-join of the token
-    # table).  Plan: 1 agg shuffle + 1 band self-join + 1 distinct.
+    # The band self-join carries ONLY (doc_id, band_idx, band_key) —
+    # at web scale the token set IS the document, and shuffling it
+    # through the band explode (2 sides × n_bands) is a memory/network
+    # amplifier.  Verification joins the small candidate-pair set back
+    # to one (doc_id, toks, n) table: two narrow hash joins sized by
+    # the number of colliding pairs, not by corpus × bands.
     sigs = t.groupBy("doc_id").agg(
         *[F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("token"))))
           .alias(f"mh{s}") for s in range(MINHASH_SEEDS)],
-        F.count("*").alias("n"),
+    )
+    toks = t.groupBy("doc_id").agg(
         F.collect_set("token").alias("toks"),
+        F.count("*").alias("n"),
     )
     band_structs = [
         F.struct(
@@ -208,27 +228,32 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for band in range(MINHASH_SEEDS // BAND_ROWS)
     ]
     bands = sigs.select(
-        "doc_id", "n", "toks",
+        "doc_id",
         F.explode(F.array(*band_structs)).alias("b"),
-    ).select("doc_id", "n", "toks",
+    ).select("doc_id",
              F.col("b.band_idx").alias("band_idx"),
              F.col("b.band_key").alias("band_key"))
-    a = bands.select(*[F.col(c).alias(f"{c}_a") for c in
-                       ("doc_id", "n", "toks")], "band_idx", "band_key")
-    b = bands.select(*[F.col(c).alias(f"{c}_b") for c in
-                       ("doc_id", "n", "toks")], "band_idx", "band_key")
-    pairs = (
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+    cands = (
         a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b", "n_a", "n_b", "toks_a", "toks_b")
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
-    out = pairs.select(
-        F.col("doc_id_a").alias("doc_a"),
-        F.col("doc_id_b").alias("doc_b"),
-        F.size(F.array_intersect("toks_a", "toks_b")).alias("n_inter"),
-        (F.col("n_a") + F.col("n_b")
-         - F.size(F.array_intersect("toks_a", "toks_b"))).alias("n_union"),
+    ta = toks.select(F.col("doc_id").alias("doc_a"),
+                     F.col("toks").alias("toks_a"), F.col("n").alias("n_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"),
+                     F.col("toks").alias("toks_b"), F.col("n").alias("n_b"))
+    out = (
+        cands.join(ta, "doc_a").join(tb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("toks_a", "toks_b")).alias("n_inter"),
+            (F.col("n_a") + F.col("n_b")
+             - F.size(F.array_intersect("toks_a", "toks_b")))
+            .alias("n_union"),
+        )
     )
     return out.filter(
         F.col("n_inter").cast("double") / F.col("n_union") >= JACCARD_DUP)
@@ -383,15 +408,47 @@ def dedup_clusters(documents: DataFrame, pairs: DataFrame,
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
 """)
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at hamming ≤ 6 via pigeonhole banding — the
+    scale path, not an all-pairs join.
+
+    Split the 32-bit simhash into HAMMING_MAX+1 = 7 chunks (5,5,5,5,
+    4,4,4 bits).  Any pair within hamming 6 differs in at most 6
+    chunks, so it agrees on at least one → an equi-join on
+    (chunk_idx, chunk_val) generates every qualifying pair as a
+    candidate, and the exact hamming filter verifies.  Shuffle size is
+    the number of chunk collisions (near-linear for sparse dup sets),
+    never n²; each side carries only (doc_id, simhash) — 16 bytes.
+    """
     sh = simhash_docs(spark, sf_dir)
-    a, b = sh.alias("a"), sh.alias("b")
-    ham = F.bit_count(F.expr("a.simhash ^ b.simhash"))
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+    offsets, sizes = _SIMHASH_CHUNKS
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("chunk_idx"),
+            F.shiftright(F.col("simhash"), offsets[i])
+            .bitwiseAND((1 << sizes[i]) - 1).alias("chunk_val"),
         )
-        .filter(F.col("hamming") <= 6)
+        for i in range(len(sizes))
+    ]
+    chunks = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*chunk_structs)).alias("c"),
+    ).select("doc_id", "simhash",
+             F.col("c.chunk_idx").alias("chunk_idx"),
+             F.col("c.chunk_val").alias("chunk_val"))
+    a = chunks.select(F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("sh_a"),
+                      "chunk_idx", "chunk_val")
+    b = chunks.select(F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("sh_b"),
+                      "chunk_idx", "chunk_val")
+    cands = (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cands.select(
+            "doc_a", "doc_b",
+            F.bit_count(F.expr("sh_a ^ sh_b")).alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
     )

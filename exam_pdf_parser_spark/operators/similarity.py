@@ -274,6 +274,87 @@ def cosine_topk_pandas(
         F.col("rk") <= k)
 
 
+def embedding_near_pairs_lsh(
+    embeddings: DataFrame, threshold: float = 0.8,
+    n_planes: int = 8, n_tables: int = 8, seed: int = 7,
+) -> DataFrame:
+    """Scale path for thresholded near-dup PAIR generation — replaces
+    the exact tier's all-pairs theta join (`embedding_near_dups`) with
+    multi-table random-hyperplane bucketing.
+
+    Candidates are pairs sharing a (table, bucket) sign-pattern key in
+    ANY of ``n_tables`` independent tables — an equi-join self-join
+    whose shuffle carries ONLY (vec_id, table, bucket); the vectors
+    join back onto the (small) candidate-pair set for exact cosine
+    verification, so nothing heavy rides through the bucket explode
+    (same design as the banded MinHash verification).  Precision is
+    exact (every emitted pair passes the true cosine test); recall
+    rises with ``n_tables`` — the pytest recall gate plants clustered
+    near-dups and requires ≥ 0.95 vs the exact tier.
+
+    Returns (vec_a, vec_b, cosine) with cosine ≥ threshold.
+    """
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    sc = embeddings.sparkSession.sparkContext
+    bp = sc.broadcast(planes)
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+    sig_schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("table", IntegerType()),
+        StructField("bucket", LongType()),
+    ])
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pls = bp.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            frames = []
+            for t in range(pls.shape[0]):
+                bits = (m @ pls[t].T) > 0
+                buckets = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+                frames.append(pd.DataFrame({
+                    "vec_id": pdf["vec_id"], "table": t, "bucket": buckets,
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    sigs = embeddings.select("vec_id", "embedding").mapInPandas(
+        sig, sig_schema)
+    a = sigs.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
+    b = sigs.select(F.col("vec_id").alias("vec_b"), "table", "bucket")
+    cands = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    ea = embeddings.select(F.col("vec_id").alias("vec_a"),
+                           F.col("embedding").alias("emb_a"))
+    eb = embeddings.select(F.col("vec_id").alias("vec_b"),
+                           F.col("embedding").alias("emb_b"))
+
+    def _dot(x, y):
+        return F.aggregate(
+            F.zip_with(x.cast("array<double>"), y.cast("array<double>"),
+                       lambda p, q: p * q),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.sqrt(_dot(F.col("emb_a"), F.col("emb_a")))
+        * F.sqrt(_dot(F.col("emb_b"), F.col("emb_b"))) + F.lit(1e-12))
+    return (
+        cands.join(ea, "vec_a").join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 10,
     n_planes: int = 10, n_tables: int = 4, seed: int = 7,

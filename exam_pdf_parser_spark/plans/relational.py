@@ -79,10 +79,13 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
-    # dims are tiny → broadcast; fact-fact join shuffles on the key.
+    # nation is a FIXED 25-row dim → safe to force-broadcast at any
+    # scale.  customer GROWS with the fact data — no hint; AQE picks
+    # broadcast while it fits and falls back to shuffle join at 100×
+    # (a forced hint there would OOM the build side).
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
@@ -502,7 +505,10 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate"))
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer grows with scale — no forced broadcast; the pushed
+        # mktsegment filter keeps it small enough for AQE to choose
+        # broadcast when it fits, shuffle join when it doesn't.
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("l_orderkey").alias("o_orderkey"),
                  "o_orderdate", "o_orderpriority")
         .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))

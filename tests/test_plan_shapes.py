@@ -61,6 +61,29 @@ def test_extraction_reads_only_url_and_html(spark):
     assert "MapInPandas" in plan
 
 
+def test_simhash_pairs_banded_not_all_pairs(spark):
+    # pigeonhole banding replaced the O(n²) theta join: candidates come
+    # from a (chunk_idx, chunk_val) equi-join, never a nested loop
+    from exam_pdf_parser_spark.operators.dedupe import simhash_near_pairs
+
+    plan = _plan(simhash_near_pairs(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_band_join_carries_ids_only(spark):
+    # the band self-join must shuffle (doc_id, band_idx, band_key)
+    # only — token sets join back onto the small candidate-pair set,
+    # never ride through the band explode
+    from exam_pdf_parser_spark.operators.dedupe import minhash_lsh_pairs
+
+    plan = _plan(minhash_lsh_pairs(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        assert not ("band_idx" in line and "toks" in line), line
+
+
 def test_ann_topk_broadcasts_queries(spark):
     from exam_pdf_parser_spark.operators.similarity import ann_topk_dot
 

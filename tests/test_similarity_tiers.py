@@ -34,6 +34,64 @@ def test_lsh_recall_against_brute_force(spark):
     emb.unpersist()
 
 
+def test_lsh_pair_generation_recall_vs_exact(spark):
+    """The bucketed pair generator must recover ≥95% of the true
+    thresholded pairs (planted near-dup clusters), with exact
+    precision — every emitted pair passes the true cosine test."""
+    import numpy as np
+
+    from exam_pdf_parser_spark.operators.similarity import (
+        embedding_near_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(42)
+    dim, n_bases, n_noise = 64, 30, 60
+    bases = rng.standard_normal((n_bases, dim))
+    vecs = []
+    for base in bases:
+        for _ in range(3):  # base + jitter → within-cluster cos ≈ 0.99
+            vecs.append(base + 0.15 * rng.standard_normal(dim))
+    vecs.extend(rng.standard_normal(dim) for _ in range(n_noise))
+    mat = np.array(vecs, dtype=np.float32).astype(np.float64)
+
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    gram = norm @ norm.T
+    truth = {
+        (i, j)
+        for i in range(len(mat)) for j in range(i + 1, len(mat))
+        if gram[i, j] >= 0.95
+    }
+    assert len(truth) >= n_bases  # the plant worked
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(len(mat))],
+        "vec_id: long, embedding: array<float>",
+    )
+    found = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_pairs_lsh(df, threshold=0.95).collect()
+    }
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.95, (recall, len(truth), len(found))
+    assert found <= truth  # exact verification → no false positives
+
+
+def test_lsh_pair_bucket_join_carries_ids_only(spark):
+    from exam_pdf_parser_spark.operators.similarity import (
+        embedding_near_pairs_lsh,
+    )
+    from exam_pdf_parser_spark.sources.io import load
+
+    emb = load(spark, SF, "embeddings")
+    plan = embedding_near_pairs_lsh(
+        emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        # the bucket self-join must not shuffle embedding vectors
+        assert not ("bucket" in line and "emb_a" in line), line
+
+
 def test_ivf_recall_against_brute_force(spark):
     from exam_pdf_parser_spark.operators.similarity import ivf_topk
 
