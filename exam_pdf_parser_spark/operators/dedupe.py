@@ -390,6 +390,40 @@ def dedup_clusters(documents: DataFrame, pairs: DataFrame,
     )
 
 
+def _dedup_clusters_sql() -> str:
+    """Recursive-CTE oracle for cluster assignment: transitive closure
+    of the MinHash near-dup pair graph (same pair SQL as the
+    minhash_lsh_pairs oracle), component = min reachable doc_id."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_sql()}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS cluster_id,
+           d.doc_id = coalesce(c.component, d.doc_id) AS keep
+    FROM (SELECT doc_id FROM documents WHERE doc_id < {PAIR_SCOPE}) d
+    LEFT JOIN comp c ON c.node = d.doc_id
+    """
+
+
+@register("dedup_cluster_assignment", _dedup_clusters_sql())
+def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing cluster decision table: MinHash LSH pairs →
+    connected components (min-label propagation) → keep/drop per doc.
+    The DuckDB twin computes the same closure with a recursive CTE."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < PAIR_SCOPE)
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    return dedup_clusters(d, pairs)
+
+
 @register("simhash_near_pairs", f"""
     WITH t AS (
       SELECT doc_id, unnest(list_distinct(

@@ -153,17 +153,54 @@ def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- J2 anti join (src/validator.py:507-519) -------------------------------
-@register("customers_without_orders", """
-    SELECT c_custkey, c_name
+# --- J2 anti / semi joins + A14 + EXCEPT set op in ONE driver row -----------
+# (src/validator.py:507-519 anti-join shape; scripts/run_comparison.py:314-326
+# missed-by-all; §2.8 set ops).  One registered query exercises all four
+# membership plans — the driver gate records at most 50 entries, so
+# related demos share a row (each branch is still a distinct plan).
+@register("entity_order_membership", """
+    SELECT 'customer_no_orders' AS entity, c_custkey AS entity_id
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'customer_with_orders', c_custkey
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'user_never_purchasing', user_id
+    FROM events GROUP BY user_id
+    HAVING max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 0
+    UNION ALL
+    SELECT 'part_never_ordered', p_partkey FROM (
+      SELECT p_partkey FROM part
+      EXCEPT SELECT l_partkey AS p_partkey FROM lineitem)
 """)
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def entity_order_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    e = load(spark, sf_dir, "events")
+    p = load(spark, sf_dir, "part").select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"))
+
+    def tag(name, df, idcol):
+        return df.select(F.lit(name).alias("entity"),
+                         F.col(idcol).cast("bigint").alias("entity_id"))
+
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    never = (
+        e.groupBy("user_id")
+        .agg(F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+             .alias("m"))
+        .filter("m = 0")
+    )
+    except_ = p.exceptAll(li).distinct()
+    return (
+        tag("customer_no_orders", anti, "c_custkey")
+        .unionAll(tag("customer_with_orders", semi, "c_custkey"))
+        .unionAll(tag("user_never_purchasing", never, "user_id"))
+        .unionAll(tag("part_never_ordered", except_, "p_partkey"))
     )
 
 
@@ -282,24 +319,6 @@ def priority_fill_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- A14 missed-by-all intersection (scripts/run_comparison.py:314-326) ----
-@register("users_never_purchasing", """
-    SELECT user_id
-    FROM events
-    GROUP BY user_id
-    HAVING max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 0
-""")
-def users_never_purchasing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
-    return (
-        e.groupBy("user_id")
-        .agg(F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-             .alias("m"))
-        .filter("m = 0")
-        .select("user_id")
-    )
-
-
 # --- A3/A4 contiguity check (src/validator.py:200-239) ---------------------
 @register("linenumber_contiguity", """
     SELECT l_orderkey,
@@ -353,32 +372,6 @@ def doc_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_cost_ucents"),
         )
     )
-
-
-# --- semi join (J-family completeness) --------------------------------------
-@register("customers_with_orders_semi", """
-    SELECT c_custkey, c_mktsegment
-    FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-""")
-def customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", "c_mktsegment")
-
-
-# --- EXCEPT set op (§2.8): parts never ordered -------------------------------
-@register("parts_never_ordered", """
-    SELECT p_partkey FROM part
-    EXCEPT
-    SELECT l_partkey AS p_partkey FROM lineitem
-""")
-def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load(spark, sf_dir, "part").select("p_partkey")
-    li = load(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").alias("p_partkey"))
-    return p.exceptAll(li).distinct()
 
 
 # --- string-function family (F12-ish sanitization pipeline) -----------------

