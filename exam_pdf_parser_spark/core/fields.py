@@ -23,7 +23,57 @@ from .textfuncs import CIRCLE_DIGITS, QNUM_PATTERNS, normalize_text
 
 LISTENING_MAX = 17
 TYPE_LISTENING = "듣기"
-TYPE_READING = "독해"
+TYPE_OTHER = "기타"
+
+# Deterministic QuestionType taxonomy (reference enum
+# src/schema.py:20-45; the reference fills it via LLM, the north rule
+# replaces that with a keyword cascade over the parsed question stem).
+# Ordered — FIRST matching keyword wins, so classification is a pure
+# function of (number, question_text).
+QUESTION_TYPE_RULES: list[tuple[str, str]] = [
+    ("서술", "서술형"),
+    ("오류를 수정", "오류수정"),
+    ("배열하시오", "배열"),
+    ("문장으로 바꾸", "문장전환"),
+    ("심경", "심경변화"),
+    ("분위기", "심경변화"),
+    ("목적", "목적"),
+    ("주장", "주장"),
+    ("함의", "함의"),
+    ("요약", "요약"),
+    ("빈칸", "빈칸"),
+    ("순서", "순서"),
+    ("들어가기에", "삽입"),
+    ("무관한", "무관한문장"),
+    ("가리키는", "지칭"),
+    ("도표", "도표"),
+    ("일치", "내용일치"),
+    ("제목", "제목"),
+    ("주제", "주제/요지"),
+    ("요지", "주제/요지"),
+    ("어법", "문법"),
+    ("낱말", "어휘"),
+    ("어휘", "어휘"),
+]
+
+# validator parity sets (src/validator.py:32-55)
+WRITTEN_TYPES = {"서술형", "오류수정", "배열", "문장전환"}
+PASSAGE_TYPES = {
+    "주제/요지", "제목", "심경변화", "목적", "주장", "함의", "빈칸",
+    "순서", "삽입", "요약", "무관한문장", "지칭", "내용일치", "장문",
+}
+
+
+def classify_question_type(number: int, question_text: str) -> str:
+    """Deterministic type: positions 1-17 are listening
+    (src/validator.py:318); otherwise the first keyword rule that
+    matches the question stem; else 기타."""
+    if number <= LISTENING_MAX:
+        return TYPE_LISTENING
+    for keyword, qtype in QUESTION_TYPE_RULES:
+        if keyword in question_text:
+            return qtype
+    return TYPE_OTHER
 
 _CIRCLE_ALT = "|".join(sorted(CIRCLE_DIGITS))
 _CIRCLE_SPLIT_RE = re.compile(f"(?=(?:{_CIRCLE_ALT}))")
@@ -115,16 +165,26 @@ def parse_question_fields(regions: list[Region]) -> list[dict]:
         # the simple, reproducible rule: everything before the choices
         # normalized, passage = None for listening positions.
         body_norm = normalize_text(body)
+        # +N point marker (parity src/evaluator.py:134-145: only the
+        # value 3 is honored; [3점] in the stem is the canonical form).
+        # Markers are stripped from the body BEFORE the stem/passage
+        # split so a "+3" block never leaks into passage text (the
+        # reference strips trailing +N lines from its passage too).
+        plus = _PLUS_POINTS_RE.search(body_norm)
+        plus_three = plus is not None and int(plus.group(1)) == 3
+        if plus:
+            body_norm = normalize_text(_PLUS_POINTS_RE.sub(" ", body_norm))
+        body_norm, subs = split_sub_questions(body_norm)
         listening = num <= LISTENING_MAX
         if listening:
             question_text, passage = body_norm, None
         else:
             question_text, passage = _split_question_passage(body_norm)
-        points = 3 if "[3점]" in question_text else 2
+        points = 3 if ("[3점]" in question_text or plus_three) else 2
         rows.append({
             "number": num,
             "question_text": question_text,
-            "question_type": TYPE_LISTENING if listening else TYPE_READING,
+            "question_type": classify_question_type(num, question_text),
             "passage": passage,
             "choices": choices,
             "points": points,
@@ -139,7 +199,7 @@ def parse_question_fields(regions: list[Region]) -> list[dict]:
             # stays null; V22 flags figure questions without one
             # (src/validator.py:478-498)
             "image_description": None,
-            "sub_questions": [],
+            "sub_questions": subs,
         })
 
     # F9 group-passage propagation (src/evaluator.py:230-255): members
@@ -167,6 +227,27 @@ def parse_exam_title(regions: list[Region]) -> str | None:
     if ordered and ordered[0].pre_text:
         return normalize_text(ordered[0].pre_text) or None
     return None
+
+
+_PLUS_POINTS_RE = re.compile(r"\+(\d+)")
+_SUB_Q_RE = re.compile(r"\((\d+)\)\s*")
+
+
+def split_sub_questions(body: str) -> tuple[str, list[str]]:
+    """Extract ``(1) …`` ``(2) …`` sub-question prompts from the body
+    (reference field sub_questions src/schema.py:86, for grouped /
+    workbook items).  Each segment runs to the next ``(n)`` marker or
+    end of body; the prefix before the first marker stays the question
+    body.  An empty segment (marker with no prompt) is preserved — V6
+    flags it (src/validator.py:179-189)."""
+    matches = list(_SUB_Q_RE.finditer(body))
+    if not matches:
+        return body, []
+    subs = []
+    for i, m in enumerate(matches):
+        end = matches[i + 1].start() if i + 1 < len(matches) else len(body)
+        subs.append(body[m.end():end].strip())
+    return body[: matches[0].start()].strip(), subs
 
 
 _VOCAB_RE = re.compile(r"\*([A-Za-z]+) : ")

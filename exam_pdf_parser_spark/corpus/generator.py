@@ -54,6 +54,31 @@ _EN_WORDS = (
 _BOILER_NAV = "HOME | NEWS | SPORTS | LOGIN | SUBSCRIBE | CONTACT"
 _BOILER_FOOT = "© example.com all rights reserved | privacy | terms | sitemap"
 
+# Planted type stems — each leads with the keyword its QuestionType
+# cascade rule matches (core/fields.QUESTION_TYPE_RULES; reference
+# taxonomy src/schema.py:20-45).  Random body words may also contain
+# cascade keywords; classification stays deterministic because the
+# cascade is ordered, not positional.
+_TYPE_STEMS = [
+    "다음 글의 주제로 가장 적절한 것은?",
+    "다음 글의 제목으로 가장 적절한 것은?",
+    "다음 글에 드러난 화자의 심경 변화로 가장 적절한 것은?",
+    "다음 글의 목적으로 가장 적절한 것은?",
+    "필자가 주장하는 바로 가장 적절한 것은?",
+    "밑줄 친 부분이 함의하는 바로 가장 적절한 것은?",
+    "빈칸에 들어갈 말로 가장 적절한 것을 고르시오.",
+    "주어진 글 다음에 이어질 글의 순서로 가장 적절한 것은?",
+    "글의 흐름으로 보아 주어진 문장이 들어가기에 가장 적절한 곳은?",
+    "다음 글의 내용을 한 문장으로 요약하고자 한다.",
+    "다음 글에서 전체 흐름과 무관한 문장은?",
+    "밑줄 친 부분이 가리키는 대상이 나머지 넷과 다른 것은?",
+    "다음 글의 내용과 일치하지 않는 것은?",
+    "다음 도표의 내용과 일치하지 않는 것은?",
+    "다음 글의 밑줄 친 부분 중 어법상 틀린 것은?",
+    "다음 글의 밑줄 친 낱말의 쓰임이 적절하지 않은 것은?",
+]
+_WRITTEN_STEM = "다음 글을 읽고 우리말로 서술하시오."
+
 
 def _rng(seed: int, doc_id: int) -> random.Random:
     # int seeding is deterministic across processes (unlike str hashing)
@@ -156,33 +181,77 @@ def build_document(doc_id: int, seed: int = 42) -> dict:
             digit_split_q = rng.choice(cands)
 
     three_point = {q for q in range(n_listen + 1, n_q + 1) if rng.random() < 0.15}
+    # point-marker dialect: [3점] in the stem (canonical) vs a bare
+    # "+3" layout block (src/evaluator.py:134-145) — key side emits +3
+    # for every 3-point regular entry either way
+    plus_style = {q for q in sorted(three_point)
+                  if q not in in_group and rng.random() < 0.35}
+    # written-response questions (서술형 etc., src/validator.py:32-37):
+    # no choices, optional (n)-numbered sub-questions
+    written_qs = {
+        q for q in range(n_listen + 1, n_q + 1)
+        if q not in in_group and q != digit_split_q and rng.random() < 0.08
+    }
+    # V14 plants: passage-required types with the passage omitted
+    # (src/validator.py:293-303)
+    no_passage = {
+        q for q in range(n_listen + 1, n_q + 1)
+        if q not in in_group and q not in written_qs and rng.random() < 0.05
+    }
 
     # --- ground-truth fields (also drive the answer key) ---
     questions: list[dict] = []
     for q in range(1, n_q + 1):
         listening = q <= n_listen
-        qt = _sentence(rng, _KO_WORDS, 4, 9)
-        if q in three_point:
+        written = q in written_qs
+        if listening:
+            qt = _sentence(rng, _KO_WORDS, 4, 9)
+        elif written:
+            qt = f"{_WRITTEN_STEM} {_sentence(rng, _KO_WORDS, 2, 4)}"
+        elif rng.random() < 0.85:
+            qt = f"{rng.choice(_TYPE_STEMS)} {_sentence(rng, _KO_WORDS, 3, 6)}"
+        else:
+            qt = _sentence(rng, _KO_WORDS, 4, 9)
+        if q in three_point and q not in plus_style:
             qt += " [3점]"
-        passage = None if listening else _sentence(rng, _EN_WORDS, 20, 60)
+        passage = (None if listening or written or q in no_passage
+                   else _sentence(rng, _EN_WORDS, 20, 60))
+        subs: list[str] = []
+        if written and rng.random() < 0.6:
+            subs = [_sentence(rng, _KO_WORDS, 2, 4)
+                    for _ in range(rng.randint(2, 3))]
+            if rng.random() < 0.15:
+                subs[1] = ""        # V6 plant: empty sub-question entry
         questions.append({
             "number": q,
             "question_text": qt,
             "passage": passage,
-            "choices": _choices_text(rng),
+            "choices": [] if written else _choices_text(rng),
             "points": 3 if q in three_point else 2,
             "listening": listening,
+            "written": written,
+            "subs": subs,
         })
 
     # --- lay out blocks ---
     # exam title banner above Q1 (pre-question pool; the bbox merges
     # into Q1's region per the reference's generous-crop rule while the
     # TEXT feeds exam_info.title — V1 fires for the titleless docs)
+    # title variants carry the exam-type keywords the reference's
+    # _detect_exam_type cascade keys on (src/validator.py:61-75)
     exam_title = None
-    if rng.random() < 0.8:
+    title_style = rng.random()
+    if title_style < 0.8:
         year = rng.randint(2020, 2026)
         month = rng.choice([3, 6, 9, 11])
-        exam_title = f"{year}학년도 {month}월 전국연합학력평가 영어영역"
+        if title_style < 0.20:
+            exam_title = f"{year}학년도 대학수학능력시험 영어영역"
+        elif title_style < 0.40:
+            exam_title = f"{year}학년도 {month}월 모의평가 영어영역"
+        elif title_style < 0.52:
+            exam_title = f"영어 워크북 Chapter {rng.randint(1, 12)} Final Test"
+        else:
+            exam_title = f"{year}학년도 {month}월 전국연합학력평가 영어영역"
         flow.add_block(exam_title, height=30.0)
 
     for qd in questions:
@@ -215,6 +284,9 @@ def build_document(doc_id: int, seed: int = 42) -> dict:
             else:
                 start_text = f"{q} {qd['question_text']}"
         flow.add_block(start_text)
+        if q in plus_style:
+            # bare +N point-marker block (src/evaluator.py:134-145)
+            flow.add_block("+3", height=16.0)
         if rng.random() < 0.08:
             flow.add_block("", height=18.0)          # blank block (P2)
         if rng.random() < 0.05:
@@ -240,8 +312,14 @@ def build_document(doc_id: int, seed: int = 42) -> dict:
             qd["has_table"] = kind == "table"
         else:
             qd["has_image"] = qd["has_table"] = False
+        # sub-question prompts "(1) …" (src/schema.py:86); an empty
+        # plant renders as a bare "(n)" marker — V6 catches it
+        for i, s in enumerate(qd["subs"], 1):
+            flow.add_block(f"({i}) {s}".rstrip(), height=20.0)
         # vocabulary notes (*word : meaning lines; src/schema.py:80-82)
-        if not qd["listening"] and rng.random() < 0.12:
+        # — never on written questions: a vocab meaning would swallow
+        # the sub-question text (meaning runs to the next * marker)
+        if not qd["listening"] and not qd["written"] and rng.random() < 0.12:
             qd["vocab"] = [
                 (rng.choice(_EN_WORDS), _sentence(rng, _KO_WORDS, 2, 3))
                 for _ in range(rng.randint(1, 3))

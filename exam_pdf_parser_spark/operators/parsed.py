@@ -92,25 +92,36 @@ def parse_documents(documents: DataFrame,
 
 def exam_info_table(parsed: DataFrame) -> DataFrame:
     """Per-url exam_info (A11 total_questions sync src/schema.py:109-113
-    + F10 exam-type detection src/validator.py:61-75, re-expressed as a
-    deterministic CASE over parsed structure)."""
+    + F10 exam-type detection).
+
+    exam_type mirrors the reference cascade src/validator.py:61-75
+    exactly: title keywords 수능/대학수학능력 → 수능; 모의 → 모의고사;
+    any written-response question OR workbook title keywords
+    (final test / chapter test / 워크북 / 연습) → 워크북; else 기타."""
     from pyspark.sql import functions as F
+
+    from ..core.fields import WRITTEN_TYPES
 
     agg = parsed.groupBy("url").agg(
         F.first("exam_title").alias("title"),
         F.count("*").alias("total_questions"),
         F.sum(F.when(F.col("question_type") == "듣기", 1).otherwise(0))
         .alias("n_listening"),
+        F.sum(F.when(F.col("question_type").isin(*WRITTEN_TYPES), 1)
+              .otherwise(0)).alias("n_written"),
         F.min("number").alias("first_number"),
         F.max("number").alias("last_number"),
         F.sum(F.when(F.col("points") == 3, 1).otherwise(0))
         .alias("n_three_point"),
     )
+    t = F.lower(F.coalesce(F.col("title"), F.lit("")))
+    workbook_kw = (t.contains("final test") | t.contains("chapter test")
+                   | t.contains("워크북") | t.contains("연습"))
     exam_type = (
-        F.when((F.col("n_listening") > 0)
-               & (F.col("total_questions") > F.col("n_listening")), "수능형")
-        .when(F.col("n_listening") > 0, "듣기평가형")
-        .otherwise("워크북형")
+        F.when(t.contains("수능") | t.contains("대학수학능력"), "수능")
+        .when(t.contains("모의"), "모의고사")
+        .when((F.col("n_written") > 0) | workbook_kw, "워크북")
+        .otherwise("기타")
     )
     return agg.withColumn("exam_type", exam_type)
 

@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..core.fields import PASSAGE_TYPES, WRITTEN_TYPES
+
 LISTENING = "듣기"
 
 def _issue(df: DataFrame, level: str, rule: str, message) -> DataFrame:
@@ -124,11 +126,21 @@ def validate(
         p.filter(F.exists("choices", lambda c: F.trim(c["text"]) == "")),
         "error", "V12", "empty choice text"))
 
-    # V13 non-listening question with no choices (warning) — :282-290
+    # V13 non-listening question with no choices (warning) — :282-290;
+    # written-response types are exempt (src/validator.py:282 skips
+    # _WRITTEN_TYPES)
     rules.append(_issue(
         p.filter((F.col("question_type") != LISTENING)
+                 & ~F.col("question_type").isin(*WRITTEN_TYPES)
                  & (F.col("number") > 17) & (F.size("choices") == 0)),
         "warning", "V13", "question has no choices"))
+
+    # V14 passage-required type with no passage (warning) —
+    # src/validator.py:40-55 (_PASSAGE_TYPES), :293-303
+    rules.append(_issue(
+        p.filter(F.col("question_type").isin(*PASSAGE_TYPES)
+                 & F.col("passage").isNull()),
+        "warning", "V14", "passage-required type missing passage"))
 
     # V15 listening with a passage (warning) — src/validator.py:306-356
     rules.append(_issue(

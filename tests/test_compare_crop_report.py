@@ -80,13 +80,32 @@ def test_pad_clamp():
 
 
 def test_exam_info(spark, docs):
+    from exam_pdf_parser_spark.corpus.generator import build_document
+
     parsed = parse_documents(docs)
     info = {r["url"]: r for r in exam_info_table(parsed).collect()}
     assert len(info) == N_DOCS
     for r in info.values():
-        assert r["exam_type"] == "수능형"     # corpus always has both parts
+        assert r["exam_type"] in ("수능", "모의고사", "워크북", "기타")
         assert r["n_listening"] == 17
         assert r["total_questions"] >= 20
+    # title keywords drive the cascade exactly (src/validator.py:61-75)
+    for i in range(N_DOCS):
+        row = build_document(i)
+        got = info[row["url"]]
+        title = (row["exam_title"] or "").lower()
+        if "수능" in title or "대학수학능력" in title:
+            assert got["exam_type"] == "수능", row["url"]
+        elif "모의" in title:
+            assert got["exam_type"] == "모의고사", row["url"]
+        elif got["n_written"] > 0 or any(
+                kw in title for kw in
+                ("final test", "chapter test", "워크북", "연습")):
+            assert got["exam_type"] == "워크북", row["url"]
+        else:
+            assert got["exam_type"] == "기타", row["url"]
+    # the 30-doc corpus must exercise more than one exam type
+    assert len({r["exam_type"] for r in info.values()}) >= 2
 
 
 def test_golden_json_roundtrip_stable(tmp_path):

@@ -122,6 +122,11 @@ def test_validation_issue_semantics(spark_tables):
     assert "V15b" not in by_rule
     # group ranges are well-formed ASCII-tilde
     assert "V16" not in by_rule
+    # generator plants fire the taxonomy-dependent rules: V14
+    # (passage-required type, passage omitted) and V6 (empty
+    # sub-question entry on written items)
+    assert by_rule.get("V14", 0) > 0
+    assert by_rule.get("V6", 0) > 0
     rollup = validity_rollup(issues, spark_tables["parsed"])
     assert rollup.count() == N_DOCS
     # every url has the rollup columns populated
@@ -161,15 +166,21 @@ def test_validation_catches_planted_defects(spark):
         q(31, vocab=[{"word": "x", "meaning": " "}]),     # V6b
         q(32, sub_questions=["ok", " "]),                 # V6
         q(33, has_image=True),                            # V22
+        q(34, qtype="주제/요지", passage=None),           # V14
+        q(35, qtype="서술형", choices=[]),                # written: NOT V13
         # V8: gap at 28-29 etc. exists by construction
     ]
     parsed = spark.createDataFrame(rows, PARSED_SCHEMA)
     issues = validate(parsed)
     got = {r["rule"] for r in issues.select("rule").distinct().collect()}
     for rule in ["V3", "V4", "V4b", "V6", "V6b", "V7", "V8", "V10", "V11",
-                 "V12", "V13", "V16", "V17", "V18", "V19", "V20", "V21",
-                 "V22"]:
+                 "V12", "V13", "V14", "V16", "V17", "V18", "V19", "V20",
+                 "V21", "V22"]:
         assert rule in got, rule
+    # written-response types are exempt from V13 (src/validator.py:282)
+    v13_nums = {r["question_number"]
+                for r in issues.filter("rule = 'V13'").collect()}
+    assert 24 in v13_nums and 35 not in v13_nums
 
 
 def test_validity_rollup_includes_zero_parsed_urls(spark):
@@ -186,6 +197,25 @@ def test_validity_rollup_includes_zero_parsed_urls(spark):
     rollup = {r["url"]: r for r in validity_rollup(issues, parsed).collect()}
     assert set(rollup) == {"u_ok", "u_empty"}
     assert not rollup["u_empty"]["is_valid"]
+
+
+def test_plus_points_marker_parity(corpus_rows):
+    """The bare '+3' layout marker (src/evaluator.py:134-145) must set
+    points=3 on the parsed side, never leak into question_text or
+    passage, and agree with the answer-key side for regular entries."""
+    found = 0
+    for r in corpus_rows:
+        _, regions = extract_document(r["html"])
+        key_points = {e["number"]: e["points"]
+                      for e in parse_answer_md(r["answer_md"])}
+        for q in parse_question_fields(regions):
+            if q["points"] == 3 and "[3점]" not in q["question_text"]:
+                found += 1
+                assert "+3" not in q["question_text"]
+                assert "+3" not in (q["passage"] or "")
+                if not q["group_range"]:
+                    assert key_points.get(q["number"]) == 3, q["number"]
+    assert found > 0  # the generator plants the +3 dialect
 
 
 def test_exam_title_matches_generator(spark_tables, corpus_rows):

@@ -62,3 +62,35 @@ def test_section_header_latex_sim_literal():
     # literal '\\sim' check (src/cropper/detector.py:226)
     assert is_section_header(r"[31\sim34] 안내")
     assert not is_section_header(r"[31\sim34] " + "x" * 40)
+
+
+def test_classify_question_type_cascade():
+    from exam_pdf_parser_spark.core.fields import (
+        PASSAGE_TYPES, WRITTEN_TYPES, classify_question_type,
+    )
+
+    # positional listening overrides any keyword
+    assert classify_question_type(3, "빈칸에 들어갈 말은?") == "듣기"
+    assert classify_question_type(18, "다음 글의 주제로 적절한 것은?") == "주제/요지"
+    assert classify_question_type(20, "다음 글의 제목으로 적절한 것은?") == "제목"
+    assert classify_question_type(22, "빈칸에 들어갈 말로 적절한 것은?") == "빈칸"
+    assert classify_question_type(30, "다음 글을 읽고 우리말로 서술하시오.") == "서술형"
+    # ordered cascade: 도표 outranks the 일치 it also contains
+    assert classify_question_type(25, "다음 도표의 내용과 일치하지 않는 것은?") == "도표"
+    # no keyword → 기타
+    assert classify_question_type(40, "아무 관련 없는 텍스트") == "기타"
+    # parity sets reference the same values (src/validator.py:32-55)
+    assert "서술형" in WRITTEN_TYPES and "빈칸" in PASSAGE_TYPES
+
+
+def test_split_sub_questions():
+    from exam_pdf_parser_spark.core.fields import split_sub_questions
+
+    body, subs = split_sub_questions("본문 텍스트 (1) 첫번째 (2) 두번째")
+    assert body == "본문 텍스트"
+    assert subs == ["첫번째", "두번째"]
+    # empty entry preserved (V6 fodder)
+    body, subs = split_sub_questions("stem (1) 내용 (2) (3) 끝")
+    assert subs == ["내용", "", "끝"]
+    # no markers → untouched
+    assert split_sub_questions("그냥 본문") == ("그냥 본문", [])
