@@ -215,10 +215,6 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("token"))))
           .alias(f"mh{s}") for s in range(MINHASH_SEEDS)],
     )
-    toks = t.groupBy("doc_id").agg(
-        F.collect_set("token").alias("toks"),
-        F.count("*").alias("n"),
-    )
     band_structs = [
         F.struct(
             F.lit(band).alias("band_idx"),
@@ -235,11 +231,31 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.col("b.band_key").alias("band_key"))
     a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
+    # the small candidate-pair set is consumed three times (pairs +
+    # two semi-join sides); localCheckpoint materializes it once so
+    # the band join isn't recomputed per consumer (lazy — computed on
+    # the query's first action)
     cands = (
         a.join(b, ["band_idx", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+        .localCheckpoint(eager=False)
+    )
+    # token sets are aggregated ONLY for candidate docs (semi join
+    # before collect_set): with sparse duplicates at corpus scale the
+    # heavy token shuffle collapses to the candidate subset — exchange
+    # COUNT rises but shuffled BYTES drop from O(corpus) to O(cands)
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    toks = (
+        t.join(cand_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("token").alias("toks"),
+             F.count("*").alias("n"))
     )
     ta = toks.select(F.col("doc_id").alias("doc_a"),
                      F.col("toks").alias("toks_a"), F.col("n").alias("n_a"))
