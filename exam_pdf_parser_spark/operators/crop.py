@@ -1,18 +1,18 @@
 """Per-question crop sink (S11: src/cropper/cropper.py:32-91).
 
 The reference renders a clipped pixmap per question region and writes
-``q{n:02d}{_pN}.png`` files.  Here the crop is a deterministic
-byte-level render over the synthetic layout payload (no raster codec in
-the sandbox): a real PNG signature + an uncompressed deterministic
-body derived from the region's blocks, so the sink schema, naming
-scheme, pad/clamp arithmetic (F16, src/cropper/cropper.py:64-71) and
-partitioned write are all real; only the pixel encoding is a stub.
+``q{n:02d}{_pN}.png`` files.  Here every crop is a REAL, viewer-openable
+PNG (pure-stdlib zlib encoder, ``core/png.py``): the page's blocks are
+rasterized deterministically onto a white canvas — per-type shades for
+text/image/table rectangles clipped to the padded region bbox.  The
+sink schema, naming scheme, pad/clamp arithmetic (F16,
+src/cropper/cropper.py:64-71), partitioned write AND the pixel encoding
+are all real; only the SOURCE raster is synthetic (the sandbox has no
+PDF renderer, so layout geometry is the honest pixel source).
 """
 
 from __future__ import annotations
 
-import hashlib
-import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -23,8 +23,8 @@ from pyspark.sql.types import (
 
 from ..core.assemble import decode_payload
 from ..core.detector import detect_regions
+from ..core.png import encode_png_gray, render_region
 
-PNG_SIG = b"\x89PNG\r\n\x1a\n"
 PAD = 10.0  # crop padding, reference default src/cropper/cropper.py:64
 
 CROP_SCHEMA = StructType([
@@ -49,16 +49,6 @@ def pad_clamp(bbox, page_w: float, page_h: float,
             min(page_w, x1 + pad), min(page_h, y1 + pad))
 
 
-def _stub_png(url: str, q: int, page: int, bbox) -> bytes:
-    """Deterministic fake raster: PNG signature + crop geometry + a
-    content hash — byte-stable, collision-resistant, codec-free."""
-    h = hashlib.sha256(
-        f"{url}|{q}|{page}|{bbox}".encode("utf-8")).digest()
-    w = max(1, int(bbox[2] - bbox[0]))
-    ht = max(1, int(bbox[3] - bbox[1]))
-    return PNG_SIG + struct.pack(">II", w, ht) + h
-
-
 def crop_regions(documents: DataFrame,
                  min_q: int = 1, max_q: int = 50) -> DataFrame:
     """documents(url, html) → one crop row per (question, page) with the
@@ -79,6 +69,9 @@ def crop_regions(documents: DataFrame,
                     p.get("page_idx", 0): (p.get("page_size") or [842, 1191])
                     for p in pages
                 }
+                page_blocks = {
+                    p.get("page_idx", 0): p.get("blocks", []) for p in pages
+                }
                 regions = detect_regions(pages, min_q, max_q)
                 multi = {r.question_number for r in regions if r.spans_page}
                 for r in regions:
@@ -87,6 +80,8 @@ def crop_regions(documents: DataFrame,
                     name = (f"q{r.question_number:02d}_p{r.page_idx}"
                             if r.question_number in multi
                             else f"q{r.question_number:02d}")
+                    img = render_region(
+                        page_blocks.get(r.page_idx, []), bbox)
                     rows.append({
                         "url": url,
                         "question_number": r.question_number,
@@ -94,8 +89,7 @@ def crop_regions(documents: DataFrame,
                         "file_name": f"{name}.png",
                         "x0": bbox[0], "y0": bbox[1],
                         "x1": bbox[2], "y1": bbox[3],
-                        "png": _stub_png(url, r.question_number,
-                                         r.page_idx, bbox),
+                        "png": encode_png_gray(img),
                     })
             if rows:
                 yield pd.DataFrame(rows, columns=[f.name for f in

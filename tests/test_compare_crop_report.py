@@ -9,7 +9,8 @@ import tempfile
 import pytest
 
 from exam_pdf_parser_spark.operators.compare import compare_runs, missed_by_all
-from exam_pdf_parser_spark.operators.crop import PNG_SIG, crop_regions, pad_clamp
+from exam_pdf_parser_spark.core.png import PNG_SIG, decode_png_gray
+from exam_pdf_parser_spark.operators.crop import crop_regions, pad_clamp
 from exam_pdf_parser_spark.operators.extract import corpus_df
 from exam_pdf_parser_spark.operators.parsed import exam_info_table, parse_documents
 from exam_pdf_parser_spark.plans.pipeline import EXTRACTORS, full_pipeline, get_extractor
@@ -63,6 +64,18 @@ def test_crop_sink(spark, docs):
         assert bytes(r["png"]).startswith(PNG_SIG)
         assert r["x0"] <= r["x1"] and r["y0"] <= r["y1"]
         assert r["file_name"].startswith(f"q{r['question_number']:02d}")
+    # crops are REAL PNGs: structurally valid (CRCs, IHDR, zlib) with
+    # dimensions matching the padded bbox, and actual ink on the canvas
+    for r in rows[:10]:
+        img = decode_png_gray(bytes(r["png"]))
+        h, w = img.shape
+        w_pt = max(r["x1"] - r["x0"], 1.0)
+        h_pt = max(r["y1"] - r["y0"], 1.0)
+        scale = min(1.0, 512 / max(w_pt, h_pt))   # render_region cap
+        assert w == max(1, round(w_pt * scale))
+        assert h == max(1, round(h_pt * scale))
+        assert (img < 255).any()      # the region's blocks rendered
+        assert (img == 255).any()     # padding margin stays white
     # cross-page questions get the _pN suffix
     multi = [r for r in rows if "_p" in r["file_name"]]
     assert multi
@@ -141,3 +154,30 @@ def test_extractor_registry(spark, docs):
 def test_missed_by_all_empty_dict_raises():
     with pytest.raises(ValueError):
         missed_by_all({})
+
+
+def test_png_codec_roundtrip():
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.png import (
+        encode_png_gray, decode_png_gray, render_region,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(37, 53), dtype=np.uint8)
+    data = encode_png_gray(img)
+    assert (decode_png_gray(data) == img).all()
+    # byte-determinism
+    assert encode_png_gray(img) == data
+
+    # geometry: a text block and a table block land where expected
+    blocks = [
+        {"type": "text", "bbox": [10, 10, 30, 20]},
+        {"type": "table", "bbox": [0, 0, 5, 5]},
+        {"type": "text", "bbox": [900, 900, 950, 950]},  # outside crop
+    ]
+    r = render_region(blocks, (0, 0, 40, 30))
+    assert r.shape == (30, 40)
+    assert r[15, 20] == 200          # inside the text block
+    assert r[2, 2] == 100            # inside the table block
+    assert r[25, 35] == 255          # empty canvas stays white
