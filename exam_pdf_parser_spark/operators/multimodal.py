@@ -1,15 +1,18 @@
 """Multimodal column handling: image/audio/video as opaque ``binary``
 columns with typed metadata, processed in Arrow batches.
 
-The container has no image/audio codecs, so the *decode* step is
-stubbed (deterministic synthetic payload format XMED1; real decoders
-are gated behind import-try and raise ``NotImplementedError``), while
-everything Spark-side is real and tested: schemas, batch shapes,
-``mapInPandas`` signatures, partitioning, and a genuine feature
-extractor (byte-histogram embedding) that needs no codec.
+The IMAGE path is fully real: grayscale PNG payloads decode via the
+repo's stdlib codec (``core/png.py``), with genuine pixel features
+(``image_pixel_features``) and pixel-level block-mean resize
+(``resize_images``).  Audio/video decoding would need codecs the
+container doesn't ship, so those decode steps stay honestly stubbed
+(deterministic synthetic payload format XMED1; real decoders gated
+behind import-try raising ``NotImplementedError``), while everything
+Spark-side is real and tested: schemas, batch shapes, ``mapInPandas``
+signatures, partitioning, and a codec-free byte-histogram embedding.
 
-Payload format (synthetic): b"XMED1" + kind(1B: I/A/V) + width(2B) +
-height(2B) + n_frames(2B) + body bytes (seeded).
+XMED1 payload format (synthetic): b"XMED1" + kind(1B: I/A/V) +
+width(2B) + height(2B) + n_frames(2B) + body bytes (seeded).
 """
 
 from __future__ import annotations
@@ -224,15 +227,130 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
     return src.mapInPandas(run, FRAME_SCHEMA)
 
 
-def decode_image(payload: bytes):
-    """Real image decode — requires a codec the sandbox doesn't ship.
-    Clearly-marked stub per the build contract."""
+def decode_image(payload: bytes) -> np.ndarray:
+    """Image decode.  Grayscale PNG decodes for REAL via the repo's
+    stdlib codec (``core/png.py``); other formats fall back to Pillow
+    when available, else raise — clearly marked, since the sandbox
+    ships no general raster codec."""
+    from ..core.png import PNG_SIG, decode_png_gray
+
+    if payload[:8] == PNG_SIG:
+        return decode_png_gray(payload)
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "image decoding requires Pillow; the Spark-side plumbing "
-            "(schema, batching, partitioning) is real — swap this stub "
-            "for Image.open(io.BytesIO(payload)) in a full environment"
+            "non-PNG decoding requires Pillow; grayscale PNG decodes "
+            "natively via core/png.py — swap this fallback for "
+            "Image.open(io.BytesIO(payload)) in a full environment"
         ) from e
-    raise NotImplementedError("real decode path intentionally stubbed")
+    raise NotImplementedError("non-PNG decode path intentionally stubbed")
+
+
+# --- REAL image pipeline over PNG payloads (core/png.py codec) ---------------
+
+IMAGE_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("mean_intensity", FloatType(), True),
+    StructField("std_intensity", FloatType(), True),
+    StructField("edge_density", FloatType(), True),
+    StructField("valid", StringType(), False),
+])
+
+
+def png_media_corpus(spark: SparkSession, n: int, seed: int = 42,
+                     partitions: int = 8) -> DataFrame:
+    """Deterministic media table whose payloads are REAL grayscale
+    PNGs (seeded gradient + noise patterns), generated distributed."""
+    from ..core.png import encode_png_gray
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": []}
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng(seed * 1_000_003 + i)
+                w, h = 32 + (i % 8) * 8, 32 + (i % 5) * 8
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = ((xx * 255 // max(1, w - 1)) // 2
+                       + rng.integers(0, 64, size=(h, w))).astype(np.uint8)
+                rows["media_id"].append(i)
+                rows["kind"].append("image")
+                rows["payload"].append(encode_png_gray(img))
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def image_pixel_features(media: DataFrame) -> DataFrame:
+    """REAL decode + pixel statistics per image (Arrow-batched, no
+    shuffle): dimensions, mean/std intensity, and edge density
+    (mean absolute horizontal gradient / 255).  Corrupt payloads are
+    quarantined as rows with valid='corrupt', never dropped."""
+    src = media.select("media_id", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in IMAGE_FEATURE_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    img = decode_image(bytes(payload))
+                    gx = np.abs(np.diff(img.astype(np.int16), axis=1))
+                    rows.append({
+                        "media_id": int(mid),
+                        "width": img.shape[1], "height": img.shape[0],
+                        "mean_intensity": float(img.mean()),
+                        "std_intensity": float(img.std()),
+                        "edge_density": float(gx.mean() / 255.0)
+                        if gx.size else 0.0,
+                        "valid": "ok",
+                    })
+                except Exception:
+                    rows.append({
+                        "media_id": int(mid), "width": None, "height": None,
+                        "mean_intensity": None, "std_intensity": None,
+                        "edge_density": None, "valid": "corrupt",
+                    })
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL pixel resize: block-mean downsampling by an integer factor,
+    re-encoded as PNG.  Corrupt payloads pass through untouched."""
+    from ..core.png import encode_png_gray
+
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    src = media.select("media_id", "kind", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": []}
+            for mid, kind, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"]):
+                payload = bytes(payload)
+                try:
+                    img = decode_image(payload)
+                    h, w = img.shape
+                    h2, w2 = max(1, h // factor), max(1, w // factor)
+                    small = (
+                        img[:h2 * factor, :w2 * factor]
+                        .reshape(h2, factor, w2, factor)
+                        .mean(axis=(1, 3)).astype(np.uint8)
+                    )
+                    payload = encode_png_gray(small)
+                except Exception:
+                    pass   # corrupt → pass through; metadata stage flags
+                rows["media_id"].append(int(mid))
+                rows["kind"].append(kind)
+                rows["payload"].append(payload)
+            if rows["media_id"]:
+                yield pd.DataFrame(rows)
+
+    return src.mapInPandas(run, MEDIA_SCHEMA)

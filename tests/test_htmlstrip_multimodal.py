@@ -8,8 +8,8 @@ from exam_pdf_parser_spark.operators.htmlstrip import (
     block_scores, strip_html_bytes, strip_html_documents, strip_text_lines,
 )
 from exam_pdf_parser_spark.operators.multimodal import (
-    byte_histogram_features, decode_image, extract_metadata, media_corpus,
-    sample_frames,
+    MEDIA_SCHEMA, byte_histogram_features, decode_image, extract_metadata,
+    media_corpus, sample_frames,
 )
 
 HTML = """
@@ -131,3 +131,58 @@ def test_resize_media(spark, media):
         assert m["height"] == max(1, meta[mid]["height"] // 2)
         assert m["n_frames"] == meta[mid]["n_frames"]
         assert m["n_bytes"] < meta[mid]["n_bytes"]
+
+
+def test_png_image_pipeline_real_decode(spark):
+    """The image path is REAL end-to-end: PNG corpus → decode → pixel
+    features → block-mean resize → re-decode."""
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.png import decode_png_gray
+    from exam_pdf_parser_spark.operators.multimodal import (
+        image_pixel_features, png_media_corpus, resize_images,
+    )
+
+    media = png_media_corpus(spark, 12, partitions=2).persist()
+    feats = {r["media_id"]: r for r in image_pixel_features(media).collect()}
+    assert len(feats) == 12
+    for mid, r in feats.items():
+        assert r["valid"] == "ok"
+        assert r["width"] >= 32 and r["height"] >= 32
+        # left-to-right gradient pattern → nonzero spread and edges
+        assert r["std_intensity"] > 0
+        assert r["edge_density"] > 0
+
+    resized = resize_images(media, factor=2)
+    rfeats = {r["media_id"]: r
+              for r in image_pixel_features(resized).collect()}
+    for mid, r in rfeats.items():
+        assert r["valid"] == "ok"
+        assert r["width"] == feats[mid]["width"] // 2
+        assert r["height"] == feats[mid]["height"] // 2
+        # block-mean preserves overall brightness closely
+        assert abs(r["mean_intensity"] - feats[mid]["mean_intensity"]) < 3.0
+
+    # spot-check the pixel math against a local decode of one payload
+    row = media.filter("media_id = 0").first()
+    img = decode_png_gray(bytes(row["payload"]))
+    h2, w2 = img.shape[0] // 2, img.shape[1] // 2
+    want = (img[:h2 * 2, :w2 * 2].reshape(h2, 2, w2, 2)
+            .mean(axis=(1, 3)).astype(np.uint8))
+    got = decode_png_gray(bytes(
+        resized.filter("media_id = 0").first()["payload"]))
+    assert (got == want).all()
+    media.unpersist()
+
+
+def test_image_pipeline_quarantines_corrupt(spark):
+    from exam_pdf_parser_spark.operators.multimodal import (
+        image_pixel_features, resize_images,
+    )
+
+    bad = spark.createDataFrame(
+        [(0, "image", bytearray(b"garbage-not-a-png"))], MEDIA_SCHEMA)
+    feats = image_pixel_features(bad).collect()
+    assert len(feats) == 1 and feats[0]["valid"] == "corrupt"
+    out = resize_images(bad).collect()   # passes through untouched
+    assert bytes(out[0]["payload"]) == b"garbage-not-a-png"
