@@ -118,8 +118,9 @@ def extract_paged(paged: DataFrame, min_q: int = 1, max_q: int = 50) -> DataFram
     def _detect_one(url: str, pdf: pd.DataFrame) -> pd.DataFrame:
         pages = []
         corrupt = False
-        for _, row in pdf.sort_values("page_idx").iterrows():
-            page = json.loads(row["page_json"])
+        # column iteration, not iterrows() — no per-row Series boxing
+        for page_json in pdf.sort_values("page_idx")["page_json"]:
+            page = json.loads(page_json)
             if page is None:
                 corrupt = True
                 continue
