@@ -141,13 +141,31 @@ def sessionize(stream: DataFrame) -> DataFrame:
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, mode: str = "update"):
-    """Drive a streaming plan into an in-memory sink (tests/demos)."""
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "update",
+                  timeout_s: int = 120, until_rows: int | None = None):
+    """Drive a streaming plan into an in-memory sink (tests/demos).
+
+    Stateful queries with processing-time timeouts never self-terminate
+    under ``availableNow`` — Spark keeps running empty batches to fire
+    pending state timeouts — so callers that know their expected output
+    size pass ``until_rows``: the loop polls the memory table and
+    returns as soon as that many rows landed, instead of burning the
+    full timeout."""
+    import time
+
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name).outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    spark = stream_df.sparkSession
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if q.awaitTermination(2):
+            break
+        if until_rows is not None:
+            n = spark.sql(f"SELECT count(*) AS c FROM {name}").first()["c"]
+            if n >= until_rows:
+                break
     return q

@@ -67,11 +67,69 @@ def test_rate_limit_counts_run(spark, events_dir):
 
 def test_sessionize_stateful(spark, events_dir):
     stream = read_event_stream(spark, events_dir)
-    q = run_to_memory(sessionize(stream), "sessions", mode="append")
+    q = run_to_memory(sessionize(stream), "sessions", mode="append",
+                      until_rows=1)
     rows = spark.sql("select * from sessions").collect()
     # sessions flush on gap within the data; events span days so gaps exist
     assert rows
     for r in rows:
         assert r["session_events"] >= 1
         assert r["session_start"] <= r["session_end"]
+    q.stop()
+
+
+@pytest.fixture(scope="module")
+def docs_stream_dir(spark):
+    import datetime
+
+    d = tempfile.mkdtemp(prefix="docs_stream_")
+    base = datetime.datetime(2025, 3, 1)
+    rows = []
+    # 12 rows, 3 distinct texts: "alpha" x3 urls, "beta" x2, rest unique
+    for i in range(12):
+        text = ("alpha text body" if i in (0, 4, 8)
+                else "beta text body" if i in (1, 5)
+                else f"unique text {i}")
+        rows.append((f"https://h{i:02d}.example/d", base
+                     + datetime.timedelta(minutes=i), b"payload", text, "en"))
+    from exam_pdf_parser_spark.streaming.dedup import DOCS_STREAM_SCHEMA
+    spark.createDataFrame(rows, DOCS_STREAM_SCHEMA).repartition(3) \
+        .write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_exact_dedup(spark, docs_stream_dir):
+    from exam_pdf_parser_spark.streaming.dedup import (
+        read_document_stream, streaming_exact_dedup,
+    )
+
+    stream = read_document_stream(spark, docs_stream_dir)
+    q = run_to_memory(streaming_exact_dedup(stream), "dedup_out",
+                      mode="append")
+    rows = spark.sql("select * from dedup_out").collect()
+    hashes = [r["content_hash"] for r in rows]
+    assert len(hashes) == len(set(hashes))       # one row per hash
+    assert len(hashes) == 9                      # 12 rows, 3 collapsed
+    q.stop()
+
+
+def test_first_seen_filter_provenance(spark, docs_stream_dir):
+    from exam_pdf_parser_spark.streaming.dedup import (
+        first_seen_filter, read_document_stream,
+    )
+
+    stream = read_document_stream(spark, docs_stream_dir, 100)
+    q = run_to_memory(first_seen_filter(stream), "first_seen",
+                      mode="update", until_rows=9)
+    rows = {r["content_hash"]: r
+            for r in spark.sql("select * from first_seen").collect()}
+    assert len(rows) == 9
+    by_dups = sorted((r["n_duplicates"], r["first_url"])
+                     for r in rows.values())
+    # the alpha text (3 copies) canonicalizes to its earliest url h00
+    assert by_dups[-1] == (2, "https://h00.example/d")
+    # the beta text (2 copies) → earliest is h01
+    assert by_dups[-2] == (1, "https://h01.example/d")
+    assert all(n == 0 for n, _ in by_dups[:-2])
     q.stop()
