@@ -167,3 +167,54 @@ def test_parse_choice_lines_total(lines):
     ch = parse_choice_lines("\n".join(lines))
     nums = [c["number"] for c in ch]
     assert nums == sorted(set(nums))
+
+
+@given(st.from_regex(r"[가-힣a-z ]{0,40}", fullmatch=True),
+       st.lists(st.from_regex(r"[가-힣a-z ]{0,15}", fullmatch=True),
+                max_size=4))
+@settings(max_examples=60, deadline=None)
+def test_split_sub_questions_roundtrip(prefix, subs):
+    from exam_pdf_parser_spark.core.fields import split_sub_questions
+
+    body = prefix + "".join(
+        f" ({i + 1}) {s}" for i, s in enumerate(subs))
+    got_body, got_subs = split_sub_questions(body)
+    if subs:
+        assert got_body == prefix.strip()
+        assert got_subs == [s.strip() for s in subs]
+    else:
+        assert got_body == body
+        assert got_subs == []
+
+
+@given(st.integers(1, 50), st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80))
+@settings(max_examples=100, deadline=None)
+def test_classify_total_and_closed(number, text):
+    from exam_pdf_parser_spark.core.fields import (
+        PASSAGE_TYPES, WRITTEN_TYPES, classify_question_type,
+    )
+
+    t = classify_question_type(number, text)
+    # total function over a closed set; listening strictly positional
+    assert isinstance(t, str) and t
+    if number <= 17:
+        assert t == "듣기"
+    else:
+        assert t != "듣기"
+        assert t in PASSAGE_TYPES | WRITTEN_TYPES | {
+            "기타", "어휘", "문법", "도표"}
+
+
+@given(st.integers(1, 64), st.integers(1, 64), st.integers(0, 2**32 - 1))
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_any_shape(w, h, seed):
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.png import (
+        decode_png_gray, encode_png_gray,
+    )
+
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w), dtype=np.uint8)
+    assert (decode_png_gray(encode_png_gray(img)) == img).all()
