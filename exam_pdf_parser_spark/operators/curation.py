@@ -1,0 +1,88 @@
+"""Training-data curation composition: the dedup / quality / language
+gates and the token-budget mixer a 100 TB corpus pipeline runs between
+raw extraction and training shards.
+
+All stages are declarative DataFrame ops over a ``documents``-shaped
+input (doc_id, text, lang, …):
+
+  * ``curate`` — one pass that tags every document keep/drop with the
+    FIRST failing gate as provenance (duplicate → quality → language),
+    so downstream can both filter and audit drop reasons.  Exact dedup
+    reuses the canonical-min-id rule of ``dedupe.exact_dup_assignment``
+    (one shuffle on md5(text)); the quality gate reuses
+    ``doc_quality``'s thresholds; nothing is silently dropped.
+  * ``budget_sample`` — deterministic greedy data mixing: per language,
+    rank by quality (uniq_ratio desc, doc_id tiebreak) and keep the
+    PREFIX whose cumulative token count fits the budget.  One window
+    per language partition; at corpus scale the shuffle is one sort
+    per lang key (skewed languages: pre-split by salt and re-rank, or
+    sample per shard — the prefix rule keeps either variant exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+MIN_TOKENS = 20
+MIN_UNIQ_RATIO = 0.2
+
+
+def _with_stats(documents: DataFrame) -> DataFrame:
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    tokens = F.size(words)
+    uniq = F.size(F.array_distinct(words)).cast("double") / \
+        F.greatest(tokens, F.lit(1))
+    return documents.withColumn("tokens", tokens).withColumn(
+        "uniq_ratio", F.when(tokens > 0, uniq).otherwise(F.lit(0.0)))
+
+
+def curate(
+    documents: DataFrame,
+    min_tokens: int = MIN_TOKENS,
+    min_uniq_ratio: float = MIN_UNIQ_RATIO,
+    langs: list[str] | None = None,
+) -> DataFrame:
+    """(doc_id, text, lang, …) → same rows + (tokens, uniq_ratio,
+    keep, drop_reason).  Gate order (first failure wins):
+    duplicate → quality → lang; survivors get drop_reason NULL."""
+    d = _with_stats(documents)
+    w = Window.partitionBy(F.md5("text"))
+    d = d.withColumn("canonical_id", F.min("doc_id").over(w))
+    is_dup = F.col("doc_id") != F.col("canonical_id")
+    bad_quality = (F.col("tokens") < min_tokens) | \
+        (F.col("uniq_ratio") < min_uniq_ratio)
+    bad_lang = (F.lit(False) if langs is None
+                else ~F.col("lang").isin(*langs))
+    reason = (
+        F.when(is_dup, "duplicate")
+        .when(bad_quality, "quality")
+        .when(bad_lang, "lang")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        d.withColumn("drop_reason", reason)
+        .withColumn("keep", F.col("drop_reason").isNull())
+        .drop("canonical_id")
+    )
+
+
+def budget_sample(documents: DataFrame, budget_tokens: int,
+                  by: str = "lang") -> DataFrame:
+    """Deterministic greedy mixer: per ``by`` group, rank docs by
+    (uniq_ratio desc, doc_id asc) and keep the prefix whose running
+    token total stays within ``budget_tokens``.  Prefix semantics —
+    a document that would overflow the budget stops its group even if
+    a smaller later document would fit — keep the rule exact and
+    order-free across partitionings."""
+    d = _with_stats(documents)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.desc("uniq_ratio"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )

@@ -1,0 +1,85 @@
+"""Curation gates + token-budget mixer vs independently computed
+ground truth (pandas/DuckDB re-derivation over the same parquet)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from exam_pdf_parser_spark.operators.curation import budget_sample, curate
+from exam_pdf_parser_spark.sources.io import load
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = load(spark, SF, "documents").persist()
+    yield d
+    d.unpersist()
+
+
+def test_curate_gate_order_and_provenance(spark, docs):
+    rows = {r["doc_id"]: r for r in curate(docs, langs=["en", "de"]).collect()}
+    assert len(rows) == docs.count()          # nothing silently dropped
+
+    con = duckdb.connect()
+    truth = con.sql(f"""
+        WITH h AS (SELECT doc_id, lang, md5(text) AS th,
+                          list_filter(string_split(text,' '), x -> x <> '')
+                            AS words
+                   FROM read_parquet('{SF}/documents.parquet')),
+        c AS (SELECT *, min(doc_id) OVER (PARTITION BY th) AS canon,
+                     len(words) AS tokens,
+                     CASE WHEN len(words) > 0 THEN
+                       CAST(len(list_distinct(words)) AS DOUBLE)/len(words)
+                       ELSE 0 END AS uniq
+              FROM h)
+        SELECT doc_id,
+               CASE WHEN doc_id <> canon THEN 'duplicate'
+                    WHEN tokens < 20 OR uniq < 0.2 THEN 'quality'
+                    WHEN lang NOT IN ('en','de') THEN 'lang'
+                    END AS reason
+        FROM c
+    """).fetchall()
+    for doc_id, reason in truth:
+        assert rows[doc_id]["drop_reason"] == reason, doc_id
+        assert rows[doc_id]["keep"] == (reason is None)
+    # every gate exercised on real data
+    reasons = {r["drop_reason"] for r in rows.values()}
+    assert "lang" in reasons and None in reasons
+
+
+def test_budget_sample_prefix_semantics(spark, docs):
+    budget = 5000
+    got = budget_sample(docs, budget).collect()
+    by_lang: dict[str, list] = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r)
+
+    all_docs = {}
+    for r in curate(docs).collect():   # reuse stats computation
+        all_docs.setdefault(r["lang"], []).append(r)
+
+    assert by_lang  # non-empty sample
+    for lang, kept in by_lang.items():
+        total = sum(r["tokens"] for r in kept)
+        assert total <= budget
+        # greedy prefix: kept set == the ranked prefix under the budget
+        ranked = sorted(all_docs[lang],
+                        key=lambda r: (-r["uniq_ratio"], r["doc_id"]))
+        want_ids, cum = [], 0
+        for r in ranked:
+            if cum + r["tokens"] > budget:
+                break
+            cum += r["tokens"]
+            want_ids.append(r["doc_id"])
+        assert sorted(r["doc_id"] for r in kept) == sorted(want_ids), lang
+
+
+def test_budget_sample_deterministic_across_partitionings(spark, docs):
+    a = sorted((r["lang"], r["doc_id"]) for r in
+               budget_sample(docs, 3000).collect())
+    b = sorted((r["lang"], r["doc_id"]) for r in
+               budget_sample(docs.repartition(13), 3000).collect())
+    assert a == b
