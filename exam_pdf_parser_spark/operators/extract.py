@@ -59,7 +59,8 @@ EXTRACT_SCHEMA = StructType([
 ])
 
 
-def extract(documents: DataFrame, min_q: int = 1, max_q: int = 50) -> DataFrame:
+def extract(documents: DataFrame, min_q: int = 1, max_q: int = 50,
+            with_timing: bool = False) -> DataFrame:
     """documents(url, …, html, …) → (url, extracted_text, spans, status, error).
 
     Catalyst prunes unused input columns before the UDF (only ``url``
@@ -70,14 +71,27 @@ def extract(documents: DataFrame, min_q: int = 1, max_q: int = 50) -> DataFrame:
     a null text, no spans, and the exception message (reference
     analogue: the P9 MIME/size gate + per-file error capture,
     scripts/batch_parser.py:84-89).
+
+    ``with_timing=True`` appends a ``proc_us`` column (per-document
+    processing time, measured inside the task) — the source of the
+    manifest's per-partition throughput metrics.  Off by default so
+    the byte-identity output contract stays timing-free.
     """
+    import time
+
     docs = documents.select("url", "html")
+    schema = EXTRACT_SCHEMA
+    if with_timing:
+        from pyspark.sql.types import LongType
+        schema = StructType(
+            EXTRACT_SCHEMA.fields + [StructField("proc_us", LongType())])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            urls, texts, spans, status, errors = [], [], [], [], []
+            urls, texts, spans, status, errors, procs = [], [], [], [], [], []
             for url, html in zip(pdf["url"], pdf["html"]):
                 urls.append(url)
+                t0 = time.perf_counter_ns()
                 try:
                     extracted, regions = extract_document(
                         bytes(html), min_q, max_q)
@@ -86,6 +100,7 @@ def extract(documents: DataFrame, min_q: int = 1, max_q: int = 50) -> DataFrame:
                     spans.append([])
                     status.append("error")
                     errors.append(f"{type(e).__name__}: {e}"[:500])
+                    procs.append((time.perf_counter_ns() - t0) // 1000)
                     continue
                 texts.append(extracted)
                 spans.append([
@@ -102,13 +117,17 @@ def extract(documents: DataFrame, min_q: int = 1, max_q: int = 50) -> DataFrame:
                 ])
                 status.append("ok")
                 errors.append(None)
+                procs.append((time.perf_counter_ns() - t0) // 1000)
             if urls:
-                yield pd.DataFrame({
+                out = {
                     "url": urls, "extracted_text": texts, "spans": spans,
                     "status": status, "error": errors,
-                })
+                }
+                if with_timing:
+                    out["proc_us"] = procs
+                yield pd.DataFrame(out)
 
-    return docs.mapInPandas(run, EXTRACT_SCHEMA)
+    return docs.mapInPandas(run, schema)
 
 
 def quarantine_table(extracted: DataFrame) -> DataFrame:

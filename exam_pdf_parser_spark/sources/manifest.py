@@ -32,7 +32,8 @@ from ..operators.extract import extract
 
 MANIFEST_SCHEMA = (
     "run_id string, bucket int, status string, rows_out long, "
-    "docs_in long, errors long, wall_ms long"
+    "docs_in long, errors long, wall_ms long, cpu_ms long, "
+    "docs_per_cpu_sec double"
 )
 
 
@@ -81,11 +82,12 @@ def run_extraction(
     # instead of joining back to the input (saves a full shuffle), then
     # co-locate each bucket in one task so partitionBy writes one file
     # per bucket dir instead of (tasks × buckets) small files.
-    out = extract(pending, min_q, max_q).withColumn(
+    out = extract(pending, min_q, max_q, with_timing=True).withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
 
     ext_path = os.path.join(out_dir, "extracted")
-    (out.select("url", "extracted_text", "spans", "status", "error", "bucket")
+    (out.select("url", "extracted_text", "spans", "status", "error",
+                "proc_us", "bucket")
         .repartition(n_buckets, F.col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(ext_path))
     wall_ms = int((time.perf_counter() - t0) * 1000)
@@ -96,7 +98,9 @@ def run_extraction(
     # extra pass over the source.  Buckets that turned out empty still
     # get a zero-row manifest entry so resume never revisits them.
     # wall_ms is the RUN wall stamped on each of its bucket rows (group
-    # by run_id for timing; the column is run-level, not per-bucket).
+    # by run_id for timing; the column is run-level).  cpu_ms and
+    # docs_per_cpu_sec ARE per-bucket: summed from the in-task per-doc
+    # proc_us column — the north rule's per-partition throughput metric.
     written = spark.read.parquet(ext_path)
     pending_buckets = sorted(set(range(n_buckets)) - done)
     stats = {
@@ -108,16 +112,21 @@ def run_extraction(
             F.sum(F.size("spans")).alias("rows_out"),
             F.sum(F.when(F.col("status") == "error", 1).otherwise(0))
             .alias("errors"),
+            F.sum("proc_us").alias("cpu_us"),
         ).collect()
     } if pending_buckets else {}
-    manifest_rows = [
-        (run_id, b, "done",
-         int(stats[b]["rows_out"]) if b in stats else 0,
-         int(stats[b]["docs_in"]) if b in stats else 0,
-         int(stats[b]["errors"]) if b in stats else 0,
-         wall_ms)
-        for b in pending_buckets
-    ]
+
+    def row(b):
+        s = stats.get(b)
+        if s is None:
+            return (run_id, b, "done", 0, 0, 0, wall_ms, 0, 0.0)
+        cpu_ms = int(s["cpu_us"] // 1000)
+        dps = (float(s["docs_in"]) / (s["cpu_us"] / 1e6)
+               if s["cpu_us"] else 0.0)
+        return (run_id, b, "done", int(s["rows_out"]), int(s["docs_in"]),
+                int(s["errors"]), wall_ms, cpu_ms, dps)
+
+    manifest_rows = [row(b) for b in pending_buckets]
     if manifest_rows:
         spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA).write.mode(
             "append").parquet(os.path.join(out_dir, "manifest"))

@@ -79,3 +79,22 @@ def test_bucketing_is_deterministic(spark):
          for r in with_bucket(docs, 16).select("url", "bucket").collect()}
     assert a == b
     assert all(0 <= v < 16 for v in a.values())
+
+
+def test_per_bucket_throughput_metrics(spark, out_dir):
+    """North rule: the manifest must carry per-partition throughput and
+    error metrics — cpu_ms / docs_per_cpu_sec are summed from in-task
+    per-document timings, per bucket."""
+    docs = corpus_df(spark, N_DOCS, partitions=4)
+    run_extraction(spark, docs, out_dir, "metrics", n_buckets=N_BUCKETS)
+    rows = spark.read.parquet(f"{out_dir}/manifest").collect()
+    assert rows
+    nonempty = [r for r in rows if r["docs_in"] > 0]
+    assert nonempty
+    total_docs = 0
+    for r in nonempty:
+        assert r["cpu_ms"] > 0
+        assert r["docs_per_cpu_sec"] > 0
+        assert r["errors"] == 0
+        total_docs += r["docs_in"]
+    assert total_docs == N_DOCS
