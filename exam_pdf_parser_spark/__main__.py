@@ -6,6 +6,7 @@
     python -m exam_pdf_parser_spark evaluate  IN.parquet OUT_DIR
     python -m exam_pdf_parser_spark crop      IN.parquet OUT_DIR
     python -m exam_pdf_parser_spark run       IN.parquet OUT_DIR   (manifest+resume)
+    python -m exam_pdf_parser_spark curate    IN.parquet OUT_DIR   (dedup/quality/lang gates)
     python -m exam_pdf_parser_spark gen-corpus N OUT.parquet       (synthetic input)
 
 IN.parquet must carry the input_hint schema (url, warc_ts, html, text,
@@ -26,7 +27,7 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="exam_pdf_parser_spark")
     ap.add_argument("command", choices=[
         "extract", "parse", "validate", "evaluate", "crop", "run",
-        "gen-corpus"])
+        "curate", "gen-corpus"])
     ap.add_argument("input", help="input parquet (or N for gen-corpus)")
     ap.add_argument("output", help="output directory / parquet path")
     ap.add_argument("--master", default=None)
@@ -131,6 +132,26 @@ def _dispatch(spark, args) -> int:
         stats = run_extraction(spark, docs, args.output, args.run_id,
                                n_buckets=args.buckets)
         print(json.dumps({"command": "run", **stats}))
+        return 0
+
+    if args.command == "curate":
+        from .operators.curation import curate
+
+        # documents-shaped input keyed by url when no doc_id exists
+        from pyspark.sql import functions as F
+
+        src = docs if "doc_id" in docs.columns else docs.withColumn(
+            "doc_id", F.xxhash64("url"))
+        tagged = curate(src).persist()
+        tagged.filter("keep").write.mode("overwrite").parquet(
+            f"{args.output}/kept")
+        tagged.filter("NOT keep").write.mode("overwrite").parquet(
+            f"{args.output}/dropped")
+        reasons = {
+            (r["drop_reason"] or "kept"): r["count"]
+            for r in tagged.groupBy("drop_reason").count().collect()
+        }
+        print(json.dumps({"command": "curate", "reasons": reasons}))
         return 0
 
     return 2

@@ -84,3 +84,14 @@ def test_cli_run_and_resume(spark, corpus_path, tmp_path, capsys):
     second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert second["buckets_processed"] == 0
     assert second["buckets_skipped"] == 4
+
+
+def test_cli_curate(spark, corpus_path, tmp_path, capsys):
+    rc = _dispatch(spark, _Args(command="curate", input=corpus_path,
+                                output=str(tmp_path / "c")))
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sum(out["reasons"].values()) == 12   # every doc accounted for
+    kept = spark.read.parquet(str(tmp_path / "c" / "kept"))
+    assert kept.count() == out["reasons"].get("kept", 0)
+    assert "drop_reason" in kept.columns
