@@ -355,6 +355,38 @@ def embedding_near_pairs_lsh(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame, threshold: float = 0.9,
+    n_planes: int = 8, n_tables: int = 8, seed: int = 7,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Embedding-level dedup decision table — the semantic twin of
+    ``dedupe.dedup_clusters``: LSH-bucketed thresholded pair generation
+    (``embedding_near_pairs_lsh``) → connected components (min-label
+    propagation) → one keeper per cluster (smallest vec_id).
+
+    Returns (vec_id, cluster_id, keep) for EVERY input vector;
+    isolated vectors keep themselves.  Pair transitivity matters:
+    A≈B, B≈C must collapse to one cluster even when cos(A,C) is below
+    the threshold — pairs alone under-merge.
+    """
+    from .dedupe import connected_components
+
+    pairs = embedding_near_pairs_lsh(
+        embeddings, threshold, n_planes, n_tables, seed)
+    comps = connected_components(
+        pairs, src="vec_a", dst="vec_b", max_iter=max_iter)
+    return (
+        embeddings.select("vec_id")
+        .join(comps, F.col("vec_id") == comps.node, "left_outer")
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("vec_id") == F.col("cluster_id"))
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 10,
     n_planes: int = 10, n_tables: int = 4, seed: int = 7,

@@ -113,3 +113,34 @@ def test_ivf_recall_against_brute_force(spark):
     # well above that random-baseline share for a working index
     assert sum(recalls) / len(recalls) >= 0.5, recalls
     emb.unpersist()
+
+
+def test_semantic_dedup_clusters_planted(spark):
+    """Planted 3-member clusters collapse to one keeper each; noise
+    vectors keep themselves."""
+    import numpy as np
+
+    from exam_pdf_parser_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    dim, n_bases, n_noise = 64, 10, 20
+    vecs = []
+    for base in rng.standard_normal((n_bases, dim)):
+        for _ in range(3):
+            vecs.append(base + 0.1 * rng.standard_normal(dim))
+    vecs.extend(rng.standard_normal(dim) for _ in range(n_noise))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id: long, embedding: array<float>",
+    )
+    rows = {r["vec_id"]: r for r in semantic_dedup(df, threshold=0.9).collect()}
+    assert len(rows) == len(vecs)           # every vector gets a row
+    # each planted cluster -> one keeper, cluster_id = min member id
+    for c in range(n_bases):
+        ids = [3 * c, 3 * c + 1, 3 * c + 2]
+        clusters = {rows[i]["cluster_id"] for i in ids}
+        assert clusters == {3 * c}, c
+        assert [rows[i]["keep"] for i in ids] == [True, False, False]
+    # noise: isolated, keeps itself
+    for i in range(3 * n_bases, len(vecs)):
+        assert rows[i]["cluster_id"] == i and rows[i]["keep"]
