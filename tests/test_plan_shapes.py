@@ -103,3 +103,30 @@ def test_eval_single_shuffle_per_cogroup(spark):
     plan = _plan(evaluate_questions(p, k))
     assert plan.count("Exchange hashpartitioning") == 2  # one per side
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_time_partition_pruning(spark, tmp_path):
+    """Iceberg-style time partitioning on the parquet substitute: a
+    crawl-date predicate must prune at the PARTITION level (visible as
+    PartitionFilters in the scan), not row-filter the full corpus."""
+    from pyspark.sql import functions as F
+
+    from exam_pdf_parser_spark.operators.extract import corpus_df
+
+    docs = corpus_df(spark, 200, partitions=2).withColumn(
+        "crawl_date", F.to_date("warc_ts"))
+    path = str(tmp_path / "docs_by_date")
+    docs.write.partitionBy("crawl_date").parquet(path)
+
+    back = spark.read.parquet(path)
+    dates = sorted(r["crawl_date"] for r in
+                   back.select("crawl_date").distinct().collect())
+    assert len(dates) >= 2          # the corpus spans multiple dates
+    pick = dates[0]
+
+    pruned = back.filter(F.col("crawl_date") == F.lit(pick))
+    plan = _plan(pruned)
+    seg = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "crawl_date" in seg       # predicate prunes partitions
+    want = docs.filter(F.col("crawl_date") == F.lit(pick)).count()
+    assert pruned.count() == want > 0
