@@ -205,12 +205,22 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(_words(F.col("text")))).alias("token"),
     )
-    # The band self-join carries ONLY (doc_id, band_idx, band_key) —
-    # at web scale the token set IS the document, and shuffling it
-    # through the band explode (2 sides × n_bands) is a memory/network
-    # amplifier.  Verification joins the small candidate-pair set back
-    # to one (doc_id, toks, n) table: two narrow hash joins sized by
-    # the number of colliding pairs, not by corpus × bands.
+    return lsh_pairs_from_tokens(t)
+
+
+def lsh_pairs_from_tokens(t: DataFrame,
+                          threshold: float = JACCARD_DUP) -> DataFrame:
+    """The MinHash→band→verify pipeline over any (doc_id, token)
+    table — word tokens (``minhash_lsh_pairs``) or character shingles
+    (``shingle_minhash_pairs``) plug in the tokenization.
+
+    The band self-join carries ONLY (doc_id, band_idx, band_key) —
+    at web scale the token set IS the document, and shuffling it
+    through the band explode (2 sides × n_bands) is a memory/network
+    amplifier.  Verification joins the small candidate-pair set back
+    to one (doc_id, toks, n) table: two narrow hash joins sized by
+    the number of colliding pairs, not by corpus × bands.
+    """
     sigs = t.groupBy("doc_id").agg(
         *[F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("token"))))
           .alias(f"mh{s}") for s in range(MINHASH_SEEDS)],
@@ -272,7 +282,25 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.filter(
-        F.col("n_inter").cast("double") / F.col("n_union") >= JACCARD_DUP)
+        F.col("n_inter").cast("double") / F.col("n_union") >= threshold)
+
+
+def shingle_minhash_pairs(documents: DataFrame, k: int = 5,
+                          threshold: float = JACCARD_DUP) -> DataFrame:
+    """Character k-shingle MinHash near-dup pairs — the
+    shingle→minhash→band→bucket-join pipeline.  Shingles are
+    order-SENSITIVE: a word-permuted copy shares its word set (token
+    Jaccard 1.0) but few shingles, so this tier separates true
+    near-copies from bag-of-words collisions.  Texts shorter than
+    ``k`` contribute their whole text as one shingle."""
+    shingles = F.expr(
+        f"transform(sequence(0, greatest(length(text) - {k}, 0)),"
+        f" i -> substring(text, i + 1, {k}))")
+    t = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles)).alias("token"),
+    )
+    return lsh_pairs_from_tokens(t, threshold)
 
 
 # --- SimHash ------------------------------------------------------------------
