@@ -165,16 +165,27 @@ def parse_question_fields(regions: list[Region]) -> list[dict]:
         # the simple, reproducible rule: everything before the choices
         # normalized, passage = None for listening positions.
         body_norm = normalize_text(body)
-        # +N point marker (parity src/evaluator.py:134-145: only the
-        # value 3 is honored; [3점] in the stem is the canonical form).
-        # Markers are stripped from the body BEFORE the stem/passage
-        # split so a "+3" block never leaks into passage text (the
-        # reference strips trailing +N lines from its passage too).
+        # +N point marker (parity src/evaluator.py:134-145: the
+        # reference searches \+(\d+) anywhere in the block and honors
+        # only the value 3; [3점] in the stem is the canonical form).
+        # Only STANDALONE +N tokens are stripped from the body (the
+        # planted marker is its own layout block) so an in-word "+N"
+        # in passage prose is never deleted; stripping happens BEFORE
+        # the stem/passage split so the marker can't leak into the
+        # passage (the reference strips trailing +N lines there too).
         plus = _PLUS_POINTS_RE.search(body_norm)
         plus_three = plus is not None and int(plus.group(1)) == 3
         if plus:
-            body_norm = normalize_text(_PLUS_POINTS_RE.sub(" ", body_norm))
-        body_norm, subs = split_sub_questions(body_norm)
+            body_norm = normalize_text(
+                _PLUS_TOKEN_RE.sub(" ", body_norm))
+        # sub-question markers are parsed only on choice-less bodies
+        # (written/workbook items, the only place the reference's
+        # sub_questions field applies — src/schema.py:86); a "(1)"
+        # enumeration inside a reading passage stays passage text
+        if choices:
+            subs: list[str] = []
+        else:
+            body_norm, subs = split_sub_questions(body_norm)
         listening = num <= LISTENING_MAX
         if listening:
             question_text, passage = body_norm, None
@@ -229,7 +240,8 @@ def parse_exam_title(regions: list[Region]) -> str | None:
     return None
 
 
-_PLUS_POINTS_RE = re.compile(r"\+(\d+)")
+_PLUS_POINTS_RE = re.compile(r"\+(\d+)")            # detection (ref parity)
+_PLUS_TOKEN_RE = re.compile(r"(?:(?<=\s)|^)\+\d+(?=\s|$)")  # standalone strip
 _SUB_Q_RE = re.compile(r"\((\d+)\)\s*")
 
 

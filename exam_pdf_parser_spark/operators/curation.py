@@ -31,7 +31,9 @@ MIN_UNIQ_RATIO = 0.2
 
 def _with_stats(documents: DataFrame) -> DataFrame:
     words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    tokens = F.size(words)
+    # NULL text (quarantined extractions) → 0 tokens, never -1
+    # (F.size returns -1 on null, which would poison budget cumsums)
+    tokens = F.when(F.col("text").isNull(), F.lit(0)).otherwise(F.size(words))
     uniq = F.size(F.array_distinct(words)).cast("double") / \
         F.greatest(tokens, F.lit(1))
     return documents.withColumn("tokens", tokens).withColumn(
@@ -48,9 +50,13 @@ def curate(
     keep, drop_reason).  Gate order (first failure wins):
     duplicate → quality → lang; survivors get drop_reason NULL."""
     d = _with_stats(documents)
-    w = Window.partitionBy(F.md5("text"))
-    d = d.withColumn("canonical_id", F.min("doc_id").over(w))
-    is_dup = F.col("doc_id") != F.col("canonical_id")
+    # row_number (not min-id equality) so the decision stays one-keeper
+    # -per-group even if doc_id is not unique (e.g. a CLI input keyed
+    # by url hash where the same url was fetched twice); NULL text is
+    # never a "duplicate" — those rows fall through to the quality gate
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    d = d.withColumn("_rn", F.row_number().over(w))
+    is_dup = F.col("text").isNotNull() & (F.col("_rn") > 1)
     bad_quality = (F.col("tokens") < min_tokens) | \
         (F.col("uniq_ratio") < min_uniq_ratio)
     bad_lang = (F.lit(False) if langs is None
@@ -64,7 +70,7 @@ def curate(
     return (
         d.withColumn("drop_reason", reason)
         .withColumn("keep", F.col("drop_reason").isNull())
-        .drop("canonical_id")
+        .drop("_rn")
     )
 
 

@@ -294,7 +294,11 @@ def embedding_near_pairs_lsh(
 
     Returns (vec_a, vec_b, cosine) with cosine ≥ threshold.
     """
-    dim = len(embeddings.select("embedding").first()["embedding"])
+    first = embeddings.select("embedding").first()
+    if first is None:   # empty corpus → empty pair table, same schema
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_a: long, vec_b: long, cosine: double")
+    dim = len(first["embedding"])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
     sc = embeddings.sparkSession.sparkContext

@@ -102,6 +102,10 @@ def run_extraction(
     # docs_per_cpu_sec ARE per-bucket: summed from the in-task per-doc
     # proc_us column — the north rule's per-partition throughput metric.
     written = spark.read.parquet(ext_path)
+    # resuming a directory written before the timing column existed:
+    # old bucket files lack proc_us — report 0 cpu rather than failing
+    cpu_col = (F.sum("proc_us") if "proc_us" in written.columns
+               else F.lit(0).cast("long"))
     pending_buckets = sorted(set(range(n_buckets)) - done)
     stats = {
         r["bucket"]: r
@@ -112,7 +116,7 @@ def run_extraction(
             F.sum(F.size("spans")).alias("rows_out"),
             F.sum(F.when(F.col("status") == "error", 1).otherwise(0))
             .alias("errors"),
-            F.sum("proc_us").alias("cpu_us"),
+            cpu_col.alias("cpu_us"),
         ).collect()
     } if pending_buckets else {}
 

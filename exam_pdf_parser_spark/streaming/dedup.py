@@ -81,16 +81,15 @@ def _first_seen(key, pdfs, state: GroupState):
 
     first_url, first_us, n = (
         state.get if state.exists else (None, None, 0))
-    # micro-batch rows arrive in file order — sort by (ts, url) for a
-    # deterministic "first" (same explicit-ordering rule as W1/W2)
-    rows = sorted(
-        (int(pd.Timestamp(ts).value // 1000), url)
-        for pdf in pdfs for ts, url in zip(pdf["warc_ts"], pdf["url"])
-    )
-    for us, url in rows:
-        if first_url is None or (us, url) < (first_us, first_url):
-            first_url, first_us = url, us
-        n += 1
+    # "first" = running min over (ts, url) — order-free, so no sort is
+    # needed regardless of file-arrival order (same determinism as a
+    # W1/W2 explicit key, without the O(n log n))
+    for pdf in pdfs:
+        for ts, url in zip(pdf["warc_ts"], pdf["url"]):
+            us = int(pd.Timestamp(ts).value // 1000)
+            if first_url is None or (us, url) < (first_us, first_url):
+                first_url, first_us = url, us
+            n += 1
     state.update((first_url, first_us, n))
     state.setTimeoutDuration(300_000)
     yield pd.DataFrame([{

@@ -150,7 +150,13 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "update",
     pending state timeouts — so callers that know their expected output
     size pass ``until_rows``: the loop polls the memory table and
     returns as soon as that many rows landed, instead of burning the
-    full timeout."""
+    full timeout.
+
+    Caveats: ``until_rows`` counts SINK rows — an update-mode sink
+    appends one row per re-emission, so a key updated across several
+    micro-batches counts several times; size the input to one batch
+    (or count expected emissions, not keys) when using it.  The query
+    may still be running on return — callers own ``q.stop()``."""
     import time
 
     q = (

@@ -83,3 +83,36 @@ def test_budget_sample_deterministic_across_partitionings(spark, docs):
     b = sorted((r["lang"], r["doc_id"]) for r in
                budget_sample(docs.repartition(13), 3000).collect())
     assert a == b
+
+
+def test_curate_null_text_and_duplicate_ids(spark):
+    """NULL text is a quality drop (never 'duplicate'); non-unique
+    doc_ids still yield exactly one keeper per identical-text group."""
+    rows = [
+        (1, "the same exact text body here repeated", "en"),
+        (1, "the same exact text body here repeated", "en"),  # dup id!
+        (2, None, "en"),
+        (3, None, "en"),
+        (4, " ".join(f"w{i}" for i in range(30)), "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    out = curate(df, min_tokens=5).collect()
+    assert len(out) == 5
+    same = [r for r in out if r["doc_id"] == 1]
+    assert sorted(r["keep"] for r in same) == [False, True]
+    assert [r["drop_reason"] for r in same if not r["keep"]] == ["duplicate"]
+    for r in out:
+        if r["doc_id"] in (2, 3):
+            assert r["drop_reason"] == "quality"    # never 'duplicate'
+            assert r["tokens"] == 0                 # not -1
+    assert next(r for r in out if r["doc_id"] == 4)["keep"]
+
+
+def test_budget_sample_ignores_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e", "en"), (2, None, "en"), (3, "f g h", "en")],
+        "doc_id: long, text: string, lang: string")
+    got = budget_sample(df, 6).collect()
+    # cumsum stays monotonic: null-text doc contributes 0 tokens
+    assert sum(r["tokens"] for r in got) <= 6
+    assert all(r["tokens"] >= 0 for r in got)

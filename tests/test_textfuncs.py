@@ -94,3 +94,16 @@ def test_split_sub_questions():
     assert subs == ["내용", "", "끝"]
     # no markers → untouched
     assert split_sub_questions("그냥 본문") == ("그냥 본문", [])
+
+
+def test_plus_points_strip_is_token_bounded():
+    from exam_pdf_parser_spark.core.fields import (
+        _PLUS_POINTS_RE, _PLUS_TOKEN_RE,
+    )
+
+    # detection mirrors the reference (anywhere in the block)
+    assert _PLUS_POINTS_RE.search("수익이 a+3b 올랐다").group(1) == "3"
+    # stripping removes only STANDALONE markers
+    assert _PLUS_TOKEN_RE.sub(" ", "문제 +3 지문") == "문제   지문"
+    assert _PLUS_TOKEN_RE.sub(" ", "+3 문제") == "  문제"
+    assert _PLUS_TOKEN_RE.sub(" ", "rose a+3b percent") == "rose a+3b percent"
