@@ -133,3 +133,26 @@ def test_first_seen_filter_provenance(spark, docs_stream_dir):
     assert by_dups[-2] == (1, "https://h01.example/d")
     assert all(n == 0 for n, _ in by_dups[:-2])
     q.stop()
+
+
+def test_streaming_extraction_matches_batch(spark, tmp_path):
+    """The zero-shuffle extraction core runs UNCHANGED over a streaming
+    ingest feed (stateless mapInPandas): readStream → extract() →
+    sink produces exactly the batch output."""
+    from exam_pdf_parser_spark.operators.extract import corpus_df, extract
+    from exam_pdf_parser_spark.streaming.dedup import read_document_stream
+
+    d = str(tmp_path / "docs_feed")
+    corpus_df(spark, 8, partitions=2).write.parquet(d)
+
+    stream_out = extract(read_document_stream(spark, d, 2))
+    assert stream_out.isStreaming
+    q = run_to_memory(stream_out.drop("spans"), "stream_extract",
+                      mode="append")
+    got = {r["url"]: r["extracted_text"]
+           for r in spark.sql("select * from stream_extract").collect()}
+    q.stop()
+
+    want = {r["url"]: r["extracted_text"]
+            for r in extract(spark.read.parquet(d)).collect()}
+    assert got == want          # byte-identical, batch == stream
