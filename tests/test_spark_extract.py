@@ -110,3 +110,49 @@ def test_all_corrupt_partition_survives(spark):
     assert out.count() == 5
     assert out.filter("status = 'error'").count() == 5
     assert parse_documents(bad).count() == 0
+
+
+def test_adversarial_payloads_always_quarantine(spark):
+    """Fuzz the quarantine contract: truncations, bit flips, foreign
+    bytes, wrong-shape JSON — every row comes back with status ok or
+    error, one row per input, never a task failure."""
+    import json
+    import random
+    import zlib
+
+    from exam_pdf_parser_spark.core.assemble import encode_payload
+    from exam_pdf_parser_spark.corpus.generator import build_document
+    from exam_pdf_parser_spark.operators.extract import (
+        DOCUMENTS_SCHEMA, extract,
+    )
+
+    valid = build_document(0)["html"]
+    rng = random.Random(99)
+    payloads: list[bytes] = [
+        b"", b"garbage", b"\x00" * 64,
+        valid[: len(valid) // 2],          # truncated mid-stream
+        valid[:-1], valid[:5],
+        zlib.compress(b"not json at all"),
+        zlib.compress(json.dumps({"v": 1}).encode()),          # no pages
+        zlib.compress(json.dumps({"v": 1, "pages": 3}).encode()),
+        zlib.compress(json.dumps(
+            {"v": 1, "pages": [{"blocks": "nope"}]}).encode()),
+        encode_payload({"v": 1, "pages": []}),                 # empty doc
+        valid,                                                 # control
+    ]
+    for _ in range(10):                    # random single-byte flips
+        b = bytearray(valid)
+        b[rng.randrange(len(b))] ^= 0xFF
+        payloads.append(bytes(b))
+
+    import datetime
+    rows = [(f"u://{i}", datetime.datetime(2025, 1, 1), p, "t", "ko")
+            for i, p in enumerate(payloads)]
+    out = extract(spark.createDataFrame(rows, DOCUMENTS_SCHEMA)).collect()
+    assert len(out) == len(payloads)       # nothing dropped, no crash
+    by_url = {r["url"]: r for r in out}
+    for r in out:
+        assert r["status"] in ("ok", "error")
+        if r["status"] == "error":
+            assert r["error"]
+    assert by_url[f"u://{len(payloads) - 11}"]["status"] == "ok"  # control
