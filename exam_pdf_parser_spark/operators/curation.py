@@ -8,9 +8,11 @@ input (doc_id, text, lang, …):
   * ``curate`` — one pass that tags every document keep/drop with the
     FIRST failing gate as provenance (duplicate → quality → language),
     so downstream can both filter and audit drop reasons.  Exact dedup
-    reuses the canonical-min-id rule of ``dedupe.exact_dup_assignment``
-    (one shuffle on md5(text)); the quality gate reuses
-    ``doc_quality``'s thresholds; nothing is silently dropped.
+    keeps the first row per md5(text) group under a deterministic
+    total order (row_number, so non-unique doc_ids still yield one
+    keeper — one shuffle, same key as ``dedupe.exact_dup_assignment``);
+    the quality gate reuses ``doc_quality``'s thresholds; nothing is
+    silently dropped.
   * ``budget_sample`` — deterministic greedy data mixing: per language,
     rank by quality (uniq_ratio desc, doc_id tiebreak) and keep the
     PREFIX whose cumulative token count fits the budget.  One window
@@ -52,9 +54,14 @@ def curate(
     d = _with_stats(documents)
     # row_number (not min-id equality) so the decision stays one-keeper
     # -per-group even if doc_id is not unique (e.g. a CLI input keyed
-    # by url hash where the same url was fetched twice); NULL text is
-    # never a "duplicate" — those rows fall through to the quality gate
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    # by url hash where the same url was fetched twice).  The order key
+    # is (doc_id, then EVERY input column) — a total order whenever
+    # rows differ in any column, so the keeper choice is deterministic
+    # across reruns/partitionings (fully identical rows tie, which is
+    # harmless: either is the same record).  NULL text is never a
+    # "duplicate" — those rows fall through to the quality gate.
+    order_cols = ["doc_id"] + [c for c in documents.columns if c != "doc_id"]
+    w = Window.partitionBy(F.md5("text")).orderBy(*order_cols)
     d = d.withColumn("_rn", F.row_number().over(w))
     is_dup = F.col("text").isNotNull() & (F.col("_rn") > 1)
     bad_quality = (F.col("tokens") < min_tokens) | \

@@ -148,6 +148,9 @@ def ivf_topk(
     data-adaptive cells."""
     rows = (embeddings.select("vec_id", "embedding")
             .orderBy("vec_id").limit(sample).collect())
+    if not rows:       # empty corpus → empty result, same schema
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id: long, neighbor_id: long, score: double, rk: int")
     train = np.array([r["embedding"] for r in rows], dtype=np.float64)
     train /= np.linalg.norm(train, axis=1, keepdims=True) + 1e-12
 
@@ -238,6 +241,9 @@ def cosine_topk_pandas(
     executors, each batch doing one (batch × dim) @ (dim × n_q) GEMM.
     """
     qrows = queries.select("vec_id", "embedding").collect()
+    if not qrows:      # no queries → empty result, same schema
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id: long, neighbor_id: long, cosine: double, rk: int")
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True) + 1e-12
@@ -402,7 +408,11 @@ def lsh_bucketed_topk(
     it) in ANY table.  Recall rises with tables, cost with
     tables × probes; at 10^12 rows this replaces the cross join with
     bucket-key equi-joins."""
-    dim = len(embeddings.select("embedding").first()["embedding"])
+    first = embeddings.select("embedding").first()
+    if first is None:   # empty corpus → empty result, same schema
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id: long, neighbor_id: long, score: double, rk: int")
+    dim = len(first["embedding"])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
     sc = embeddings.sparkSession.sparkContext

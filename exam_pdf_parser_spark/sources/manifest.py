@@ -104,7 +104,10 @@ def run_extraction(
     written = spark.read.parquet(ext_path)
     # resuming a directory written before the timing column existed:
     # old bucket files lack proc_us — report 0 cpu rather than failing
-    cpu_col = (F.sum("proc_us") if "proc_us" in written.columns
+    # coalesce: on a mixed old/new directory, old-bucket rows read
+    # proc_us as NULL — sum them as 0 instead of yielding NULL cpu
+    cpu_col = (F.sum(F.coalesce(F.col("proc_us"), F.lit(0)))
+               if "proc_us" in written.columns
                else F.lit(0).cast("long"))
     pending_buckets = sorted(set(range(n_buckets)) - done)
     stats = {
@@ -124,9 +127,9 @@ def run_extraction(
         s = stats.get(b)
         if s is None:
             return (run_id, b, "done", 0, 0, 0, wall_ms, 0, 0.0)
-        cpu_ms = int(s["cpu_us"] // 1000)
-        dps = (float(s["docs_in"]) / (s["cpu_us"] / 1e6)
-               if s["cpu_us"] else 0.0)
+        cpu_us = s["cpu_us"] or 0
+        cpu_ms = int(cpu_us // 1000)
+        dps = float(s["docs_in"]) / (cpu_us / 1e6) if cpu_us else 0.0
         return (run_id, b, "done", int(s["rows_out"]), int(s["docs_in"]),
                 int(s["errors"]), wall_ms, cpu_ms, dps)
 

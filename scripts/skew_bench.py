@@ -24,9 +24,10 @@ sys.path.insert(0, ".")
 
 
 def partition_stats(df) -> tuple[int, float]:
-    sizes = df.rdd.glom().map(len).collect()
-    nonzero = [s for s in sizes if s] or [0]
-    return max(nonzero), sum(nonzero) / len(nonzero)
+    # mean over ALL partitions (empties included) so the skewed and
+    # salted variants report max/mean on the same denominator
+    sizes = df.rdd.glom().map(len).collect() or [0]
+    return max(sizes), sum(sizes) / len(sizes)
 
 
 def main() -> None:
