@@ -55,12 +55,21 @@ def curate(
     # row_number (not min-id equality) so the decision stays one-keeper
     # -per-group even if doc_id is not unique (e.g. a CLI input keyed
     # by url hash where the same url was fetched twice).  The order key
-    # is (doc_id, then EVERY input column) — a total order whenever
-    # rows differ in any column, so the keeper choice is deterministic
-    # across reruns/partitionings (fully identical rows tie, which is
-    # harmless: either is the same record).  NULL text is never a
-    # "duplicate" — those rows fall through to the quality gate.
-    order_cols = ["doc_id"] + [c for c in documents.columns if c != "doc_id"]
+    # is (doc_id, then every SMALL scalar column): text is constant
+    # within an md5(text) window so it adds sort bytes but zero
+    # discrimination, and binary blobs (html) would drag the document
+    # body through the sort — both excluded.  Deterministic whenever
+    # rows differ in any scalar column (url/warc_ts/lang in the
+    # input_hint shape); rows identical in all of them tie, which is
+    # harmless.  NULL text is never a "duplicate" — those rows fall
+    # through to the quality gate.
+    from pyspark.sql.types import BinaryType
+
+    skip = {"doc_id", "text"} | {
+        f.name for f in documents.schema.fields
+        if isinstance(f.dataType, BinaryType)
+    }
+    order_cols = ["doc_id"] + [c for c in documents.columns if c not in skip]
     w = Window.partitionBy(F.md5("text")).orderBy(*order_cols)
     d = d.withColumn("_rn", F.row_number().over(w))
     is_dup = F.col("text").isNotNull() & (F.col("_rn") > 1)
