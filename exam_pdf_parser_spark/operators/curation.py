@@ -97,14 +97,67 @@ def budget_sample(documents: DataFrame, budget_tokens: int,
     token total stays within ``budget_tokens``.  Prefix semantics —
     a document that would overflow the budget stops its group even if
     a smaller later document would fit — keep the rule exact and
-    order-free across partitionings."""
+    order-free across partitionings.
+
+    Scale path, NOT a per-group window: ``Window.partitionBy(lang)``
+    would put each language in ONE task (a handful of giant sorts at
+    corpus scale).  Instead the ranking is a range-partitioned global
+    sort on (by, uniq desc, doc_id) — parallel within every group —
+    and the running total is an exact two-pass distributed prefix sum:
+    pass 1 collects per-(partition, group) token sums (a tiny table),
+    pass 2 adds each partition's broadcast offset to its local running
+    sums.  The sorted frame is localCheckpoint'd between the passes so
+    the sampled range boundaries cannot shift under recomputation.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
     d = _with_stats(documents)
-    w = (
-        Window.partitionBy(by)
-        .orderBy(F.desc("uniq_ratio"), F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sort_keys = [F.col(by), F.desc("uniq_ratio"), F.asc("doc_id")]
+    ordered = (
+        d.repartitionByRange(*sort_keys)
+        .sortWithinPartitions(*sort_keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
+
+    part_sums = (
+        ordered.groupBy("_pid", by)
+        .agg(F.sum("tokens").alias("t"))
+        .collect()
+    )
+    offsets: dict[tuple[int, str], int] = {}
+    running: dict[str, int] = {}
+    for r in sorted(part_sums, key=lambda r: r["_pid"]):
+        key = r[by]
+        offsets[(r["_pid"], key)] = running.get(key, 0)
+        running[key] = running.get(key, 0) + (r["t"] or 0)
+    bc = documents.sparkSession.sparkContext.broadcast(offsets)
+
+    out_schema = ordered.drop("_pid").schema.add("cum_tokens", "long")
+    cols = [f.name for f in out_schema.fields]
+
+    def cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one partition per call; running state spans its batches
+        local: dict[str, int] = {}
+        off = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cums = []
+            pid = int(pdf["_pid"].iloc[0])
+            for grp, tok in zip(pdf[by], pdf["tokens"]):
+                base = local.get(grp)
+                if base is None:
+                    base = off.get((pid, grp), 0)
+                base += int(tok)
+                local[grp] = base
+                cums.append(base)
+            pdf = pdf.assign(cum_tokens=cums).drop(columns=["_pid"])
+            yield pdf[cols]
+
     return (
-        d.withColumn("cum_tokens", F.sum("tokens").over(w))
+        ordered.mapInPandas(cumsum, out_schema)
         .filter(F.col("cum_tokens") <= budget_tokens)
     )

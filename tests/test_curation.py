@@ -116,3 +116,15 @@ def test_budget_sample_ignores_null_text(spark):
     # cumsum stays monotonic: null-text doc contributes 0 tokens
     assert sum(r["tokens"] for r in got) <= 6
     assert all(r["tokens"] >= 0 for r in got)
+
+
+def test_budget_sample_no_per_group_window(spark, docs):
+    # ranking is a range-partitioned sort + two-pass cumsum — there
+    # must be NO per-group Window (one giant task per language at scale)
+    plan = budget_sample(docs, 1000)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
+    # cumsum runs in the Arrow-batched stage over the checkpointed
+    # range-sorted frame (the checkpoint truncates lineage, so the
+    # RangePartitioning itself lives upstream of this plan)
+    assert "MapInPandas" in plan
