@@ -173,6 +173,13 @@ def parse_question_fields(regions: list[Region]) -> list[dict]:
         # in passage prose is never deleted; stripping happens BEFORE
         # the stem/passage split so the marker can't leak into the
         # passage (the reference strips trailing +N lines there too).
+        # DOCUMENTED DIVERGENCE: block boundaries are gone after the
+        # region text join, so a legitimate standalone "+5" token in
+        # mid-prose passage text would also be stripped here, whereas
+        # the reference removes only line-final +N inside the passage
+        # (src/evaluator.py:134-145).  The goldens pin this behavior
+        # for generator-planted corpora, where the marker is always
+        # its own block.
         plus = _PLUS_POINTS_RE.search(body_norm)
         plus_three = plus is not None and int(plus.group(1)) == 3
         if plus:

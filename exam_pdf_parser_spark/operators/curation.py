@@ -108,6 +108,13 @@ def budget_sample(documents: DataFrame, budget_tokens: int,
     pass 2 adds each partition's broadcast offset to its local running
     sums.  The sorted frame is localCheckpoint'd between the passes so
     the sampled range boundaries cannot shift under recomputation.
+
+    Fault-tolerance note: ``localCheckpoint`` blocks live on executors
+    only — on a real cluster an executor loss discards them and FAILS
+    the job (fail-loud, never silently-wrong boundaries).  For long
+    cluster deployments, replace the pin with a reliable stage:
+    ``ordered.write.parquet(tmp)`` + re-read, which survives executor
+    loss at the cost of one durable write.
     """
     from collections.abc import Iterator
 
@@ -139,21 +146,23 @@ def budget_sample(documents: DataFrame, budget_tokens: int,
     cols = [f.name for f in out_schema.fields]
 
     def cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # one partition per call; running state spans its batches
-        local: dict[str, int] = {}
+        # one partition per call; running state spans its batches.
+        # Vectorized: per-batch groupby cumsum + a per-group base offset
+        # (partition offset from pass 1, plus the running total carried
+        # from this partition's earlier batches) — no per-row loop.
+        carry: dict[str, int] = {}
         off = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            cums = []
             pid = int(pdf["_pid"].iloc[0])
-            for grp, tok in zip(pdf[by], pdf["tokens"]):
-                base = local.get(grp)
-                if base is None:
-                    base = off.get((pid, grp), 0)
-                base += int(tok)
-                local[grp] = base
-                cums.append(base)
+            toks = pdf["tokens"].astype("int64")
+            cums = toks.groupby(pdf[by], sort=False).cumsum()
+            bases = {g: carry.get(g, off.get((pid, g), 0))
+                     for g in pdf[by].unique()}   # per-GROUP, not per-row
+            cums = cums + pdf[by].map(bases).astype("int64")
+            ends = cums.groupby(pdf[by], sort=False).max()
+            carry.update(ends.to_dict())
             pdf = pdf.assign(cum_tokens=cums).drop(columns=["_pid"])
             yield pdf[cols]
 

@@ -54,13 +54,23 @@ def streaming_exact_dedup(stream: DataFrame,
     """Keep the first row per content hash within the watermark
     horizon; state is dropped once event time passes the horizon, so
     memory is bounded by (ingest rate × horizon), never by corpus
-    size."""
-    return (
+    size.
+
+    NULL text (quarantine-bound rows) is never a duplicate — same
+    contract as batch ``curation.curate``.  dropDuplicatesWithinWatermark
+    treats NULL keys as equal, so null-hash rows are routed AROUND the
+    dedup (a filtered union) instead of through it."""
+    hashed = (
         stream
         .withColumn("content_hash", F.md5("text"))
         .withWatermark("warc_ts", watermark)
+    )
+    deduped = (
+        hashed.filter(F.col("content_hash").isNotNull())
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
+    passthrough = hashed.filter(F.col("content_hash").isNull())
+    return deduped.unionByName(passthrough)
 
 
 FIRST_SEEN_SCHEMA = StructType([

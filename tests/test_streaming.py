@@ -114,6 +114,38 @@ def test_streaming_exact_dedup(spark, docs_stream_dir):
     q.stop()
 
 
+def test_streaming_dedup_null_text_passthrough(spark, tmp_path):
+    """NULL text is never a duplicate (batch-curate parity): distinct
+    quarantine-bound rows must NOT collapse through the NULL-equal
+    semantics of dropDuplicatesWithinWatermark."""
+    import datetime
+
+    from exam_pdf_parser_spark.streaming.dedup import (
+        DOCS_STREAM_SCHEMA, read_document_stream, streaming_exact_dedup,
+    )
+
+    d = str(tmp_path / "null_docs")
+    base = datetime.datetime(2025, 3, 1)
+    rows = [
+        ("https://a.example/1", base, b"p", None, "en"),
+        ("https://a.example/2", base + datetime.timedelta(minutes=1),
+         b"p", None, "en"),
+        ("https://a.example/3", base + datetime.timedelta(minutes=2),
+         b"p", "same body", "en"),
+        ("https://a.example/4", base + datetime.timedelta(minutes=3),
+         b"p", "same body", "en"),
+    ]
+    spark.createDataFrame(rows, DOCS_STREAM_SCHEMA).write.parquet(d)
+
+    q = run_to_memory(streaming_exact_dedup(read_document_stream(spark, d)),
+                      "null_dedup", mode="append")
+    out = spark.sql("select * from null_dedup").collect()
+    q.stop()
+    # both null-text rows survive; the two "same body" rows collapse
+    assert len(out) == 3
+    assert sum(1 for r in out if r["content_hash"] is None) == 2
+
+
 def test_first_seen_filter_provenance(spark, docs_stream_dir):
     from exam_pdf_parser_spark.streaming.dedup import (
         first_seen_filter, read_document_stream,
