@@ -35,6 +35,37 @@ BENCH_QUERIES = [
 ]
 
 
+def _frozen_corpus(spark, sf_dir: str):
+    """Comparability corpus: same doc_ids as the live bench corpus,
+    synthesized by the FROZEN r02 generator snapshot.  Parquet-cached
+    keyed by the frozen source (constant → the cache never cold-starts
+    on generator edits, only on testdata changes)."""
+    import hashlib
+    import tempfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    import exam_pdf_parser_spark.corpus.frozen_r02 as fz
+    from exam_pdf_parser_spark.operators.extract import DOCUMENTS_SCHEMA
+
+    src = open(fz.__file__, "rb").read()
+    tag = hashlib.md5(sf_dir.encode() + src).hexdigest()[:12]
+    cache = os.path.join(tempfile.gettempdir(), f"epps_frozen_{tag}")
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        cols = [f.name for f in DOCUMENTS_SCHEMA.fields]
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = [fz.build_document(int(i)) for i in pdf["doc_id"]]
+                yield pd.DataFrame({c: [r[c] for r in rows] for c in cols})
+
+        ids.mapInPandas(gen, DOCUMENTS_SCHEMA).write.mode(
+            "overwrite").parquet(cache)
+    return spark.read.parquet(cache)
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from exam_pdf_parser_spark.session import get_spark
@@ -82,6 +113,19 @@ def main() -> None:
     extract_sec = time.perf_counter() - t0
     docs_df.unpersist()
 
+    # Frozen-corpus extraction: the SAME extraction code over the
+    # byte-frozen r02 corpus (corpus/frozen_r02.py — immune to
+    # generator edits), so round-over-round deltas here measure CODE
+    # drift only.  Committed r02 reference band: BASELINE.md.
+    frozen_df = _frozen_corpus(spark, sf_dir).repartition(
+        int(cpus) * 4).persist()
+    n_frozen = frozen_df.count()
+    extract(frozen_df).select(F.count("*")).collect()  # warm pass
+    t0 = time.perf_counter()
+    extract(frozen_df).select(F.count("*")).collect()
+    frozen_sec = time.perf_counter() - t0
+    frozen_df.unpersist()
+
     print(json.dumps({
         "metric": "headline-suite-wall",
         "value": round(total, 3),
@@ -93,6 +137,11 @@ def main() -> None:
             "wall_sec": round(extract_sec, 3),
             "docs_per_sec": round(n_docs / extract_sec, 2),
             "spans": n_spans,
+        },
+        "extraction_frozen_r02_corpus": {
+            "docs": n_frozen,
+            "wall_sec": round(frozen_sec, 3),
+            "docs_per_sec": round(n_frozen / frozen_sec, 2),
         },
     }))
     spark.stop()
