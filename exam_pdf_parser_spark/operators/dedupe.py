@@ -26,6 +26,23 @@ QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
 
 PAIR_SCOPE = 200          # doc_id bound for pairwise demos
+EXACT_TIER_MAX = 20_000   # hard row cap for all-pairs exact tiers
+
+
+def assert_exact_tier(df, n_max: int, scale_twin: str):
+    """Guardrail for the ALL-PAIRS exact tiers: they are O(n²) by
+    construction and exist as oracle/demo paths only.  Counting the
+    (already filtered/pruned) input is one cheap job; above ``n_max``
+    the call fails LOUDLY naming the bucketed scale twin instead of
+    launching a quadratic join that would never finish at corpus
+    scale."""
+    n = df.count()
+    if n > n_max:
+        raise ValueError(
+            f"exact all-pairs tier got {n:,} rows (cap {n_max:,}); "
+            f"this path is quadratic — use the bucketed scale twin "
+            f"{scale_twin} instead")
+    return df
 MINHASH_SEEDS = 12        # 12 hashes → 4 bands × 3 rows
 BAND_ROWS = 3
 JACCARD_DUP = 0.8         # verified-duplicate threshold
@@ -113,7 +130,13 @@ def exact_dup_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.8
 """)
 def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT (demo/oracle) tier: token-level all-pairs Jaccard over a
+    pushed ``doc_id < PAIR_SCOPE`` slice.  Quadratic by construction —
+    guarded by :func:`assert_exact_tier`.  The corpus-scale path is
+    :func:`lsh_pairs_from_tokens` (banded MinHash candidate join +
+    exact verification on candidates only)."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < PAIR_SCOPE)
+    assert_exact_tier(d, EXACT_TIER_MAX, "dedupe.lsh_pairs_from_tokens")
     t = d.select(
         "doc_id",
         F.explode(F.array_distinct(_words(F.col("text")))).alias("token"),

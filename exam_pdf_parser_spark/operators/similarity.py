@@ -114,8 +114,18 @@ def ann_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
           >= 0.55
 """)
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT (demo/oracle) tier: all-pairs quantized cosine over a
+    pushed ``vec_id < NEAR_DUP_SCOPE`` slice.  Quadratic by
+    construction — guarded by ``assert_exact_tier``.  The corpus-scale
+    path is :func:`embedding_near_pairs_lsh` (hyperplane-LSH bucket
+    join, ids-only candidates, exact-precision verify, recall ≥ 0.95
+    gated in tests)."""
+    from .dedupe import EXACT_TIER_MAX, assert_exact_tier
+
     e = load(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < NEAR_DUP_SCOPE)
+    assert_exact_tier(e, EXACT_TIER_MAX,
+                      "similarity.embedding_near_pairs_lsh")
     v = e.select("vec_id", _quantized(F.col("embedding")).alias("qv"))
     n = v.select(
         "vec_id", "qv", _dot_q(F.col("qv"), F.col("qv")).alias("norm2"))

@@ -162,3 +162,18 @@ def test_shingle_minhash_order_sensitivity(spark):
 
     a, b = shingle_set(base), shingle_set(near)
     assert got[(0, 1)] == (len(a & b), len(a | b))   # exact verification
+
+
+def test_exact_tier_guard_raises_on_unbounded_input(spark):
+    """The all-pairs demo tiers must fail loudly (naming their bucketed
+    scale twin) instead of launching a quadratic join on a large
+    input."""
+    import pytest
+
+    from exam_pdf_parser_spark.operators.dedupe import assert_exact_tier
+
+    big = spark.range(25_000)
+    with pytest.raises(ValueError, match="lsh_pairs_from_tokens"):
+        assert_exact_tier(big, 20_000, "dedupe.lsh_pairs_from_tokens")
+    small = spark.range(10)
+    assert assert_exact_tier(small, 20_000, "unused") is small
