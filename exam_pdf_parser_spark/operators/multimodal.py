@@ -81,14 +81,72 @@ def media_corpus(spark: SparkSession, n: int, seed: int = 42,
 
 
 def parse_meta(payload: bytes) -> dict:
-    """Decode the typed header (the deterministic stand-in for probing
-    a real container format)."""
-    if payload[:5] != MAGIC or len(payload) < 12:
-        return {"kind": None, "width": None, "height": None,
-                "n_frames": None, "valid": "corrupt"}
-    kind = KINDS.get(chr(payload[5]))
-    w, h, f = struct.unpack(">HHH", payload[6:12])
-    return {"kind": kind, "width": w, "height": h, "n_frames": f,
+    """Decode the typed header: the synthetic container, plus REAL
+    header-only metadata for PNG (IHDR), JPEG (SOF0/SOF2 frame
+    header), and GIF (logical screen descriptor).  Dimensions need no
+    pixel codec — only the decode of non-PNG pixel DATA remains
+    stubbed (``decode_image``)."""
+    if payload[:5] == MAGIC and len(payload) >= 12:
+        kind = KINDS.get(chr(payload[5]))
+        w, h, f = struct.unpack(">HHH", payload[6:12])
+        return {"kind": kind, "width": w, "height": h, "n_frames": f,
+                "valid": "ok"}
+    for probe in (_png_dims, _jpeg_dims, _gif_dims):
+        meta = probe(payload)
+        if meta is not None:
+            return meta
+    return {"kind": None, "width": None, "height": None,
+            "n_frames": None, "valid": "corrupt"}
+
+
+def _png_dims(payload: bytes) -> dict | None:
+    """PNG IHDR: width/height are big-endian uint32 at bytes 16-24."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n" or len(payload) < 24:
+        return None
+    w, h = struct.unpack(">II", payload[16:24])
+    return {"kind": "image", "width": w, "height": h, "n_frames": 1,
+            "valid": "ok"}
+
+
+def _jpeg_dims(payload: bytes) -> dict | None:
+    """JPEG: walk the marker stream from SOI to the first frame header
+    (SOF0-SOF15 except DHT/JPG/DAC), whose body is
+    ``precision u8, height u16be, width u16be``."""
+    if payload[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:          # desynchronized marker stream
+            return None
+        marker = payload[i + 1]
+        if marker == 0xFF:              # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2                      # standalone markers, no length
+            continue
+        seg_len = struct.unpack(">H", payload[i + 2:i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                return None
+            h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+            return {"kind": "image", "width": w, "height": h,
+                    "n_frames": 1, "valid": "ok"}
+        if marker == 0xDA:              # scan start before any SOF
+            return None
+        i += 2 + seg_len
+    return None
+
+
+def _gif_dims(payload: bytes) -> dict | None:
+    """GIF logical screen descriptor: width/height are LITTLE-endian
+    uint16 at bytes 6-10; frame count is unknown without walking the
+    image blocks, so n_frames stays NULL."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 10:
+        return None
+    w, h = struct.unpack("<HH", payload[6:10])
+    return {"kind": "image", "width": w, "height": h, "n_frames": None,
             "valid": "ok"}
 
 

@@ -186,3 +186,62 @@ def test_image_pipeline_quarantines_corrupt(spark):
     assert len(feats) == 1 and feats[0]["valid"] == "corrupt"
     out = resize_images(bad).collect()   # passes through untouched
     assert bytes(out[0]["payload"]) == b"garbage-not-a-png"
+
+
+def test_header_only_media_dims():
+    """Real-format dimensions parse from headers alone — no pixel
+    codec: JPEG SOF0, progressive JPEG SOF2, GIF LSD, PNG IHDR."""
+    import struct
+
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.png import encode_png_gray
+    from exam_pdf_parser_spark.operators.multimodal import parse_meta
+
+    def jpeg(w, h, sof=0xC0):
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof0 = (bytes([0xFF, sof]) + struct.pack(">H", 11) + b"\x08"
+                + struct.pack(">HH", h, w) + b"\x01\x01\x11\x00")
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+    m = parse_meta(jpeg(640, 480))
+    assert (m["kind"], m["width"], m["height"], m["valid"]) == \
+        ("image", 640, 480, "ok")
+    m = parse_meta(jpeg(31, 7, sof=0xC2))        # progressive
+    assert (m["width"], m["height"], m["valid"]) == (31, 7, "ok")
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    m = parse_meta(gif)
+    assert (m["kind"], m["width"], m["height"], m["n_frames"]) == \
+        ("image", 320, 200, None)
+
+    png = encode_png_gray(np.zeros((12, 34), dtype=np.uint8))
+    m = parse_meta(png)
+    assert (m["width"], m["height"], m["valid"]) == (34, 12, "ok")
+
+    # truncated / desynchronized inputs stay quarantined, never raise
+    for bad in (b"\xff\xd8\x00\x00", b"GIF89a\x01", b"\x89PNG\r\n\x1a\n", b""):
+        assert parse_meta(bad)["valid"] == "corrupt"
+
+
+def test_header_only_dims_through_spark(spark):
+    """The extract_metadata stage reads real-format headers end-to-end."""
+    import struct
+
+    from exam_pdf_parser_spark.operators.multimodal import (
+        MEDIA_SCHEMA, extract_metadata,
+    )
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 10, 20) + b"\x01\x01\x11\x00")
+    rows = [
+        (0, "image", b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"),
+        (1, "image", b"GIF87a" + struct.pack("<HH", 99, 44) + b"\x00"),
+        (2, "image", b"not media at all"),
+    ]
+    out = {r["media_id"]: r for r in extract_metadata(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    assert (out[0]["width"], out[0]["height"]) == (20, 10)
+    assert (out[1]["width"], out[1]["height"]) == (99, 44)
+    assert out[2]["valid"] == "corrupt"
