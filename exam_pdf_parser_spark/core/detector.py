@@ -60,6 +60,13 @@ class Region:
     # src/schema.py:83-84, checked by V22 src/validator.py:478-498)
     has_image: bool = False
     has_table: bool = False
+    # geometry of each figure/table block inside the region, in scan
+    # order: (kind, page_idx, w, h) with integer dims — the
+    # deterministic source for image_description (reference field
+    # src/schema.py:87-88; the reference fills it via LLM, the north
+    # rule derives it from layout geometry).  Zero-area figures are
+    # known-present but undescribable → V22 fires.
+    figures: list = field(default_factory=list)
 
 
 def _union(bboxes: list[list[float]]) -> tuple[float, float, float, float]:
@@ -120,17 +127,23 @@ def scan_column(
     cur_text = ""
     cur_pre = ""
     cur_img = cur_tbl = False
+    cur_figs: list = []
     pool: list[list[float]] = []
     pool_texts: list[str] = []
     pool_img = pool_tbl = False
+    pool_figs: list = []
     saw_header = False
+
+    def fig_of(btype: str, bbox: list[float]) -> tuple:
+        return (btype, page_idx,
+                round(bbox[2] - bbox[0]), round(bbox[3] - bbox[1]))
 
     def emit_current() -> None:
         bb = _union(cur_boxes)
         out.append(Region(cur_num, page_idx, *bb, cur_text[:PREVIEW_LEN],
                           group_range=cur_group, full_text=cur_text,
                           pre_text=cur_pre, has_image=cur_img,
-                          has_table=cur_tbl))
+                          has_table=cur_tbl, figures=cur_figs))
 
     for b in blocks:
         bbox = b.get("bbox")
@@ -143,10 +156,14 @@ def scan_column(
                 cur_boxes.append(bbox)
                 cur_img = cur_img or btype == "image"
                 cur_tbl = cur_tbl or btype == "table"
+                if btype in ("image", "table"):
+                    cur_figs.append(fig_of(btype, bbox))
             else:
                 pool.append(bbox)
                 pool_img = pool_img or btype == "image"
                 pool_tbl = pool_tbl or btype == "table"
+                if btype in ("image", "table"):
+                    pool_figs.append(fig_of(btype, bbox))
             continue
         if is_section_header(text):
             saw_header = True
@@ -159,6 +176,7 @@ def scan_column(
             cur_group = group_range
             cur_pre = ""
             cur_img = cur_tbl = False
+            cur_figs = []
             if pool:
                 if not saw_header and carry_q is not None:
                     bb = _union(pool)
@@ -166,15 +184,18 @@ def scan_column(
                                       CONTINUATION_PREVIEW, spans_page=True,
                                       full_text=" ".join(pool_texts),
                                       has_image=pool_img,
-                                      has_table=pool_tbl))
+                                      has_table=pool_tbl,
+                                      figures=pool_figs))
                     cur_boxes = [bbox]
                 else:
                     cur_boxes = pool + [bbox]
                     cur_pre = " ".join(pool_texts)
                     cur_img, cur_tbl = pool_img, pool_tbl
+                    cur_figs = pool_figs
                 pool = []
                 pool_texts = []
                 pool_img = pool_tbl = False
+                pool_figs = []
             else:
                 cur_boxes = [bbox]
             cur_text = text
@@ -183,11 +204,15 @@ def scan_column(
             cur_text += " " + text
             cur_img = cur_img or btype == "image"
             cur_tbl = cur_tbl or btype == "table"
+            if btype in ("image", "table"):
+                cur_figs.append(fig_of(btype, bbox))
         else:
             pool.append(bbox)
             pool_texts.append(text)
             pool_img = pool_img or btype == "image"
             pool_tbl = pool_tbl or btype == "table"
+            if btype in ("image", "table"):
+                pool_figs.append(fig_of(btype, bbox))
 
     if cur_num is not None:
         emit_current()
@@ -235,7 +260,7 @@ def repair_duplicates(regions: list[Region], max_q: int) -> list[Region]:
                     r.text_preview, spans_page=r.spans_page,
                     group_range=r.group_range, full_text=r.full_text,
                     pre_text=r.pre_text, has_image=r.has_image,
-                    has_table=r.has_table,
+                    has_table=r.has_table, figures=r.figures,
                 ))
                 all_nums.add(candidate)
                 break

@@ -213,10 +213,7 @@ def parse_question_fields(regions: list[Region]) -> list[dict]:
             "vocabulary_notes": vocab,
             "has_image": any(r.has_image for r in group),
             "has_table": any(r.has_table for r in group),
-            # no deterministic source for a description in the layout —
-            # stays null; V22 flags figure questions without one
-            # (src/validator.py:478-498)
-            "image_description": None,
+            "image_description": describe_figures(group),
             "sub_questions": subs,
         })
 
@@ -235,6 +232,26 @@ def parse_question_fields(regions: list[Region]) -> list[dict]:
             if mrow is not None and mrow["passage"] is None:
                 mrow["passage"] = row["passage"]
     return rows
+
+
+def describe_figures(group: list[Region]) -> str | None:
+    """Deterministic ``image_description`` (reference field
+    src/schema.py:87-88, filled there by an LLM; consumed by V22
+    src/validator.py:478-498): canonical ``kind WxH pN`` per figure
+    block, region_idx order, joined with ``'; '``.
+
+    Zero-area figure blocks are known-present (has_image/has_table
+    still set) but carry no describable geometry → they contribute
+    nothing, so a question whose only figures are degenerate keeps a
+    NULL description and V22 fires — the deterministic analogue of
+    "the describer failed on this figure"."""
+    descs = [
+        f"{kind} {w}x{h} p{page}"
+        for r in sorted(group, key=lambda r: r.region_idx)
+        for (kind, page, w, h) in r.figures
+        if w > 0 and h > 0
+    ]
+    return "; ".join(descs) or None
 
 
 def parse_exam_title(regions: list[Region]) -> str | None:

@@ -303,13 +303,20 @@ def build_document(doc_id: int, seed: int = 42) -> dict:
             else:
                 flow.add_block(qd["passage"], height=float(rng.randint(160, 320)))
         # figures/tables inside some reading questions (has_image /
-        # has_table flags; reference src/schema.py:83-84)
+        # has_table flags; reference src/schema.py:83-84).  A fraction
+        # are planted ZERO-AREA (degenerate bbox): the figure is known
+        # present but has no describable geometry — the V22 firing
+        # path (figure without image_description,
+        # src/validator.py:478-498).
         if not qd["listening"] and rng.random() < 0.10:
             kind = "image" if rng.random() < 0.6 else "table"
-            flow.add_block("", height=float(rng.randint(80, 160)))
+            degenerate = rng.random() < 0.15
+            h = 0.0 if degenerate else float(rng.randint(80, 160))
+            flow.add_block("", height=h)
             flow.pages[-1]["blocks"][-1]["type"] = kind
             qd["has_image"] = kind == "image"
             qd["has_table"] = kind == "table"
+            qd["fig_degenerate"] = degenerate
         else:
             qd["has_image"] = qd["has_table"] = False
         # sub-question prompts "(1) …" (src/schema.py:86); an empty

@@ -127,6 +127,15 @@ def test_validation_issue_semantics(spark_tables):
     # sub-question entry on written items)
     assert by_rule.get("V14", 0) > 0
     assert by_rule.get("V6", 0) > 0
+    # V22 fires ONLY for the planted degenerate (zero-area) figures;
+    # ordinary figures carry a derived geometry description
+    parsed = spark_tables["parsed"]
+    n_fig = parsed.filter("has_image OR has_table").count()
+    n_described = parsed.filter(
+        "(has_image OR has_table) AND image_description IS NOT NULL"
+    ).count()
+    assert 0 < n_described < n_fig              # both branches exist
+    assert by_rule.get("V22", 0) == n_fig - n_described
     rollup = validity_rollup(issues, spark_tables["parsed"])
     assert rollup.count() == N_DOCS
     # every url has the rollup columns populated
@@ -141,13 +150,13 @@ def test_validation_catches_planted_defects(spark):
 
     def q(number, text="질문 텍스트", qtype="독해", passage="p" * 30,
           choices=None, points=2, group_range=None, vocab=None,
-          has_image=False, sub_questions=None):
+          has_image=False, sub_questions=None, image_description=None):
         if choices is None:
             choices = [{"number": i, "text": f"choice {i}"}
                        for i in range(1, 6)]
         return ("u1", number, text, qtype, passage, choices, points,
                 group_range, False, 1, vocab or [], has_image, False,
-                None, sub_questions or [], "모의고사 제목")
+                image_description, sub_questions or [], "모의고사 제목")
 
     rows = [
         q(18),
@@ -165,9 +174,11 @@ def test_validation_catches_planted_defects(spark):
         q(30), q(30),                                     # V7
         q(31, vocab=[{"word": "x", "meaning": " "}]),     # V6b
         q(32, sub_questions=["ok", " "]),                 # V6
-        q(33, has_image=True),                            # V22
+        q(33, has_image=True),                            # V22 fires
         q(34, qtype="주제/요지", passage=None),           # V14
         q(35, qtype="서술형", choices=[]),                # written: NOT V13
+        q(36, has_image=True,
+          image_description="image 340x120 p1"),          # V22 silent
         # V8: gap at 28-29 etc. exists by construction
     ]
     parsed = spark.createDataFrame(rows, PARSED_SCHEMA)
@@ -181,6 +192,11 @@ def test_validation_catches_planted_defects(spark):
     v13_nums = {r["question_number"]
                 for r in issues.filter("rule = 'V13'").collect()}
     assert 24 in v13_nums and 35 not in v13_nums
+    # V22 has BOTH branches: fires on the undescribed figure (33),
+    # silent on the described one (36)
+    v22_nums = {r["question_number"]
+                for r in issues.filter("rule = 'V22'").collect()}
+    assert 33 in v22_nums and 36 not in v22_nums
 
 
 def test_validity_rollup_includes_zero_parsed_urls(spark):
