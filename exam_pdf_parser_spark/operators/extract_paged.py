@@ -149,3 +149,83 @@ def extract_paged(paged: DataFrame, min_q: int = 1, max_q: int = 50) -> DataFram
         }])
 
     return decoded.groupBy("url").applyInPandas(detect, EXTRACT_SCHEMA)
+
+
+# --- automatic giant-doc routing ---------------------------------------------
+
+# Whole-doc payloads run ~1,000 compressed bytes per page on the
+# corpus (measured over 50 docs), so the byte threshold IS the header-
+# cheap page-count proxy: 100_000 B ≈ a 100-page document, ~20× the
+# largest ordinary doc.  Detection is a JVM-side length() — no decode,
+# no Python.
+GIANT_BYTES = 100_000
+
+
+def explode_pages(documents: DataFrame) -> DataFrame:
+    """(url, html) → one PAGED_SCHEMA row per page.  A payload that
+    fails to decode is forwarded whole as its own page row — the paged
+    pipeline's stage-A quarantine then flags it (nothing is dropped)."""
+    src = documents.select("url", "html")
+
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, idxs, payloads = [], [], []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                blob = bytes(blob) if blob is not None else b""
+                try:
+                    pages = decode_payload(blob)["pages"]
+                except Exception:
+                    urls.append(url)
+                    idxs.append(0)
+                    payloads.append(blob)
+                    continue
+                for p in pages:
+                    urls.append(url)
+                    idxs.append(int(p.get("page_idx", 0)))
+                    payloads.append(encode_payload({"v": 1, "pages": [p]}))
+            if urls:
+                yield pd.DataFrame(
+                    {"url": urls, "page_idx": idxs, "page_html": payloads})
+
+    return src.mapInPandas(split, PAGED_SCHEMA)
+
+
+def extract_auto(documents: DataFrame, min_q: int = 1, max_q: int = 50,
+                 giant_bytes: int = GIANT_BYTES) -> DataFrame:
+    """Size-routed extraction: ordinary documents take the zero-shuffle
+    whole-doc ``extract()``; documents above ``giant_bytes`` are
+    exploded to pages and take ``extract_paged`` (page-parallel decode,
+    url-regrouped detect), unioned back.  Output is byte-identical to
+    ``extract()`` either way; routing only changes WHERE a document's
+    work lands, so one 1,000-page document cannot stall a task.
+
+    Scale note: the two branches are complementary FILTERS over the
+    source, so a columnar scan is read twice; the giant branch's read
+    prunes to almost nothing when the ingest table carries a size or
+    page-count column with row-group stats (Iceberg ingest should
+    persist one — binaryFile sources expose ``length`` for free).  The
+    ordinary branch pays only a JVM length() filter.
+    """
+    from pyspark.sql import functions as F
+
+    from .extract import extract
+
+    docs = documents.select("url", "html")
+    size = F.coalesce(F.length("html"), F.lit(0))  # NULL html → small/quarantine
+    small = docs.filter(size <= giant_bytes)
+    giant = docs.filter(size > giant_bytes)
+    # coalesce BEFORE the Python explode stage: giant docs are rare, so
+    # most giant-side tasks are empty, and every empty mapInPandas task
+    # still pays a Python-runner round trip (measured ~0.8 s over 128
+    # empty partitions).  The whole-doc zlib stream is one serial
+    # decode per giant doc anyway, so 8 tasks lose no real parallelism.
+    # Then repartition AFTER the explode: one giant doc's pages must
+    # spread across tasks (the whole point of the route); the shuffle
+    # moves only the rare giant payloads, and AQE coalesces it when
+    # empty.
+    giant_pages = explode_pages(giant.coalesce(8)).repartition(
+        "url", "page_idx")
+    return (
+        extract(small, min_q, max_q)
+        .unionByName(extract_paged(giant_pages, min_q, max_q))
+    )

@@ -47,3 +47,72 @@ def test_page_rows_outnumber_docs(spark, tables):
     docs, paged = tables
     # the paged table really is page-granular (parallelism units)
     assert paged.count() > docs.count() * 5
+
+
+def _giant_doc(n_pages: int = 1000) -> tuple[str, bytes]:
+    """A pathological document: one ordinary doc's pages tiled out to
+    ``n_pages`` with reindexed page_idx (content sanity is irrelevant —
+    byte-identity between the two paths is the contract)."""
+    from exam_pdf_parser_spark.core.assemble import (
+        decode_payload, encode_payload,
+    )
+    from exam_pdf_parser_spark.corpus.generator import build_document
+
+    base = decode_payload(build_document(0)["html"])["pages"]
+    pages = []
+    while len(pages) < n_pages:
+        for p in base:
+            if len(pages) >= n_pages:
+                break
+            q = dict(p)
+            q["page_idx"] = len(pages)
+            pages.append(q)
+    return "https://giant.example/doc", encode_payload(
+        {"v": 1, "pages": pages})
+
+
+def test_extract_auto_routes_and_matches_whole_doc(spark):
+    from pyspark.sql import functions as F
+
+    from exam_pdf_parser_spark.operators.extract_paged import (
+        GIANT_BYTES, extract_auto,
+    )
+
+    url_g, html_g = _giant_doc()
+    assert len(html_g) > GIANT_BYTES          # really routes
+    docs = corpus_df(spark, 10, partitions=2).select("url", "html")
+    mixed = docs.unionByName(
+        spark.createDataFrame([(url_g, html_g), ("https://bad.example/x",
+                                                 b"garbage payload")],
+                              "url string, html binary")).persist()
+
+    want = {r["url"]: r for r in extract(mixed).collect()}
+    got = {r["url"]: r for r in extract_auto(mixed).collect()}
+    mixed.unpersist()
+    assert set(got) == set(want)
+    for url, w in want.items():
+        g = got[url]
+        assert g["extracted_text"] == w["extracted_text"], url
+        assert [s.asDict() for s in g["spans"]] == \
+               [s.asDict() for s in w["spans"]], url
+    # the giant doc decoded through the paged branch
+    assert got[url_g]["status"] == "ok"
+    assert len(got[url_g]["spans"]) > 0
+    # corrupt payloads still quarantine (small branch)
+    assert got["https://bad.example/x"]["status"] == "error"
+
+
+def test_extract_auto_plan_shows_routed_union(spark):
+    from exam_pdf_parser_spark.operators.extract_paged import extract_auto
+
+    docs = corpus_df(spark, 5, partitions=2)
+    plan = extract_auto(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan
+    # paged branch present (url-regrouped applyInPandas)...
+    assert "FlatMapGroupsInPandas" in plan
+    # ...with exactly its two giant-side shuffles (page spread + url
+    # regroup); the ordinary branch contributes none — its subtree is
+    # the bare scan → MapInPandas with no exchange in between
+    assert plan.count("Exchange hashpartitioning") == 2
+    seg = plan.split("Union", 1)[1]          # Union's first child = small
+    assert "Exchange" not in seg[:seg.index("MapInPandas")]
