@@ -3,11 +3,19 @@
 over the same parquet dir; compare row count, column names, and
 order-insensitive values.
 
+The nine extraction-family ``x_*`` queries (no DuckDB oracle — it
+cannot decode layout payloads) are hash-compared against the
+single-node Python oracle (``core/oracle_x.py``) instead, and the
+results are written to ``XCHECK_X.json`` — upgrading them from
+rows-only to cross-implementation hash parity.
+
 Usage: python scripts/crosscheck.py [sf_dir] [name ...]
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import math
 import sys
 
@@ -25,6 +33,57 @@ def canon(rows, cols):
         return str(v)
 
     return sorted(tuple(cell(r[c]) for c in sorted(cols)) for r in rows)
+
+
+def _xcheck(spark, sf_dir: str, queries, only: set[str]) -> list[str]:
+    """Hash-compare every x_* query against the single-node oracle."""
+    import pandas as pd
+
+    from exam_pdf_parser_spark.core.oracle_x import X_ORACLES
+    from exam_pdf_parser_spark.corpus.generator import build_document
+
+    names = [n for n in X_ORACLES if not only or n in only]
+    if not names:
+        return []
+    doc_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(
+            f"{sf_dir}/documents.parquet").select("doc_id").collect())
+    rows = [build_document(int(i)) for i in doc_ids]
+
+    failures: list[str] = []
+    report: dict[str, dict] = {}
+    for name in names:
+        sdf = queries[name](spark, sf_dir).toPandas()
+        want = X_ORACLES[name](rows)
+        # run the oracle rows through pandas so nullable-int → float64
+        # coercion matches Spark's toPandas (both sides canon the same)
+        odf = pd.DataFrame(want)
+        scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+        entry = {"spark_rows": len(sdf), "oracle_rows": len(odf),
+                 "rows_match": len(sdf) == len(odf),
+                 "schema_match": scols == ocols, "hash_match": False}
+        if scols == ocols:
+            a = canon(sdf.to_dict("records"), scols)
+            b = canon(odf.to_dict("records"), ocols)
+            entry["hash_match"] = a == b
+            entry["value_hash"] = hashlib.md5(
+                json.dumps(a).encode()).hexdigest()
+            if a != b:
+                diff = [i for i, (x, y) in enumerate(zip(a, b))
+                        if x != y][:2]
+                for i in diff:
+                    print(f"   spark : {a[i] if i < len(a) else '-'}")
+                    print(f"   oracle: {b[i] if i < len(b) else '-'}")
+        ok = entry["rows_match"] and entry["schema_match"] \
+            and entry["hash_match"]
+        if not ok:
+            failures.append(name)
+        print(f"{name:28s} {'OK (oracle-hash)' if ok else 'X-MISMATCH'} "
+              f"rows={len(sdf)}")
+        report[name] = entry
+    with open("XCHECK_X.json", "w") as f:
+        json.dump({"sf_dir": sf_dir, "results": report}, f, indent=1)
+    return failures
 
 
 def main() -> int:
@@ -49,6 +108,8 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        if name.startswith("x_"):
+            continue  # hash-gated against the Python oracle below
         sdf = fn(spark, sf_dir).toPandas()
         if name not in oracles:
             print(f"{name:28s} rows={len(sdf):6d}  (rows-only, no oracle)")
@@ -73,6 +134,7 @@ def main() -> int:
                 print(f"   duck : {b[i]}")
         else:
             print(f"{name:28s} OK rows={len(a)}")
+    failures.extend(_xcheck(spark, sf_dir, queries, only))
     spark.stop()
     print(f"\n{len(failures)} failures: {failures}")
     return 1 if failures else 0

@@ -258,3 +258,46 @@ def test_exam_title_matches_generator(spark_tables, corpus_rows):
     v1_urls = {r["url"] for r in issues.filter("rule = 'V1'").collect()}
     want_v1 = {r["url"] for r in corpus_rows if not r.get("exam_title")}
     assert v1_urls == want_v1
+
+
+def test_x_oracle_validation_and_compare_parity(spark):
+    """The plain-Python x_* oracle (core/oracle_x.py) and the Spark
+    relational pipeline must produce identical issue/compare tables —
+    the unit-scale pin of the XCHECK_X gate. The validation rules are
+    REIMPLEMENTED in the oracle (not shared), so a wrong join/window
+    on either side cannot self-confirm."""
+    from exam_pdf_parser_spark.core.oracle_x import (
+        x_compare_configs, x_validation_issues,
+    )
+    from exam_pdf_parser_spark.corpus.generator import generate_rows
+    from exam_pdf_parser_spark.operators.compare import compare_runs
+    from exam_pdf_parser_spark.operators.parsed import (
+        answer_key_table, parse_documents,
+    )
+
+    rows = generate_rows(10)
+    docs = spark.createDataFrame(
+        [(r["url"], r["html"], r["answer_md"]) for r in rows],
+        "url string, html binary, answer_md string").persist()
+
+    got = sorted(
+        (tuple(r) for r in validate(
+            parse_documents(docs), answer_key_table(docs))
+         .select("url", "level", "question_number", "rule", "message")
+         .collect()), key=repr)    # None question_numbers sort by repr
+    want = sorted(
+        ((i["url"], i["level"], i["question_number"], i["rule"],
+          i["message"]) for i in x_validation_issues(rows)), key=repr)
+    assert got == want
+
+    cmp_got = sorted(
+        tuple(r) for r in compare_runs(
+            parse_documents(docs, max_q=50), parse_documents(docs, max_q=20))
+        .select("url", "number", "in_a", "in_b", "qtext_sim",
+                "passage_sim", "points_delta", "choices_delta").collect())
+    cmp_want = sorted(
+        (c["url"], c["number"], c["in_a"], c["in_b"], c["qtext_sim"],
+         c["passage_sim"], c["points_delta"], c["choices_delta"])
+        for c in x_compare_configs(rows))
+    docs.unpersist()
+    assert cmp_got == cmp_want
