@@ -60,23 +60,102 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- per-language rollup -----------------------------------------------------
-@register("lang_token_rollup", """
-    SELECT lang,
-           count(*) AS docs,
-           CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS total_tokens,
-           CAST(sum(length(text)) AS BIGINT) AS total_chars,
-           CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
+# --- per-language rollup + curation provenance (union query) ------------------
+# One registry row exercising the token rollup AND both curation gates
+# (operators/curation.py) under a full DuckDB oracle arm: drop_reason
+# counts replay curate()'s first-failure cascade; budget_cum_sum
+# checksums EVERY prefix value of budget_sample()'s distributed prefix
+# sum (not just the per-lang total) against a single-window SQL twin.
+BUDGET_B = 2_000  # binds per lang at sf0.01 (≈5.4k tokens/lang) and up
+
+_CURATION_SQL = f"""
+    WITH s AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN text IS NULL THEN 0
+                  ELSE len(list_filter(string_split(text, ' '), x -> x <> ''))
+             END AS tokens,
+             CASE WHEN text IS NULL OR len(list_filter(string_split(text, ' '), x -> x <> '')) = 0
+                  THEN 0.0
+                  ELSE CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE)
+                       / GREATEST(len(list_filter(string_split(text, ' '), x -> x <> '')), 1)
+             END AS uniq_ratio
+      FROM documents
+    ), dedup AS (
+      SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) AS rn
+      FROM s
+    ), cur AS (
+      SELECT lang,
+             CASE WHEN text IS NOT NULL AND rn > 1 THEN 'drop_duplicate'
+                  WHEN tokens < 20 OR uniq_ratio < 0.2 THEN 'drop_quality'
+                  ELSE 'keep' END AS metric
+      FROM dedup
+    ), bud AS (
+      SELECT lang, tokens,
+             sum(tokens) OVER (PARTITION BY lang
+                               ORDER BY uniq_ratio DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s
+    )
+    SELECT lang, 'docs' AS metric, count(*) AS value FROM documents GROUP BY lang
+    UNION ALL
+    SELECT lang, 'total_tokens', CAST(sum(tokens) AS BIGINT) FROM s GROUP BY lang
+    UNION ALL
+    SELECT lang, 'total_chars', CAST(sum(length(text)) AS BIGINT)
     FROM documents GROUP BY lang
-""")
-def lang_token_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    UNION ALL
+    SELECT lang, 'avg_chars_x1000',
+           CAST(FLOOR(CAST(sum(length(text)) AS DOUBLE) / count(*) * 1000 + 0.5) AS BIGINT)
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT lang, metric, count(*) FROM cur GROUP BY lang, metric
+    UNION ALL
+    SELECT lang, 'budget_docs', count(*) FROM bud
+    WHERE cum <= {BUDGET_B} GROUP BY lang
+    UNION ALL
+    SELECT lang, 'budget_cum_sum', CAST(sum(cum) AS BIGINT) FROM bud
+    WHERE cum <= {BUDGET_B} GROUP BY lang
+"""
+
+
+@register("lang_curation_rollup", _CURATION_SQL)
+def lang_curation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import budget_sample, curate
+
     d = load(spark, sf_dir, "documents")
-    return d.groupBy("lang").agg(
+    v = lambda c: c.cast("bigint").alias("value")  # noqa: E731
+
+    rollup = d.groupBy("lang").agg(
         F.count("*").alias("docs"),
         F.sum(F.size(_words(F.col("text")))).alias("total_tokens"),
         F.sum(F.length("text")).alias("total_chars"),
-        (F.sum(F.length("text")).cast("double") / F.count("*")).alias("avg_chars"),
+        F.floor(F.sum(F.length("text")).cast("double") / F.count("*")
+                * 1000 + 0.5).alias("avg_x1000"),
+    ).selectExpr(
+        "lang",
+        "stack(4, 'docs', docs, 'total_tokens', total_tokens, "
+        "'total_chars', total_chars, 'avg_chars_x1000', avg_x1000) "
+        "AS (metric, value)",
+    ).select("lang", "metric", v(F.col("value")))
+
+    drops = (
+        curate(d)
+        .groupBy("lang", F.when(F.col("drop_reason").isNotNull(),
+                                F.concat(F.lit("drop_"), "drop_reason"))
+                .otherwise("keep").alias("metric"))
+        .agg(v(F.count("*")))
     )
+
+    bud = budget_sample(d, BUDGET_B).groupBy("lang").agg(
+        F.count("*").alias("budget_docs"),
+        F.sum("cum_tokens").alias("budget_cum_sum"),
+    ).selectExpr(
+        "lang",
+        "stack(2, 'budget_docs', budget_docs, "
+        "'budget_cum_sum', budget_cum_sum) AS (metric, value)",
+    ).select("lang", "metric", v(F.col("value")))
+
+    return rollup.unionByName(drops).unionByName(bud)
 
 
 # --- quality scoring: lexical-diversity + length heuristics ------------------
