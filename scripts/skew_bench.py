@@ -30,6 +30,77 @@ def partition_stats(df) -> tuple[int, float]:
     return max(sizes), sum(sizes) / len(sizes)
 
 
+def mixer_skew(n_rows: int = 200_000, n_parts: int = 32) -> None:
+    """Language-skew A/B for the token-budget mixer: 90% of rows share
+    ONE language.  Proves curation.py's range-partition claim the way
+    the host-skew claim was proven: a per-group window puts the fat
+    language in ONE task; budget_sample's range-partitioned sort stays
+    balanced.  Also asserts row-for-row parity between the two."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from exam_pdf_parser_spark.operators.curation import (
+        _with_stats, budget_sample,
+    )
+    from exam_pdf_parser_spark.session import get_spark
+
+    spark = get_spark("mixer-skew", master="local[8]",
+                      shuffle_partitions=n_parts)
+    # documents-shaped skewed table, built JVM-side: 90% 'ko', the
+    # rest spread over 4 langs; deterministic pseudo-text gives varied
+    # token counts and uniq ratios
+    df = spark.range(0, n_rows, 1, n_parts).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(1), F.lit(20) + F.pmod("id", 30)),
+            lambda x: F.concat(F.lit("w"), F.pmod(F.col("id") * x, 97)),
+        )).alias("text"),
+        F.when(F.pmod("id", 10) < 9, "ko").otherwise(
+            F.concat(F.lit("l"), F.pmod("id", 4))).alias("lang"),
+    ).persist()
+    df.count()
+
+    budget = 3_000_000  # keeps roughly half of the fat language
+    d = _with_stats(df)
+    sort_keys = [F.col("lang"), F.desc("uniq_ratio"), F.asc("doc_id")]
+    range_max, range_mean = partition_stats(
+        d.repartitionByRange(*sort_keys))
+    group_max, group_mean = partition_stats(
+        df.repartition(n_parts, "lang"))
+
+    w = (Window.partitionBy("lang")
+         .orderBy(F.desc("uniq_ratio"), F.asc("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    window_twin = (d.withColumn("cum_tokens", F.sum("tokens").over(w))
+                   .filter(F.col("cum_tokens") <= budget))
+
+    def run(frame) -> float:
+        t0 = time.perf_counter()
+        frame.select(F.count("*")).collect()
+        return round(time.perf_counter() - t0, 2)
+
+    run(budget_sample(df, budget))  # warm workers off the clock
+    t_window = run(window_twin)
+    t_range = run(budget_sample(df, budget))
+    n_window = window_twin.count()
+    n_range = budget_sample(df, budget).count()
+    assert n_window == n_range, (n_window, n_range)  # exact parity
+
+    print(json.dumps({
+        "mode": "mixer_skew", "n_rows": n_rows, "partitions": n_parts,
+        "fat_lang_share": 0.9, "budget_tokens": budget,
+        "kept_rows_both": n_range,
+        "per_group_window": {"wall_s": t_window,
+                             "max_part_rows": group_max,
+                             "mean_part_rows": round(group_mean, 1)},
+        "range_prefix_sum": {"wall_s": t_range,
+                             "max_part_rows": range_max,
+                             "mean_part_rows": round(range_mean, 1)},
+        "speedup": round(t_window / t_range, 2),
+    }))
+    spark.stop()
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -75,4 +146,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "mixer":
+        mixer_skew(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
+    else:
+        main()
