@@ -188,3 +188,92 @@ def test_streaming_extraction_matches_batch(spark, tmp_path):
     want = {r["url"]: r["extracted_text"]
             for r in extract(spark.read.parquet(d)).collect()}
     assert got == want          # byte-identical, batch == stream
+
+
+def test_streaming_neardup_candidates_match_batch(spark, tmp_path):
+    """The watermarked MinHash-band candidate stream equals the batch
+    band join on the same rows, and covers every batch-VERIFIED near-dup
+    pair (candidates are a superset of verified pairs by pigeonhole)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from exam_pdf_parser_spark.operators.dedupe import lsh_pairs_from_tokens
+    from exam_pdf_parser_spark.streaming.dedup import (
+        DOCS_STREAM_SCHEMA, read_document_stream,
+    )
+    from exam_pdf_parser_spark.streaming.neardup import (
+        document_band_keys, streaming_neardup_candidates,
+    )
+
+    base = datetime.datetime(2025, 3, 1)
+    words = [f"tok{i}" for i in range(40)]
+    rows = []
+    for g in range(4):                       # 4 groups x 3 near-dup docs
+        shared = " ".join(words[g * 9:g * 9 + 30])
+        for j in range(3):
+            text = shared + f" uniq{g}{j}a uniq{g}{j}b"
+            rows.append((f"https://g{g}.example/d{j}",
+                         base + datetime.timedelta(minutes=len(rows)),
+                         b"p", text, "en"))
+    for k in range(6):                       # singletons, no near dup
+        rows.append((f"https://solo.example/d{k}",
+                     base + datetime.timedelta(minutes=len(rows)), b"p",
+                     " ".join(words[i] for i in range(k, 40, 7)) + f" s{k}",
+                     "en"))
+    static = spark.createDataFrame(rows, DOCS_STREAM_SCHEMA).persist()
+
+    # batch twin of the candidate set: same stateless projection,
+    # alias-QUALIFIED static self-join (unqualified self-join columns
+    # silently mis-bind — the bug this test pinned down)
+    keys = document_band_keys(static).persist()
+    kl, kr = keys.alias("l"), keys.alias("r")
+    batch_pairs = {
+        (r["url_a"], r["url_b"])
+        for r in kl.join(
+            kr, (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.url") < F.col("r.url")))
+        .select(F.col("l.url").alias("url_a"),
+                F.col("r.url").alias("url_b")).collect()
+    }
+
+    # reuse-by-expression claim: the stateless array_min signature
+    # equals the batch explode+groupBy min(md5) signature, band by band
+    from exam_pdf_parser_spark.operators.dedupe import (
+        BAND_ROWS, MINHASH_SEEDS,
+    )
+
+    toks = static.select(
+        F.col("url").alias("doc_id"),
+        F.explode(F.array_distinct(
+            F.filter(F.split("text", " "), lambda x: x != ""))).alias("token"))
+    sigs = toks.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("token"))))
+          .alias(f"mh{s}") for s in range(MINHASH_SEEDS)])
+    batch_keys = {
+        (r["doc_id"], band,
+         "".join(r[f"mh{band * BAND_ROWS + q}"] for q in range(BAND_ROWS)))
+        for r in sigs.collect()
+        for band in range(MINHASH_SEEDS // BAND_ROWS)
+    }
+    stream_keys = {(r["url"], r["band_idx"], r["band_key"])
+                   for r in keys.collect()}
+    assert stream_keys == batch_keys
+
+    verified = {(r["doc_a"], r["doc_b"])
+                for r in lsh_pairs_from_tokens(toks).collect()}
+    assert verified                           # planted groups collide
+    assert verified <= batch_pairs
+
+    d = str(tmp_path / "neardup_docs")
+    static.write.parquet(d)
+    stream = read_document_stream(spark, d, 3)
+    q = run_to_memory(streaming_neardup_candidates(stream), "nd_cands",
+                      mode="append")
+    got = {(r["url_a"], r["url_b"])
+           for r in spark.sql("select * from nd_cands").collect()}
+    q.stop()
+    static.unpersist()
+    keys.unpersist()
+    assert got == batch_pairs                 # stream == batch, same rows
