@@ -129,15 +129,16 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = e.select("vec_id", _quantized(F.col("embedding")).alias("qv"))
     n = v.select(
         "vec_id", "qv", _dot_q(F.col("qv"), F.col("qv")).alias("norm2"))
-    a = n.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"),
-                 F.col("norm2").alias("na"))
-    b = n.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"),
-                 F.col("norm2").alias("nb"))
+    # alias-QUALIFIED self-join: unqualified renamed columns over a
+    # shared lineage can silently mis-bind (pinned by the streaming
+    # near-dup parity test) — qualify every condition column
+    a, b = n.alias("a"), n.alias("b")
     pairs = (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b",
-                _dot_q(F.col("qa"), F.col("qb")).alias("dot_q"),
-                "na", "nb")
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                _dot_q(F.col("a.qv"), F.col("b.qv")).alias("dot_q"),
+                F.col("a.norm2").alias("na"), F.col("b.norm2").alias("nb"))
     )
     cos = F.col("dot_q") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
