@@ -15,7 +15,7 @@ AUDIT = [
     "events_carry_forward", "doc_quality", "exact_dup_assignment",
     "minhash_lsh_pairs", "simhash_near_pairs", "ann_topk_dot",
     "event_sessions", "shipping_priority", "entity_order_membership",
-    "x_extract_spans",
+    "lang_curation_rollup", "x_extract_spans",
 ]
 
 # 100 TB posture note per audited query (kept here so PLANS.md
@@ -52,6 +52,12 @@ NOTES = {
         "scan; join strategy left to AQE.",
     "entity_order_membership": "four membership plans (anti/semi/"
         "HAVING/EXCEPT) unioned; each branch prunes to its key columns.",
+    "lang_curation_rollup": "three-branch union: lang hash agg "
+        "(rollup), curate's ONE md5(text) shuffle (dedup window + "
+        "gates in the same partition), and budget_sample's range sort "
+        "+ two-pass prefix sum (no per-group Window node — the fat "
+        "language never lands in one task, measured in "
+        "BENCH_SCALING.md).",
     "x_extract_spans": "zero exchanges — mapInPandas extraction core "
         "+ narrow explode (pytest-asserted).",
 }
