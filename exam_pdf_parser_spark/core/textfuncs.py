@@ -41,6 +41,21 @@ CIRCLE_DIGITS = {
 _WS_RE = re.compile(r"\s+")
 
 
+def strip_md_fences(raw: str) -> str:
+    """F17: strip markdown code fences from a JSON-ish payload —
+    exact reference semantics (src/explainer.py:101-107): take the
+    segment after the FIRST fence, drop a leading ``json`` language
+    tag, cut at the last closing fence, strip.  Unfenced input passes
+    through stripped."""
+    raw = raw.strip()
+    if raw.startswith("```"):
+        raw = raw.split("```", 2)[1]
+        if raw.startswith("json"):
+            raw = raw[4:]
+        raw = raw.rsplit("```", 1)[0].strip()
+    return raw
+
+
 def normalize_text(text: str) -> str:
     """Collapse runs of (Unicode) whitespace to one space and strip.
 

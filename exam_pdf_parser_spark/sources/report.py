@@ -33,6 +33,17 @@ def load_golden_json(path: str) -> list[dict]:
         return json.load(f)
 
 
+def load_json_report(path: str) -> list[dict]:
+    """S7 ingest variant tolerating markdown-fenced JSON (F17 — the
+    reference strips fences from model-produced JSON before parsing,
+    src/explainer.py:101-107; report files that round-tripped through
+    such tooling carry the same wrapper)."""
+    from ..core.textfuncs import strip_md_fences
+
+    with open(path, encoding="utf-8") as f:
+        return json.loads(strip_md_fences(f.read()))
+
+
 def write_csv_report(df: DataFrame, path: str) -> None:
     """S9: header CSV sink for metrics tables."""
     df.write.mode("overwrite").option("header", True).csv(path)
