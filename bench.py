@@ -50,7 +50,19 @@ def _frozen_corpus(spark, sf_dir: str):
     from exam_pdf_parser_spark.operators.extract import DOCUMENTS_SCHEMA
 
     src = open(fz.__file__, "rb").read()
-    tag = hashlib.md5(sf_dir.encode() + src).hexdigest()[:12]
+    # the frozen source is constant, but the TESTDATA under sf_dir can
+    # be regenerated in place — fingerprint it like _corpus_from_docids
+    # so a changed doc_id set cold-starts the cache instead of silently
+    # serving stale rows
+    src_dir = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(src_dir):
+        finger = ";".join(
+            f"{f}:{os.path.getsize(os.path.join(src_dir, f))}"
+            for f in sorted(os.listdir(src_dir)))
+    else:
+        finger = str(os.path.getsize(src_dir))
+    tag = hashlib.md5(
+        sf_dir.encode() + src + finger.encode()).hexdigest()[:12]
     cache = os.path.join(tempfile.gettempdir(), f"epps_frozen_{tag}")
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")

@@ -143,24 +143,29 @@ def _validate_url(url: str, qs: list[dict], key: list[dict]) -> list[dict]:
             add("error", n, "V4", "points outside 1-5")
         elif q["points"] not in (2, 3):
             add("warning", n, "V4b", "unusual points value")
-        if q["question_type"] is None:
+        qt = q["question_type"]
+        if qt is None:
             add("warning", n, "V5", "question_type missing")
         ch = q["choices"]
-        if q["question_type"] != LISTENING and len(ch) not in (0, 5):
+        # NULL-type guards on V10/V13/V15b mirror Spark's NULL-
+        # propagating comparisons (a NULL type never passes
+        # `col != LISTENING`); PARSED_SCHEMA makes the type
+        # non-nullable, so the branch is unreachable either way —
+        # aligned so a future nullable source cannot split the gate
+        if qt is not None and qt != LISTENING and len(ch) not in (0, 5):
             add("warning", n, "V10", "non-listening question without 5 choices")
         if ch and sorted(c["number"] for c in ch) != list(range(1, len(ch) + 1)):
             add("warning", n, "V11", "choice numbers not 1..n")
         if any(c["text"].strip() == "" for c in ch):
             add("error", n, "V12", "empty choice text")
-        if (q["question_type"] != LISTENING
-                and q["question_type"] not in WRITTEN_TYPES
-                and n > 17 and not ch):
+        if (qt is not None and qt != LISTENING
+                and qt not in WRITTEN_TYPES and n > 17 and not ch):
             add("warning", n, "V13", "question has no choices")
-        if q["question_type"] in PASSAGE_TYPES and q["passage"] is None:
+        if qt in PASSAGE_TYPES and q["passage"] is None:
             add("warning", n, "V14", "passage-required type missing passage")
-        if q["question_type"] == LISTENING and q["passage"] is not None:
+        if qt == LISTENING and q["passage"] is not None:
             add("warning", n, "V15", "listening question has a passage")
-        if 1 <= n <= 17 and q["question_type"] != LISTENING:
+        if 1 <= n <= 17 and qt is not None and qt != LISTENING:
             add("warning", n, "V15b", "position 1-17 not typed as listening")
         gr = q["group_range"]
         if gr is not None and not _GROUP_RE.match(gr):
@@ -346,9 +351,8 @@ def x_exam_info(rows: list[dict]) -> list[dict]:
 def x_crop_manifest(rows: list[dict]) -> list[dict]:
     from .assemble import decode_payload
     from .detector import detect_regions
-    from .png import encode_png_gray, render_region
+    from .png import encode_png_gray, pad_clamp, render_region
 
-    PAD = 10.0
     out = []
     for row in rows:
         try:
@@ -364,8 +368,7 @@ def x_crop_manifest(rows: list[dict]) -> list[dict]:
         multi = {r.question_number for r in regions if r.spans_page}
         for r in regions:
             pw, ph = sizes.get(r.page_idx, [842, 1191])
-            bbox = (max(0.0, r.x0 - PAD), max(0.0, r.y0 - PAD),
-                    min(pw, r.x1 + PAD), min(ph, r.y1 + PAD))
+            bbox = pad_clamp((r.x0, r.y0, r.x1, r.y1), pw, ph)
             name = (f"q{r.question_number:02d}_p{r.page_idx}"
                     if r.question_number in multi
                     else f"q{r.question_number:02d}")

@@ -19,6 +19,18 @@ import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+PAD = 10.0  # crop padding, reference default src/cropper/cropper.py:64
+
+
+def pad_clamp(bbox, page_w: float, page_h: float,
+              pad: float = PAD) -> tuple[float, float, float, float]:
+    """F16: ``max(0, x0-pad) … min(page_w, x1+pad)``
+    (src/cropper/cropper.py:64-71).  Lives beside the rasterizer so
+    the Spark crop sink and the single-node oracle share ONE copy."""
+    x0, y0, x1, y1 = bbox
+    return (max(0.0, x0 - pad), max(0.0, y0 - pad),
+            min(page_w, x1 + pad), min(page_h, y1 + pad))
+
 
 def _chunk(tag: bytes, data: bytes) -> bytes:
     return (struct.pack(">I", len(data)) + tag + data

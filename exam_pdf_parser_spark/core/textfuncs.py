@@ -42,18 +42,22 @@ _WS_RE = re.compile(r"\s+")
 
 
 def strip_md_fences(raw: str) -> str:
-    """F17: strip markdown code fences from a JSON-ish payload —
-    exact reference semantics (src/explainer.py:101-107): take the
-    segment after the FIRST fence, drop a leading ``json`` language
-    tag, cut at the last closing fence, strip.  Unfenced input passes
-    through stripped."""
+    """F17: strip markdown code fences from a JSON-ish payload.
+
+    Semantic parity with src/explainer.py:101-107, re-expressed: keep
+    the content between the first fence pair (to end-of-string when
+    the fence is unclosed) and drop a leading ``json`` language tag.
+    Unfenced input passes through stripped.  (The reference also
+    rsplits the kept segment on a closing fence, but that segment is
+    fence-free by construction, so the step is a no-op and is not
+    reproduced.)"""
     raw = raw.strip()
-    if raw.startswith("```"):
-        raw = raw.split("```", 2)[1]
-        if raw.startswith("json"):
-            raw = raw[4:]
-        raw = raw.rsplit("```", 1)[0].strip()
-    return raw
+    if not raw.startswith("```"):
+        return raw
+    inner = raw[3:].split("```", 1)[0]
+    if inner.startswith("json"):
+        inner = inner[4:]
+    return inner.strip()
 
 
 def normalize_text(text: str) -> str:

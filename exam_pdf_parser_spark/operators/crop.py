@@ -23,9 +23,9 @@ from pyspark.sql.types import (
 
 from ..core.assemble import decode_payload
 from ..core.detector import detect_regions
-from ..core.png import encode_png_gray, render_region
+from ..core.png import PAD, encode_png_gray, pad_clamp, render_region
 
-PAD = 10.0  # crop padding, reference default src/cropper/cropper.py:64
+__all__ = ["PAD", "pad_clamp", "crop_regions", "CROP_SCHEMA"]
 
 CROP_SCHEMA = StructType([
     StructField("url", StringType(), False),
@@ -38,15 +38,6 @@ CROP_SCHEMA = StructType([
     StructField("y1", DoubleType(), False),
     StructField("png", BinaryType(), False),
 ])
-
-
-def pad_clamp(bbox, page_w: float, page_h: float,
-              pad: float = PAD) -> tuple[float, float, float, float]:
-    """F16: ``max(0, x0-pad) … min(page_w, x1+pad)``
-    (src/cropper/cropper.py:64-71)."""
-    x0, y0, x1, y1 = bbox
-    return (max(0.0, x0 - pad), max(0.0, y0 - pad),
-            min(page_w, x1 + pad), min(page_h, y1 + pad))
 
 
 def crop_regions(documents: DataFrame,

@@ -134,10 +134,14 @@ def budget_sample(documents: DataFrame, budget_tokens: int,
         .agg(F.sum("tokens").alias("t"))
         .collect()
     )
+    # NULL group keys get a sentinel: pandas groupby DROPS NaN keys,
+    # which would give null-keyed rows NaN running sums and silently
+    # filter them out downstream
+    NULLKEY = "\x00<null>"
     offsets: dict[tuple[int, str], int] = {}
     running: dict[str, int] = {}
     for r in sorted(part_sums, key=lambda r: r["_pid"]):
-        key = r[by]
+        key = r[by] if r[by] is not None else NULLKEY
         offsets[(r["_pid"], key)] = running.get(key, 0)
         running[key] = running.get(key, 0) + (r["t"] or 0)
     bc = documents.sparkSession.sparkContext.broadcast(offsets)
@@ -156,12 +160,13 @@ def budget_sample(documents: DataFrame, budget_tokens: int,
             if not len(pdf):
                 continue
             pid = int(pdf["_pid"].iloc[0])
+            gk = pdf[by].fillna(NULLKEY)   # pandas groupby drops NaN keys
             toks = pdf["tokens"].astype("int64")
-            cums = toks.groupby(pdf[by], sort=False).cumsum()
+            cums = toks.groupby(gk, sort=False).cumsum()
             bases = {g: carry.get(g, off.get((pid, g), 0))
-                     for g in pdf[by].unique()}   # per-GROUP, not per-row
-            cums = cums + pdf[by].map(bases).astype("int64")
-            ends = cums.groupby(pdf[by], sort=False).max()
+                     for g in gk.unique()}   # per-GROUP, not per-row
+            cums = cums + gk.map(bases).astype("int64")
+            ends = cums.groupby(gk, sort=False).max()
             carry.update(ends.to_dict())
             pdf = pdf.assign(cum_tokens=cums).drop(columns=["_pid"])
             yield pdf[cols]

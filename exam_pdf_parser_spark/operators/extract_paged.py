@@ -88,9 +88,14 @@ def extract_paged(paged: DataFrame, min_q: int = 1, max_q: int = 50) -> DataFram
             for url, idx, blob in zip(
                     pdf["url"], pdf["page_idx"], pdf["page_html"]):
                 try:
-                    page = decode_payload(bytes(blob))["pages"][0]
-                except Exception:
-                    page = None  # page-level quarantine marker
+                    pgs = decode_payload(bytes(blob))["pages"]
+                    # a decodable payload with zero pages is NOT
+                    # corrupt — mark it so stage B reproduces the
+                    # whole-doc path's empty-but-ok output
+                    page = pgs[0] if pgs else {"__no_pages__": True}
+                except Exception as e:  # quarantine with the REAL
+                    page = {"__error__":      # message (extract() parity)
+                            f"{type(e).__name__}: {e}"[:500]}
                 urls.append(url)
                 idxs.append(int(idx))
                 jsons.append(json.dumps(page, ensure_ascii=False,
@@ -118,17 +123,25 @@ def extract_paged(paged: DataFrame, min_q: int = 1, max_q: int = 50) -> DataFram
     def _detect_one(url: str, pdf: pd.DataFrame) -> pd.DataFrame:
         pages = []
         corrupt = False
+        errs: list[str] = []
         # column iteration, not iterrows() — no per-row Series boxing
         for page_json in pdf.sort_values("page_idx")["page_json"]:
             page = json.loads(page_json)
-            if page is None:
+            if page is None:           # legacy corrupt marker
                 corrupt = True
                 continue
+            if isinstance(page, dict) and "__error__" in page:
+                corrupt = True
+                errs.append(page["__error__"])
+                continue
+            if isinstance(page, dict) and page.get("__no_pages__"):
+                continue               # decodable doc with zero pages
             pages.append(page)
         if corrupt and not pages:
             return pd.DataFrame([{
                 "url": url, "extracted_text": None, "spans": [],
-                "status": "error", "error": "all pages undecodable",
+                "status": "error",
+                "error": errs[0] if errs else "all pages undecodable",
             }])
         annotate_block_texts(pages)  # single text pass, as in extract()
         regions = detect_regions(pages, min_q, max_q)
@@ -178,6 +191,14 @@ def explode_pages(documents: DataFrame) -> DataFrame:
                     urls.append(url)
                     idxs.append(0)
                     payloads.append(blob)
+                    continue
+                if not pages:
+                    # decodable, zero pages: must still surface as an
+                    # (empty, ok) row — one marker page row keeps the
+                    # url alive through the paged pipeline
+                    urls.append(url)
+                    idxs.append(0)
+                    payloads.append(encode_payload({"v": 1, "pages": []}))
                     continue
                 for p in pages:
                     urls.append(url)

@@ -81,7 +81,13 @@ def _xcheck(spark, sf_dir: str, queries, only: set[str]) -> list[str]:
         print(f"{name:28s} {'OK (oracle-hash)' if ok else 'X-MISMATCH'} "
               f"rows={len(sdf)}")
         report[name] = entry
-    with open("XCHECK_X.json", "w") as f:
+    # sf0.01 is the driver-gate scale and owns the canonical artifact
+    # name; other scales write a suffixed file so a 10x run can never
+    # clobber the committed sf0.01 evidence
+    import os
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out = "XCHECK_X.json" if base == "sf0.01" else f"XCHECK_X_{base}.json"
+    with open(out, "w") as f:
         json.dump({"sf_dir": sf_dir, "results": report}, f, indent=1)
     return failures
 

@@ -82,9 +82,19 @@ def mixer_skew(n_rows: int = 200_000, n_parts: int = 32) -> None:
     run(budget_sample(df, budget))  # warm workers off the clock
     t_window = run(window_twin)
     t_range = run(budget_sample(df, budget))
-    n_window = window_twin.count()
-    n_range = budget_sample(df, budget).count()
-    assert n_window == n_range, (n_window, n_range)  # exact parity
+    # SET parity, not just counts: the kept (lang, doc_id, cum) rows
+    # must be identical — an equal-sized wrong prefix would pass a
+    # count check
+    kept_window = {(r["lang"], r["doc_id"], r["cum_tokens"])
+                   for r in window_twin.select(
+                       "lang", "doc_id", "cum_tokens").collect()}
+    kept_range = {(r["lang"], r["doc_id"], r["cum_tokens"])
+                  for r in budget_sample(df, budget).select(
+                      "lang", "doc_id", "cum_tokens").collect()}
+    assert kept_window == kept_range, (
+        len(kept_window), len(kept_range),
+        sorted(kept_window ^ kept_range)[:5])
+    n_range = len(kept_range)
 
     print(json.dumps({
         "mode": "mixer_skew", "n_rows": n_rows, "partitions": n_parts,

@@ -128,3 +128,21 @@ def test_budget_sample_no_per_group_window(spark, docs):
     # range-sorted frame (the checkpoint truncates lineage, so the
     # RangePartitioning itself lives upstream of this plan)
     assert "MapInPandas" in plan
+
+
+def test_budget_sample_null_group_key(spark):
+    """NULL lang rows form their own budget group (pandas groupby drops
+    NaN keys — the sentinel path keeps their running sums exact)."""
+    df = spark.createDataFrame(
+        [(1, "a b c", None), (2, "d e", None), (3, "f g h i", "en"),
+         (4, "j", None)],
+        "doc_id: long, text: string, lang: string")
+    got = {r["doc_id"]: r["cum_tokens"]
+           for r in budget_sample(df, 100).collect()}
+    assert len(got) == 4                       # nothing silently dropped
+    # null-lang group cumsums are a real running total (order within
+    # the group: uniq_ratio desc then doc_id — all uniq here, so the
+    # 4-token doc sorts by its ratio; just check totals are consistent)
+    null_cums = sorted(v for k, v in got.items() if k in (1, 2, 4))
+    assert null_cums[-1] == 6                  # 3 + 2 + 1 tokens total
+    assert got[3] == 4

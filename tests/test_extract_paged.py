@@ -116,3 +116,38 @@ def test_extract_auto_plan_shows_routed_union(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     seg = plan.split("Union", 1)[1]          # Union's first child = small
     assert "Exchange" not in seg[:seg.index("MapInPandas")]
+
+
+def test_extract_auto_edge_payload_parity(spark):
+    """Giant-side edge payloads keep full extract() parity: a decodable
+    payload with ZERO pages yields the same empty-ok row, and a corrupt
+    giant blob quarantines with the REAL exception message."""
+    from exam_pdf_parser_spark.core.assemble import encode_payload
+    from exam_pdf_parser_spark.operators.extract_paged import (
+        GIANT_BYTES, extract_auto,
+    )
+
+    # pad the empty-pages payload past the giant threshold via an
+    # incompressible junk field (contrived, but the invariant must hold)
+    import hashlib
+    junk = "".join(hashlib.md5(str(i).encode()).hexdigest()
+                   for i in range(8000))
+    empty_giant = encode_payload({"v": 1, "pages": [], "junk": junk})
+    corrupt_giant = b"\xff" + bytes(range(256)) * 500
+    assert len(empty_giant) > GIANT_BYTES
+    assert len(corrupt_giant) > GIANT_BYTES
+    docs = spark.createDataFrame(
+        [("https://e.example/empty", empty_giant),
+         ("https://e.example/corrupt", corrupt_giant)],
+        "url string, html binary")
+
+    want = {r["url"]: r for r in extract(docs).collect()}
+    got = {r["url"]: r for r in extract_auto(docs).collect()}
+    assert set(got) == set(want)
+    e_w, e_g = want["https://e.example/empty"], got["https://e.example/empty"]
+    assert (e_g["status"], e_g["extracted_text"], list(e_g["spans"])) == \
+        (e_w["status"], e_w["extracted_text"], list(e_w["spans"]))
+    c_w = want["https://e.example/corrupt"]
+    c_g = got["https://e.example/corrupt"]
+    assert c_g["status"] == c_w["status"] == "error"
+    assert c_g["error"] == c_w["error"]        # real exception text
