@@ -1,0 +1,185 @@
+"""Minimal, dependency-free GIF codec (grayscale, first frame).
+
+Companion to ``core/png.py``: the sandbox ships no raster library, so
+real-format support is stdlib-only.  The decoder implements the full
+GIF87a/89a container walk (logical screen descriptor, global/local
+color tables, extension skip) and REAL variable-width LZW with
+dictionary growth and CLEAR handling — it decodes any baseline
+single-frame GIF, not just this module's own output.  Pixels map to
+grayscale via integer BT.601 luma on the palette.
+
+The encoder writes valid GIF87a using the classic uncompressed-LZW
+technique (one literal code per pixel, CLEAR emitted before the code
+width would grow) — byte-deterministic, viewer-openable, and a
+round-trip source for the decoder tests.
+
+Interlaced images and animation (multi-frame) are out of scope: the
+decoder raises a clear error rather than returning wrong pixels.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+# --- encoder -------------------------------------------------------------------
+
+def encode_gif_gray(img: np.ndarray) -> bytes:
+    """(h, w) uint8 array → single-frame grayscale GIF87a bytes."""
+    if img.ndim != 2 or img.dtype != np.uint8:
+        raise ValueError("expected (h, w) uint8 array")
+    h, w = img.shape
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0xF7, 0, 0])          # GCT present, 256 entries, 8bpp
+    for v in range(256):                # grayscale palette r=g=b=v
+        out += bytes((v, v, v))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += b"\x08"                      # LZW minimum code size
+    out += _lzw_uncompressed(img.tobytes())
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _lzw_uncompressed(data: bytes) -> bytes:
+    """LZW stream of pure literal codes: CLEAR, ≤254 literals, repeat —
+    the code width stays 9 bits because the dictionary never fills."""
+    CLEAR, END = 256, 257
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(CLEAR)
+    for i, b in enumerate(data):
+        if i and i % 254 == 0:
+            emit(CLEAR)
+        emit(b)
+    emit(END)
+    if nbits:
+        bits.append(acc & 0xFF)
+    # chop into ≤255-byte sub-blocks, zero terminator
+    out = bytearray()
+    for i in range(0, len(bits), 255):
+        chunk = bits[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00"
+    return bytes(out)
+
+
+# --- decoder -------------------------------------------------------------------
+
+def decode_gif_gray(payload: bytes) -> np.ndarray:
+    """First frame of a GIF → (h, w) uint8 grayscale (BT.601 luma)."""
+    if payload[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    pos = 6
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[pos:pos + 7])
+    pos += 7
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:               # trailer
+            break
+        if block == 0x21:               # extension: label + sub-blocks
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        _l, _t, w, h, iflags = struct.unpack("<HHHHB", payload[pos:pos + 9])
+        pos += 9
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        table = gct
+        if iflags & 0x80:               # local color table
+            n = 2 << (iflags & 0x07)
+            table = payload[pos:pos + 3 * n]
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image without a color table")
+        min_code = payload[pos]
+        pos += 1
+        stream = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            stream += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(stream), min_code, w * h)
+        pal = np.frombuffer(table, dtype=np.uint8).reshape(-1, 3)
+        luma = ((pal[:, 0].astype(np.uint32) * 299
+                 + pal[:, 1].astype(np.uint32) * 587
+                 + pal[:, 2].astype(np.uint32) * 114) // 1000
+                ).astype(np.uint8)
+        return luma[np.frombuffer(idx, dtype=np.uint8)].reshape(h, w)
+    raise ValueError("GIF contains no image block")
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> bytes:
+    """Variable-width GIF LZW: dictionary growth 2^min_code+2 → 4096,
+    CLEAR resets, END stops.  Returns exactly ``n_pixels`` bytes."""
+    CLEAR = 1 << min_code
+    END = CLEAR + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def reset() -> tuple[list[bytes], int]:
+        return ([bytes([i]) for i in range(CLEAR)] + [b"", b""],
+                min_code + 1)
+
+    table, width = reset()
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == CLEAR:
+            table, width = reset()
+            prev = None
+            continue
+        if code == END:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]     # the KwKwK case
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("GIF pixel data shorter than descriptor")
+    return bytes(out[:n_pixels])

@@ -286,23 +286,28 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image decode.  Grayscale PNG decodes for REAL via the repo's
-    stdlib codec (``core/png.py``); other formats fall back to Pillow
-    when available, else raise — clearly marked, since the sandbox
-    ships no general raster codec."""
+    """Image decode.  Grayscale PNG and single-frame GIF decode for
+    REAL via the repo's stdlib codecs (``core/png.py``, ``core/gif.py``
+    — the GIF path is full variable-width LZW); remaining formats
+    (JPEG entropy decode) fall back to Pillow when available, else
+    raise — clearly marked, since the sandbox ships no DCT codec."""
+    from ..core.gif import GIF_SIGS, decode_gif_gray
     from ..core.png import PNG_SIG, decode_png_gray
 
     if payload[:8] == PNG_SIG:
         return decode_png_gray(payload)
+    if payload[:6] in GIF_SIGS:
+        return decode_gif_gray(payload)
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "non-PNG decoding requires Pillow; grayscale PNG decodes "
-            "natively via core/png.py — swap this fallback for "
-            "Image.open(io.BytesIO(payload)) in a full environment"
+            "JPEG/other decoding requires Pillow; PNG and GIF decode "
+            "natively via core/png.py + core/gif.py — swap this "
+            "fallback for Image.open(io.BytesIO(payload)) in a full "
+            "environment"
         ) from e
-    raise NotImplementedError("non-PNG decode path intentionally stubbed")
+    raise NotImplementedError("JPEG decode path intentionally stubbed")
 
 
 # --- REAL image pipeline over PNG payloads (core/png.py codec) ---------------

@@ -245,3 +245,127 @@ def test_header_only_dims_through_spark(spark):
     assert (out[0]["width"], out[0]["height"]) == (20, 10)
     assert (out[1]["width"], out[1]["height"]) == (99, 44)
     assert out[2]["valid"] == "corrupt"
+
+
+def test_gif_codec_roundtrip_and_lzw():
+    """Real GIF decode: encoder round-trip, dictionary-growth LZW (via
+    Python's lzw-free reference: a patterned image whose compressed
+    form exercises KwKwK and width growth), luma palette mapping, and
+    loud failures on truncation/interlace."""
+    import numpy as np
+    import pytest
+
+    from exam_pdf_parser_spark.core.gif import (
+        decode_gif_gray, encode_gif_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(23, 41), dtype=np.uint8)
+    assert np.array_equal(decode_gif_gray(encode_gif_gray(img)), img)
+
+    # gradient + repetition: many repeated runs (KwKwK patterns when a
+    # real compressor is used; our uncompressed stream still stresses
+    # the CLEAR/reset path every 254 codes)
+    yy, xx = np.mgrid[0:50, 0:77]
+    img2 = ((xx + yy) % 7 * 36).astype(np.uint8)
+    assert np.array_equal(decode_gif_gray(encode_gif_gray(img2)), img2)
+
+    blob = encode_gif_gray(img)
+    with pytest.raises(ValueError):
+        decode_gif_gray(blob[:40])          # truncated
+    with pytest.raises(ValueError):
+        decode_gif_gray(b"GIF89a" + blob[6:20])  # mangled container
+
+    # decode_image dispatches GIFs to the real codec
+    from exam_pdf_parser_spark.operators.multimodal import decode_image
+    assert np.array_equal(decode_image(blob), img)
+
+
+def test_gif_lzw_dictionary_growth():
+    """Decode a stream produced by a REAL LZW compressor (reference
+    implementation inline) so dictionary growth + width bumps + the
+    KwKwK case are exercised — not just the uncompressed encoder."""
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.gif import _lzw_decode
+
+    def lzw_compress(data: bytes, min_code: int) -> bytes:
+        CLEAR, END = 1 << min_code, (1 << min_code) + 1
+        table = {bytes([i]): i for i in range(CLEAR)}
+        next_code = END + 1
+        width = min_code + 1
+        acc = nbits = 0
+        out = bytearray()
+
+        def emit(code):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        emit(CLEAR)
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w])
+            if next_code < 4096:
+                table[wc] = next_code
+                next_code += 1
+                # encoder widens one add AFTER the decoder's
+                # len(table)==2^w bump point (decoder adds lag the
+                # encoder by one data code) — verified against real
+                # GIFs (idlelib icons)
+                if next_code == (1 << width) + 1 and width < 12:
+                    width += 1
+            w = bytes([ch])
+        if w:
+            emit(table[w])
+        emit(END)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    # KwKwK classic: abababab... plus random tail, 8bpp
+    data = (b"ab" * 600 + bytes(np.random.default_rng(3).integers(
+        0, 256, 800, dtype=np.uint8)))
+    comp = lzw_compress(data, 8)
+    assert len(comp) < len(data)            # really compressed
+    assert _lzw_decode(comp, 8, len(data)) == data
+
+
+def test_gif_decode_real_world_files():
+    """The decoder handles GIFs produced by real encoders (Python's
+    idlelib ships several) — pins the LZW width-growth convention
+    against files we did not write."""
+    import glob
+    import os
+
+    import pytest
+
+    import idlelib
+    from exam_pdf_parser_spark.core.gif import decode_gif_gray
+
+    icons = os.path.join(os.path.dirname(idlelib.__file__), "Icons")
+    gifs = sorted(glob.glob(os.path.join(icons, "*.gif")))
+    if not gifs:
+        pytest.skip("no idlelib icons present")
+    decoded = 0
+    import struct
+    for f in gifs:
+        payload = open(f, "rb").read()
+        try:
+            img = decode_gif_gray(payload)
+        except ValueError as e:
+            assert "interlaced" in str(e), (f, e)  # only known gap
+            continue
+        w, h = struct.unpack("<HH", payload[6:10])
+        # frame dims may be smaller than the logical screen, never larger
+        assert img.shape[0] <= h and img.shape[1] <= w and img.size > 0
+        decoded += 1
+    assert decoded >= 4        # most icons are non-interlaced
