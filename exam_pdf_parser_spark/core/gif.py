@@ -13,8 +13,8 @@ technique (one literal code per pixel, CLEAR emitted before the code
 width would grow) — byte-deterministic, viewer-openable, and a
 round-trip source for the decoder tests.
 
-Interlaced images and animation (multi-frame) are out of scope: the
-decoder raises a clear error rather than returning wrong pixels.
+Interlaced images deinterlace via the standard 4-pass row order;
+animation stays out of scope (first frame only).
 """
 
 from __future__ import annotations
@@ -109,8 +109,6 @@ def decode_gif_gray(payload: bytes) -> np.ndarray:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
         _l, _t, w, h, iflags = struct.unpack("<HHHHB", payload[pos:pos + 9])
         pos += 9
-        if iflags & 0x40:
-            raise ValueError("interlaced GIF not supported")
         table = gct
         if iflags & 0x80:               # local color table
             n = 2 << (iflags & 0x07)
@@ -132,7 +130,14 @@ def decode_gif_gray(payload: bytes) -> np.ndarray:
                  + pal[:, 1].astype(np.uint32) * 587
                  + pal[:, 2].astype(np.uint32) * 114) // 1000
                 ).astype(np.uint8)
-        return luma[np.frombuffer(idx, dtype=np.uint8)].reshape(h, w)
+        img = luma[np.frombuffer(idx, dtype=np.uint8)].reshape(h, w)
+        if iflags & 0x40:               # 4-pass interlace row order
+            order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                     + [*range(2, h, 4)] + [*range(1, h, 2)])
+            out = np.empty_like(img)
+            out[order] = img
+            return out
+        return img
     raise ValueError("GIF contains no image block")
 
 

@@ -359,13 +359,31 @@ def test_gif_decode_real_world_files():
     import struct
     for f in gifs:
         payload = open(f, "rb").read()
-        try:
-            img = decode_gif_gray(payload)
-        except ValueError as e:
-            assert "interlaced" in str(e), (f, e)  # only known gap
-            continue
+        img = decode_gif_gray(payload)
         w, h = struct.unpack("<HH", payload[6:10])
         # frame dims may be smaller than the logical screen, never larger
         assert img.shape[0] <= h and img.shape[1] <= w and img.size > 0
         decoded += 1
-    assert decoded >= 4        # most icons are non-interlaced
+    assert decoded == len(gifs)   # every icon, interlaced included
+
+
+def test_gif_interlace_deinterlaces():
+    """Synthetic interlace: store rows in 4-pass order, set the
+    interlace flag, and expect the display-order image back."""
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.gif import (
+        decode_gif_gray, encode_gif_gray,
+    )
+
+    h, w = 13, 9
+    img = (np.arange(h * w, dtype=np.uint32) % 251).astype(np.uint8)
+    img = img.reshape(h, w)
+    order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+             + [*range(2, h, 4)] + [*range(1, h, 2)])
+    storage = img[order]                   # rows as an encoder stores them
+    blob = bytearray(encode_gif_gray(storage))
+    flags_at = 6 + 7 + 768 + 1 + 8         # sig+LSD+GCT+sep+descriptor
+    assert blob[flags_at] == 0
+    blob[flags_at] = 0x40                  # mark interlaced
+    assert np.array_equal(decode_gif_gray(bytes(blob)), img)
