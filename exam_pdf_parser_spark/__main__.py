@@ -33,6 +33,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--master", default=None)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--run-id", default="cli")
+    ap.add_argument(
+        "--giant-bytes", type=int, default=0,
+        help="extract: route payloads larger than this through the "
+             "page-parallel paged path (0 = whole-doc only)")
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -62,7 +66,12 @@ def _dispatch(spark, args) -> int:
             extract, extracted_table, quarantine_table, spans_table,
         )
 
-        ext = extract(docs).persist()
+        giant = getattr(args, "giant_bytes", 0)  # tests drive _dispatch
+        if giant:                                # with minimal arg stubs
+            from .operators.extract_paged import extract_auto
+            ext = extract_auto(docs, giant_bytes=giant).persist()
+        else:
+            ext = extract(docs).persist()
         spans_table(ext).write.mode("overwrite").parquet(
             f"{args.output}/spans")
         extracted_table(ext).write.mode("overwrite").parquet(
