@@ -1,0 +1,411 @@
+"""Minimal, dependency-free baseline JPEG codec (grayscale output).
+
+Completes the stdlib codec family (``core/png.py``, ``core/gif.py``):
+the decoder handles baseline sequential JPEG (SOF0) — DQT/DHT/SOF/SOS/
+DRI marker walk, canonical Huffman decode with byte unstuffing and
+restart markers, dequantization, zigzag, float IDCT — and returns the
+LUMA plane as (h, w) uint8 grayscale (chroma components are entropy-
+decoded to keep the bitstream in sync, then discarded).  Progressive
+(SOF2) and arithmetic-coded JPEGs raise a clear error.
+
+The encoder writes baseline grayscale JPEG with the JPEG Annex K
+example quantization/Huffman tables (public spec constants) — a lossy
+round-trip source for the decoder tests (PSNR-bounded) and a real
+``.jpg`` producer any viewer opens.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag order (JPEG spec figure A.6)
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1 example luminance quantization table (spec constants)
+STD_LUMA_QUANT = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+# Annex K.3 typical Huffman tables: (bit-length counts 1..16, symbols)
+STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8)
+    c = np.sqrt(2.0 / 8) * np.cos((2 * k[None, :] + 1) * k[:, None]
+                                  * np.pi / 16)
+    c[0] *= 1 / np.sqrt(2)
+    return c
+
+
+_C = _dct_matrix()
+
+
+def _canonical_codes(counts: list[int], symbols: list[int]) -> dict:
+    """(bit length, code) → symbol, canonical JPEG Huffman."""
+    table = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG EXTEND: map a t-bit magnitude to its signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment with FF00
+    unstuffing; restart markers are handled by the caller via align()."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            b = 0                       # zero-fill past a truncated tail
+        else:
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    raise _RestartHit()
+                else:
+                    # EOI or the next marker: feed zero bits WITHOUT
+                    # consuming, so trailing padding reads resolve and
+                    # the marker stays in place (spec decoders do the
+                    # same at scan end)
+                    b = 0
+            else:
+                self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        return v
+
+    def huff(self, table: dict) -> int:
+        length = 0
+        code = 0
+        while length < 17:
+            code = (code << 1) | self.bits(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    def align_restart(self) -> None:
+        """Drop partial bits and consume the RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        d = self.data
+        while not (d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7):
+            self.pos += 1
+        self.pos += 2
+
+
+class _RestartHit(Exception):
+    pass
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Baseline JPEG → (h, w) uint8 luma plane."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart = 0
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("desynchronized JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        body = payload[pos + 4:pos + 2 + seg_len]
+        if marker == 0xDB:                       # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq:
+                    vals = np.frombuffer(body[i:i + 128], ">u2").astype(np.int64)
+                    i += 128
+                else:
+                    vals = np.frombuffer(body[i:i + 64], np.uint8).astype(np.int64)
+                    i += 64
+                quant[tq] = vals
+        elif marker == 0xC4:                     # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                counts = list(body[i + 1:i + 17])
+                n_sym = sum(counts)
+                syms = list(body[i + 17:i + 17 + n_sym])
+                (huff_ac if tc else huff_dc)[th] = _canonical_codes(
+                    counts, syms)
+                i += 17 + n_sym
+        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 baseline
+            _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG is supported")
+        elif marker == 0xDD:                     # DRI
+            restart = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:                     # SOS — decode the scan
+            ns = body[0]
+            order = []
+            for si in range(ns):
+                cs, tables = body[1 + 2 * si], body[2 + 2 * si]
+                comp = next(c for c in comps if c["id"] == cs)
+                comp["dc"] = huff_dc[tables >> 4]
+                comp["ac"] = huff_ac[tables & 0x0F]
+                order.append(comp)
+            return _decode_scan(payload, pos + 2 + seg_len, order, quant,
+                                h, w, restart)
+        pos += 2 + seg_len
+    raise ValueError("JPEG contains no scan")
+
+
+def _decode_scan(data: bytes, pos: int, comps: list[dict],
+                 quant: dict, h: int, w: int, restart: int) -> np.ndarray:
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    luma = comps[0]
+    ly = np.zeros((mcuy * luma["v"] * 8, mcux * luma["h"] * 8),
+                  dtype=np.float64)
+    if len(comps) == 1:
+        # non-interleaved single-component scan: the block grid covers
+        # the image directly, not MCU-padded
+        mcux, mcuy = -(-w // 8), -(-h // 8)
+        luma = dict(luma, h=1, v=1)
+        comps = [luma]
+        ly = np.zeros((mcuy * 8, mcux * 8), dtype=np.float64)
+        hmax = vmax = 1
+
+    br = _BitReader(data, pos)
+    preds = {c["id"]: 0 for c in comps}
+    n_mcu = mcux * mcuy
+    for mcu in range(n_mcu):
+        if restart and mcu and mcu % restart == 0:
+            br.align_restart()
+            preds = {c["id"]: 0 for c in comps}
+        mx, my = mcu % mcux, mcu // mcux
+        for c in comps:
+            q = quant[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    try:
+                        blk, preds[c["id"]] = _decode_block(
+                            br, c["dc"], c["ac"], q, preds[c["id"]])
+                    except _RestartHit:
+                        raise ValueError(
+                            "restart marker misaligned with DRI") from None
+                    if c is comps[0]:
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        ly[y0:y0 + 8, x0:x0 + 8] = blk
+    # luma plane → image dims (chroma decoded for sync, discarded)
+    scale_y = vmax // comps[0]["v"]
+    scale_x = hmax // comps[0]["h"]
+    if scale_y > 1 or scale_x > 1:
+        ly = np.kron(ly, np.ones((scale_y, scale_x)))
+    out = np.clip(ly[:h, :w] + 128.0, 0, 255)
+    return out.astype(np.uint8)
+
+
+def _decode_block(br: _BitReader, dc: dict, ac: dict,
+                  q: np.ndarray, pred: int) -> tuple[np.ndarray, int]:
+    coef = np.zeros(64, dtype=np.int64)
+    t = br.huff(dc)
+    diff = _extend(br.bits(t), t) if t else 0
+    pred += diff
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = br.huff(ac)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break                                # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past block end")
+        coef[k] = _extend(br.bits(s), s)
+        k += 1
+    block = np.zeros(64, dtype=np.float64)
+    block[ZIGZAG] = (coef * q).astype(np.float64)
+    blk8 = block.reshape(8, 8)
+    return _C.T @ blk8 @ _C, pred
+
+
+# --- encoder (baseline grayscale) ---------------------------------------------
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, v: int, k: int) -> None:
+        self.acc = (self.acc << k) | (v & ((1 << k) - 1))
+        self.n += k
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)            # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.bits((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-pad
+        return bytes(self.out)
+
+
+def _encode_tables() -> tuple[dict, dict]:
+    def enc(counts, syms):
+        table = {}
+        code = 0
+        i = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                table[syms[i]] = (code, length)
+                code += 1
+                i += 1
+            code <<= 1
+        return table
+    return enc(*STD_DC_LUMA), enc(*STD_AC_LUMA)
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def encode_jpeg_gray(img: np.ndarray) -> bytes:
+    """(h, w) uint8 → baseline grayscale JPEG (Annex K tables)."""
+    if img.ndim != 2 or img.dtype != np.uint8:
+        raise ValueError("expected (h, w) uint8 array")
+    h, w = img.shape
+    q = STD_LUMA_QUANT.reshape(8, 8)
+    dc_tab, ac_tab = _encode_tables()
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(img.astype(np.float64) - 128.0,
+                    ((0, ph - h), (0, pw - w)), mode="edge")
+    bw = _BitWriter()
+    pred = 0
+    qz = STD_LUMA_QUANT[ZIGZAG]                  # quant in zigzag order
+    for y0 in range(0, ph, 8):
+        for x0 in range(0, pw, 8):
+            blk = padded[y0:y0 + 8, x0:x0 + 8]
+            coefs = _C @ blk @ _C.T
+            zz = coefs.reshape(-1)[ZIGZAG]
+            qcoef = np.round(zz / qz).astype(np.int64)
+            diff = int(qcoef[0]) - pred
+            pred = int(qcoef[0])
+            t = _category(diff)
+            code, ln = dc_tab[t]
+            bw.bits(code, ln)
+            if t:
+                bw.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            run = 0
+            nz = np.nonzero(qcoef[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(qcoef[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_tab[0xF0]
+                    bw.bits(code, ln)
+                    run -= 16
+                s = _category(v)
+                code, ln = ac_tab[(run << 4) | s]
+                bw.bits(code, ln)
+                bw.bits(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < 63:
+                code, ln = ac_tab[0x00]          # EOB
+                bw.bits(code, ln)
+    scan = bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
+        STD_LUMA_QUANT[ZIGZAG].astype(np.uint8))
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) \
+        + bytes((1, 0x11, 0))
+    for tc, (counts, syms) in ((0, STD_DC_LUMA), (1, STD_AC_LUMA)):
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 19 + len(syms), (tc << 4)) + bytes(counts) + bytes(syms)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes((1, 0x00, 0, 63, 0))
+    out += scan + b"\xff\xd9"
+    return bytes(out)

@@ -286,28 +286,32 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image decode.  Grayscale PNG and single-frame GIF decode for
-    REAL via the repo's stdlib codecs (``core/png.py``, ``core/gif.py``
-    — the GIF path is full variable-width LZW); remaining formats
-    (JPEG entropy decode) fall back to Pillow when available, else
-    raise — clearly marked, since the sandbox ships no DCT codec."""
+    """Image decode via the repo's stdlib codecs: grayscale PNG
+    (``core/png.py``), single-frame GIF incl. interlace
+    (``core/gif.py``, full variable-width LZW), and baseline JPEG
+    (``core/jpeg.py``, Huffman + IDCT, luma plane) — all REAL, no
+    raster library.  Remaining formats (progressive JPEG, WebP, TIFF…)
+    fall back to Pillow when available, else raise loudly."""
     from ..core.gif import GIF_SIGS, decode_gif_gray
+    from ..core.jpeg import decode_jpeg_gray
     from ..core.png import PNG_SIG, decode_png_gray
 
     if payload[:8] == PNG_SIG:
         return decode_png_gray(payload)
     if payload[:6] in GIF_SIGS:
         return decode_gif_gray(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg_gray(payload)
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "JPEG/other decoding requires Pillow; PNG and GIF decode "
-            "natively via core/png.py + core/gif.py — swap this "
-            "fallback for Image.open(io.BytesIO(payload)) in a full "
-            "environment"
+            "progressive-JPEG/WebP/TIFF decoding requires Pillow; PNG, "
+            "GIF and baseline JPEG decode natively via core/{png,gif,"
+            "jpeg}.py — swap this fallback for Image.open(...) in a "
+            "full environment"
         ) from e
-    raise NotImplementedError("JPEG decode path intentionally stubbed")
+    raise NotImplementedError("non-PNG/GIF/JPEG decode stubbed")
 
 
 # --- REAL image pipeline over PNG payloads (core/png.py codec) ---------------

