@@ -29,9 +29,16 @@ def encode_payload(doc: dict) -> bytes:
 
 
 def decode_payload(html: bytes) -> dict:
-    """Inverse of :func:`encode_payload`; raises on foreign bytes."""
+    """Payload → layout dict.  Two wire formats: the XLAY1 container
+    (zlib JSON) and REAL PDF bytes (``%PDF-``), parsed by the stdlib
+    PDF reader (``core/pdf.py``) into the same ``pages`` shape — the
+    whole pipeline (extract/parse/validate/crop) runs on either.
+    Raises on anything else (quarantine upstream)."""
+    if html[:5] == b"%PDF-":
+        from .pdf import parse_pdf_pages
+        return {"v": 1, "pages": parse_pdf_pages(html)}
     if html[: len(PAYLOAD_MAGIC)] != PAYLOAD_MAGIC:
-        raise ValueError("not an XLAY1 payload")
+        raise ValueError("not an XLAY1 or PDF payload")
     return json.loads(zlib.decompress(html[len(PAYLOAD_MAGIC):]).decode("utf-8"))
 
 
