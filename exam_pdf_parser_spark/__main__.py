@@ -37,6 +37,10 @@ def main(argv: list[str] | None = None) -> int:
         "--giant-bytes", type=int, default=0,
         help="extract: route payloads larger than this through the "
              "page-parallel paged path (0 = whole-doc only)")
+    ap.add_argument(
+        "--pdf", action="store_true",
+        help="gen-corpus: emit the html column as REAL PDF bytes "
+             "(core/pdf.py writer) instead of the XLAY1 container")
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -53,9 +57,27 @@ def _dispatch(spark, args) -> int:
         from .operators.extract import corpus_df
 
         n = int(args.input)
-        corpus_df(spark, n, with_answer_key=True).write.mode(
-            "overwrite").parquet(args.output)
+        df = corpus_df(spark, n, with_answer_key=True)
+        if getattr(args, "pdf", False):
+            from pyspark.sql.functions import pandas_udf
+            from pyspark.sql.types import BinaryType
+
+            @pandas_udf(BinaryType())
+            def to_pdf(html):
+                import pandas as pd
+
+                from exam_pdf_parser_spark.core.assemble import (
+                    decode_payload,
+                )
+                from exam_pdf_parser_spark.core.pdf import build_pdf
+                return pd.Series([
+                    build_pdf(decode_payload(bytes(h))["pages"])
+                    for h in html])
+
+            df = df.withColumn("html", to_pdf("html"))
+        df.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"command": "gen-corpus", "docs": n,
+                          "pdf": bool(getattr(args, "pdf", False)),
                           "path": args.output}))
         return 0
 
