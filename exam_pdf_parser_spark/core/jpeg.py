@@ -133,6 +133,9 @@ class _BitReader:
             self._fill()
         self.n -= k
         v = (self.acc >> self.n) & ((1 << k) - 1)
+        # drop consumed high bits — an unmasked acc grows with the
+        # whole stream and turns every shift O(bits-so-far)
+        self.acc &= (1 << self.n) - 1
         return v
 
     def huff(self, table: dict) -> int:
@@ -320,6 +323,7 @@ class _BitWriter:
         while self.n >= 8:
             self.n -= 8
             b = (self.acc >> self.n) & 0xFF
+            self.acc &= (1 << self.n) - 1        # keep acc small
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)            # byte stuffing

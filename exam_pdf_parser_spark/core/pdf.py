@@ -249,8 +249,12 @@ class PdfDocument:
         self._expand_objstm()
 
     def _scan(self) -> None:
+        self._off: dict[int, int] = {}
+        skip_until = 0
         for m in _OBJ_RE.finditer(self.data):
-            num = int(m.group(1))
+            if m.start() < skip_until:
+                continue            # match INSIDE a stream body (binary
+            num = int(m.group(1))   # data can contain 'N M obj' bytes)
             lex = _Lexer(self.data, m.end())
             val = lex.value()
             if isinstance(val, dict):
@@ -267,8 +271,10 @@ class PdfDocument:
                         end = self.data.index(b"endstream", p)
                         length = end - p
                     val = Stream(val, self.data[p:p + length])
+                    skip_until = p + length
             # later definitions win (incremental updates append)
             self.objs[num] = val
+            self._off[num] = m.start()
 
     def _expand_objstm(self) -> None:
         for num in list(self.objs):
@@ -277,11 +283,19 @@ class PdfDocument:
                 data = self.stream_data(o)
                 n = self.resolve(o.d["N"])
                 first = self.resolve(o.d["First"])
+                container_off = self._off.get(num, 0)
                 head = _Lexer(data)
                 pairs = [(head.token(), head.token()) for _ in range(n)]
                 for onum, off in pairs:
-                    lex = _Lexer(data, first + off)
-                    self.objs.setdefault(int(onum), lex.value())
+                    onum = int(onum)
+                    # same latest-wins rule as the top-level scan: a
+                    # contained object takes its CONTAINER's file
+                    # offset, so an incremental update appending a new
+                    # ObjStm overrides earlier definitions
+                    if container_off >= self._off.get(onum, -1):
+                        lex = _Lexer(data, first + off)
+                        self.objs[onum] = lex.value()
+                        self._off[onum] = container_off
 
     def resolve(self, v, depth: int = 0):
         while isinstance(v, Ref) and depth < 32:
@@ -381,9 +395,15 @@ def _parse_tounicode(cmap: bytes) -> dict[int, str]:
                 rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
                 body):
             lo_i, hi_i = int(lo, 16), int(hi, 16)
-            base = int(dst, 16)
+            # the spec increments the LAST UTF-16 code unit; a longer
+            # destination keeps its prefix (surrogate pairs / multi-
+            # char mappings), so never chr() the full hex value
+            prefix, base = dst[:-4], int(dst[-4:], 16)
             for c in range(lo_i, hi_i + 1):
-                out[c] = chr(base + (c - lo_i))
+                unit = base + (c - lo_i)
+                if unit > 0xFFFF:
+                    break               # malformed range — stop, not crash
+                out[c] = uni(prefix + f"{unit:04X}".encode("ascii"))
         for lo, arr in re.findall(
                 rb"<([0-9A-Fa-f]+)>\s*<[0-9A-Fa-f]+>\s*\[(.*?)\]",
                 body, re.S):
@@ -455,9 +475,7 @@ def _page_text_blocks(doc: PdfDocument, page: dict) -> list[dict]:
     media = [float(doc.resolve(x)) for x in
              (doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792])]
     page_w, page_h = media[2] - media[0], media[3] - media[1]
-    res = doc.resolve(page.get("Resources")) or {}
-    fonts_d = doc.resolve(res.get("Font")) or {}
-    fonts = {str(k): _Font(doc, v) for k, v in fonts_d.items()}
+    blocks: list[dict] = []
 
     contents = doc.resolve(page.get("Contents"))
     chunks = []
@@ -465,18 +483,33 @@ def _page_text_blocks(doc: PdfDocument, page: dict) -> list[dict]:
         c = doc.resolve(c)
         if isinstance(c, Stream):
             chunks.append(doc.stream_data(c))
-    content = b"\n".join(chunks)
 
+    _run_content(doc, b"\n".join(chunks),
+                 doc.resolve(page.get("Resources")) or {},
+                 [1.0, 0, 0, 1.0, 0, 0], page_h, blocks, depth=0)
+    return blocks, page_w, page_h
+
+
+_BI_EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|$)")
+
+
+def _run_content(doc: PdfDocument, content: bytes, res: dict,
+                 ctm0: list[float], page_h: float, blocks: list[dict],
+                 depth: int) -> None:
+    """Interpret one content stream (page or Form XObject), appending
+    text/figure blocks in DEVICE space (the CTM applies to text
+    positions too, not just images)."""
+    fonts = {str(k): _Font(doc, v) for k, v in
+             (doc.resolve(res.get("Font")) or {}).items()}
     xobjs = doc.resolve(res.get("XObject")) or {}
 
-    blocks: list[dict] = []
     lex = _Lexer(content)
     stack: list = []
     font: _Font | None = None
     size = 12.0
     leading = 0.0
     tm = lm = None          # text matrix / line matrix (a b c d e f)
-    ctm = [1.0, 0, 0, 1.0, 0, 0]
+    ctm = list(ctm0)
     ctm_stack: list[list[float]] = []
     runs: list[tuple[float, float, float, str]] = []  # x, y, size, text
 
@@ -486,12 +519,15 @@ def _page_text_blocks(doc: PdfDocument, page: dict) -> list[dict]:
             return
         text = font.decode(raw)
         if text:
-            eff = size * (tm[3] if tm[3] else 1.0)
-            runs.append((tm[4], tm[5], abs(eff) or size, text))
-            # estimated advance (0.5 em/char) so later runs on the
-            # same line carry increasing x — feeds word-gap detection
-            # for foreign PDFs that kern word spaces instead of
-            # encoding space glyphs
+            # device-space position: text matrix composed with the CTM
+            dx = tm[4] * ctm[0] + tm[5] * ctm[2] + ctm[4]
+            dy = tm[4] * ctm[1] + tm[5] * ctm[3] + ctm[5]
+            eff = size * (tm[3] or 1.0) * (ctm[3] or 1.0)
+            runs.append((dx, dy, abs(eff) or size, text))
+            # estimated advance (0.5 em/char) in TEXT space so later
+            # runs on the same line carry increasing x — feeds the
+            # word-gap detection for foreign PDFs that kern word
+            # spaces instead of encoding space glyphs
             tm = list(tm)
             tm[4] += 0.5 * size * len(text) * (tm[0] if tm[0] else 1.0)
 
@@ -562,10 +598,17 @@ def _page_text_blocks(doc: PdfDocument, page: dict) -> list[dict]:
         elif op == "ET":
             flush_block()
             tm = lm = None
+        elif op == "BI":
+            # inline image: raw binary follows — skip to the EI
+            # delimiter so pixel bytes never reach the text lexer
+            m = _BI_EI_RE.search(content, lex.pos)
+            if m is None:
+                break
+            lex.pos = m.end()
         elif op == "q":
             ctm_stack.append(list(ctm))
         elif op == "Q":
-            ctm = ctm_stack.pop() if ctm_stack else [1.0, 0, 0, 1.0, 0, 0]
+            ctm = ctm_stack.pop() if ctm_stack else list(ctm0)
         elif op == "cm" and len(stack) >= 6:
             m = [float(v) for v in stack[-6:]]
             ctm = [m[0] * ctm[0] + m[1] * ctm[2],
@@ -577,20 +620,35 @@ def _page_text_blocks(doc: PdfDocument, page: dict) -> list[dict]:
         elif op == "Do" and stack:
             name = str(stack[-1])
             xo = doc.resolve(xobjs.get(name))
-            if isinstance(xo, Stream) and doc.resolve(
-                    xo.d.get("Subtype")) == Name("Image"):
+            sub = doc.resolve(xo.d.get("Subtype")) if isinstance(
+                xo, Stream) else None
+            if sub == Name("Image"):
                 # unit square → ctm: x∈[e, e+a], y∈[f, f+d]
                 x0, x1 = sorted((ctm[4], ctm[4] + ctm[0]))
                 yb, yt = sorted((ctm[5], ctm[5] + ctm[3]))
-                # writer-private name convention: /Tb* marks a table
-                # placeholder (PDF has no table primitive); foreign
-                # PDFs always classify as image
-                kind = "table" if name.startswith("Tb") else "image"
+                # /EPPSKind /Table is build_pdf's private marker for
+                # table placeholders (PDF has no table primitive);
+                # foreign PDFs never carry it → always image
+                kind = ("table" if doc.resolve(xo.d.get("EPPSKind"))
+                        == Name("Table") else "image")
                 blocks.append({
                     "type": kind,
                     "bbox": [x0, page_h - yt, x1, page_h - yb],
                     "lines": [{"spans": [{"content": ""}]}],
                 })
+            elif sub == Name("Form") and depth < 8:
+                # text inside Form XObjects (Word/LibreOffice output)
+                fm = doc.resolve(xo.d.get("Matrix")) or [1, 0, 0, 1, 0, 0]
+                fm = [float(v) for v in fm]
+                sub_ctm = [fm[0] * ctm[0] + fm[1] * ctm[2],
+                           fm[0] * ctm[1] + fm[1] * ctm[3],
+                           fm[2] * ctm[0] + fm[3] * ctm[2],
+                           fm[2] * ctm[1] + fm[3] * ctm[3],
+                           fm[4] * ctm[0] + fm[5] * ctm[2] + ctm[4],
+                           fm[4] * ctm[1] + fm[5] * ctm[3] + ctm[5]]
+                sub_res = doc.resolve(xo.d.get("Resources")) or res
+                _run_content(doc, doc.stream_data(xo), sub_res,
+                             sub_ctm, page_h, blocks, depth + 1)
         elif op == "Tf" and len(stack) >= 2:
             size = float(stack[-1])
             font = fonts.get(str(stack[-2]))
@@ -629,8 +687,7 @@ def _page_text_blocks(doc: PdfDocument, page: dict) -> list[dict]:
                     tm[4] -= float(item) / 1000.0 * size \
                         * (tm[0] if tm[0] else 1.0)
         stack = []
-
-    return blocks, page_w, page_h
+    flush_block()           # tolerate a missing final ET
 
 
 def parse_pdf_pages(data: bytes) -> list[dict]:
@@ -655,14 +712,21 @@ def build_pdf(pages: list[dict]) -> bytes:
     layout block (the parser's block unit), every string as an
     Identity-H 2-byte hex string with a generated ToUnicode CMap — the
     encoding shape real Korean PDFs use."""
-    # glyph ids for every distinct char across the document
+    # per-block rendered line strings (spans joined with " " — the
+    # SAME strings the content streams will show), then glyph ids for
+    # every distinct char in them, so hexstr can never miss a char
+    def block_lines(blk: dict) -> list[str]:
+        lines = [" ".join(sp.get("content", "")
+                          for sp in ln.get("spans", []))
+                 for ln in blk.get("lines", [])]
+        return [ln for ln in lines if ln]
+
     chars: dict[str, int] = {}
     for p in pages:
         for b in p.get("blocks", []):
-            for ln in b.get("lines", []):
-                for sp in ln.get("spans", []):
-                    for ch in sp.get("content", ""):
-                        chars.setdefault(ch, len(chars) + 1)
+            for ln in block_lines(b):
+                for ch in ln:
+                    chars.setdefault(ch, len(chars) + 1)
 
     def hexstr(text: str) -> str:
         return "<" + "".join(f"{chars[ch]:04X}" for ch in text) + ">"
@@ -699,7 +763,10 @@ def build_pdf(pages: list[dict]) -> bytes:
                  + str(len(px)).encode() + b" >>\nstream\n" + px
                  + b"\nendstream")
     im1 = add(xobj_body)
-    tb1 = add(xobj_body)
+    # the /EPPSKind entry is the parser's table marker (PDF has no
+    # table primitive; an XObject NAME is forgeable by foreign files)
+    tb1 = add(xobj_body.replace(b"/Subtype /Image",
+                                b"/Subtype /Image /EPPSKind /Table"))
 
     page_ids = []
     kids_placeholder = add(b"")     # Pages node patched later
@@ -718,10 +785,7 @@ def build_pdf(pages: list[dict]) -> bytes:
             if blk.get("type") != "text":
                 continue
             x0, y0, x1, y1 = blk["bbox"]
-            lines = [" ".join(sp.get("content", "")
-                              for sp in ln.get("spans", []))
-                     for ln in blk.get("lines", [])]
-            lines = [ln for ln in lines if ln]
+            lines = block_lines(blk)
             if not lines:
                 continue
             fsize = 10.0

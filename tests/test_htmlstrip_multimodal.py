@@ -430,3 +430,24 @@ def test_jpeg_codec_roundtrip_and_real_files():
     # decode_image dispatches JPEG to the native codec
     from exam_pdf_parser_spark.operators.multimodal import decode_image
     assert np.array_equal(decode_image(encode_jpeg_gray(img)), dec)
+
+
+def test_jpeg_codec_scales_linearly():
+    """Review regression: the bit accumulators must stay masked — an
+    unmasked acc made 512x512 decode take ~12 s (quadratic); bounded
+    here generously for slow shared hosts."""
+    import time
+
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.jpeg import (
+        decode_jpeg_gray, encode_jpeg_gray,
+    )
+
+    n = 512
+    img = (np.arange(n * n, dtype=np.uint32) % 256).astype(
+        np.uint8).reshape(n, n)
+    t0 = time.perf_counter()
+    blob = encode_jpeg_gray(img)
+    decode_jpeg_gray(blob)
+    assert time.perf_counter() - t0 < 3.0

@@ -141,3 +141,51 @@ def test_pdf_rejects_unsupported_loudly():
         parse_pdf_pages(b"not a pdf at all")
     with pytest.raises(Exception):
         parse_pdf_pages(b"%PDF-1.4\njunk without any objects")
+
+
+def test_pdf_multispan_lines_and_tounicode_ranges():
+    """Review regressions: a multi-span line needs no space char
+    elsewhere in the document (glyph table is built from the rendered
+    strings), and bfrange destinations with surrogate pairs parse
+    without raising."""
+    from exam_pdf_parser_spark.core.pdf import _parse_tounicode
+
+    pages = [{"page_idx": 0, "page_size": [842, 1191], "blocks": [
+        {"type": "text", "bbox": [50, 60, 400, 90],
+         "lines": [{"spans": [{"content": "abc"}, {"content": "def"}]}]}]}]
+    back = parse_pdf_pages(build_pdf(pages))
+    assert back[0]["blocks"][0]["lines"][0]["spans"][0]["content"] \
+        == "abc def"
+
+    cmap = (b"1 beginbfrange <0001> <0003> <D835DC00> endbfrange\n"
+            b"1 beginbfchar <0010> <D835DC00> endbfchar")
+    m = _parse_tounicode(cmap)
+    assert m[0x10] == "\U0001d400"         # bfchar surrogate pair OK
+    assert m[1] == "𝐀" or len(m[1]) == 2  # range: last unit
+    # incremented without chr() overflow
+    assert 2 in m and 3 in m
+
+
+def test_pdf_scan_ignores_obj_patterns_inside_streams():
+    """A stream body containing bytes that look like 'N 0 obj' must
+    not shadow the real object N."""
+    import zlib
+
+    from exam_pdf_parser_spark.core.pdf import PdfDocument
+
+    pages = [{"page_idx": 0, "page_size": [842, 1191], "blocks": [
+        {"type": "text", "bbox": [50, 60, 400, 90],
+         "lines": [{"spans": [{"content": "hello world sample"}]}]}]}]
+    pdf = bytearray(build_pdf(pages))
+    # append an incremental-update style stream whose BODY embeds a
+    # fake redefinition of object 1
+    fake = b"1 0 obj\n<< /Type /Catalog >>\nendobj\n"
+    body = fake + b"\x00" * 16
+    extra = (b"99 0 obj\n<< /Length " + str(len(body)).encode()
+             + b" >>\nstream\n" + body + b"\nendstream\nendobj\n")
+    pdf = pdf.replace(b"xref\n", extra + b"xref\n", 1)
+    doc = PdfDocument(bytes(pdf))
+    # object 1 must still be the real ToUnicode stream, not the fake
+    assert not (isinstance(doc.objs.get(1), dict)
+                and doc.objs[1].get("Type") == "Catalog")
+    assert parse_pdf_pages(bytes(pdf))      # still parses end-to-end
