@@ -118,6 +118,12 @@ class _Lexer:
         while self.pos < len(d) and d[self.pos] not in _WS \
                 and d[self.pos] not in _DELIM:
             self.pos += 1
+        if self.pos == start:
+            # stray delimiter (')', '{', '}', …): consume ONE byte so
+            # the caller always advances — a zero-length token here
+            # spins every caller loop forever (found by fuzz)
+            self.pos += 1
+            return d[start:self.pos].decode("latin-1")
         return d[start:self.pos].decode("latin-1")
 
     def _name(self) -> Name:
@@ -336,8 +342,13 @@ class PdfDocument:
         if root is None:
             raise ValueError("PDF has no document catalog")
         out: list[dict] = []
+        seen: set[int] = set()      # cycle guard (corrupt Kids loops)
 
         def walk(node_ref, inherited):
+            if isinstance(node_ref, Ref):
+                if node_ref.num in seen or len(seen) > 100_000:
+                    return
+                seen.add(node_ref.num)
             node = self.resolve(node_ref)
             if not isinstance(node, dict):
                 return

