@@ -1,17 +1,22 @@
-"""Minimal, dependency-free baseline JPEG codec (grayscale output).
+"""Minimal, dependency-free JPEG codec (grayscale output).
 
 Completes the stdlib codec family (``core/png.py``, ``core/gif.py``):
-the decoder handles baseline sequential JPEG (SOF0) — DQT/DHT/SOF/SOS/
-DRI marker walk, canonical Huffman decode with byte unstuffing and
-restart markers, dequantization, zigzag, float IDCT — and returns the
-LUMA plane as (h, w) uint8 grayscale (chroma components are entropy-
-decoded to keep the bitstream in sync, then discarded).  Progressive
-(SOF2) and arithmetic-coded JPEGs raise a clear error.
+the decoder handles BOTH baseline sequential (SOF0/1) and progressive
+(SOF2) Huffman JPEG — DQT/DHT/SOF/SOS/DRI marker walk, canonical
+Huffman decode with byte unstuffing and restart markers, and for
+progressive streams the full successive-approximation machinery (DC
+first/refine, AC first/refine with EOB runs) accumulating into a
+per-component coefficient store; dequant + zigzag + float IDCT run
+once at the end.  Output is the LUMA plane as (h, w) uint8 grayscale
+(chroma components are entropy-decoded to keep the bitstream in sync,
+then discarded).  Arithmetic-coded and lossless variants raise a
+clear error.
 
-The encoder writes baseline grayscale JPEG with the JPEG Annex K
-example quantization/Huffman tables (public spec constants) — a lossy
-round-trip source for the decoder tests (PSNR-bounded) and a real
-``.jpg`` producer any viewer opens.
+The encoder writes grayscale JPEG with the JPEG Annex K example
+quantization/Huffman tables (public spec constants) — baseline by
+default, or a spectral-split progressive stream whose decode is
+bit-identical to the baseline encoding (tested), plus real ``.jpg``
+files any viewer opens.
 """
 
 from __future__ import annotations
@@ -164,7 +169,13 @@ class _RestartHit(Exception):
 
 
 def decode_jpeg_gray(payload: bytes) -> np.ndarray:
-    """Baseline JPEG → (h, w) uint8 luma plane."""
+    """Baseline OR progressive JPEG → (h, w) uint8 luma plane.
+
+    Unified engine: every scan (baseline full, progressive DC
+    first/refine, AC first/refine with EOB runs) accumulates into a
+    per-component coefficient store; dequant + IDCT happen once at
+    the end.  Chroma components are entropy-decoded to keep the
+    stream in sync, then discarded."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     quant: dict[int, np.ndarray] = {}
@@ -175,13 +186,18 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     restart = 0
     pos = 2
     n = len(payload)
-    while pos + 4 <= n:
+    saw_scan = False
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("desynchronized JPEG marker stream")
         marker = payload[pos + 1]
+        if marker == 0xD9:                       # EOI
+            break
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             pos += 2
             continue
+        if pos + 4 > n:
+            break
         seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
         body = payload[pos + 4:pos + 2 + seg_len]
         if marker == 0xDB:                       # DQT
@@ -206,94 +222,165 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 (huff_ac if tc else huff_dc)[th] = _canonical_codes(
                     counts, syms)
                 i += 17 + n_sym
-        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):       # SOF0/1 baseline, SOF2 prog
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            for c in comps:
+                c["bw"] = mcux * c["h"]          # MCU-padded block grid
+                c["bh"] = mcuy * c["v"]
+                # true (non-padded) grid for non-interleaved scans
+                cw = -(-w * c["h"] // hmax)      # ceil(w·h_i/hmax)
+                ch = -(-h * c["v"] // vmax)
+                c["tw"] = -(-cw // 8)
+                c["th"] = -(-ch // 8)
+                c["coef"] = np.zeros((c["bh"], c["bw"], 64), np.int32)
+            comps[0]["mcux"], comps[0]["mcuy"] = mcux, mcuy
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG is supported")
+            raise ValueError(
+                "only baseline/progressive Huffman JPEG is supported")
         elif marker == 0xDD:                     # DRI
             restart = struct.unpack(">H", body[:2])[0]
-        elif marker == 0xDA:                     # SOS — decode the scan
+        elif marker == 0xDA:                     # SOS
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = body[0]
-            order = []
+            scan = []
             for si in range(ns):
                 cs, tables = body[1 + 2 * si], body[2 + 2 * si]
                 comp = next(c for c in comps if c["id"] == cs)
-                comp["dc"] = huff_dc[tables >> 4]
-                comp["ac"] = huff_ac[tables & 0x0F]
-                order.append(comp)
-            return _decode_scan(payload, pos + 2 + seg_len, order, quant,
-                                h, w, restart)
+                comp["dc"] = huff_dc.get(tables >> 4)
+                comp["ac"] = huff_ac.get(tables & 0x0F)
+                scan.append(comp)
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            data_start = pos + 2 + seg_len
+            scan_end = _find_scan_end(payload, data_start)
+            _decode_scan_into(payload, data_start, comps, scan,
+                              ss, se, ahal >> 4, ahal & 0x0F, restart)
+            saw_scan = True
+            pos = scan_end
+            continue
         pos += 2 + seg_len
-    raise ValueError("JPEG contains no scan")
+    if not saw_scan:
+        raise ValueError("JPEG contains no scan")
+    return _reconstruct_luma(comps, quant, h, w)
 
 
-def _decode_scan(data: bytes, pos: int, comps: list[dict],
-                 quant: dict, h: int, w: int, restart: int) -> np.ndarray:
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    luma = comps[0]
-    ly = np.zeros((mcuy * luma["v"] * 8, mcux * luma["h"] * 8),
-                  dtype=np.float64)
-    if len(comps) == 1:
-        # non-interleaved single-component scan: the block grid covers
-        # the image directly, not MCU-padded
-        mcux, mcuy = -(-w // 8), -(-h // 8)
-        luma = dict(luma, h=1, v=1)
-        comps = [luma]
-        ly = np.zeros((mcuy * 8, mcux * 8), dtype=np.float64)
-        hmax = vmax = 1
+def _find_scan_end(data: bytes, start: int) -> int:
+    i = start
+    n = len(data)
+    while i + 1 < n:
+        if data[i] == 0xFF and data[i + 1] != 0x00 \
+                and not 0xD0 <= data[i + 1] <= 0xD7:
+            return i
+        i += 1
+    return n
 
-    br = _BitReader(data, pos)
-    preds = {c["id"]: 0 for c in comps}
-    n_mcu = mcux * mcuy
-    for mcu in range(n_mcu):
-        if restart and mcu and mcu % restart == 0:
+
+def _decode_scan_into(data: bytes, start: int, comps: list[dict],
+                      scan: list[dict], ss: int, se: int, ah: int,
+                      al: int, restart: int) -> None:
+    br = _BitReader(data, start)
+    preds = {c["id"]: 0 for c in scan}
+    eobrun = 0
+
+    def maybe_restart(unit: int) -> None:
+        nonlocal preds, eobrun
+        if restart and unit and unit % restart == 0:
             br.align_restart()
-            preds = {c["id"]: 0 for c in comps}
-        mx, my = mcu % mcux, mcu // mcux
-        for c in comps:
-            q = quant[c["tq"]]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    try:
-                        blk, preds[c["id"]] = _decode_block(
-                            br, c["dc"], c["ac"], q, preds[c["id"]])
-                    except _RestartHit:
-                        raise ValueError(
-                            "restart marker misaligned with DRI") from None
-                    if c is comps[0]:
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        ly[y0:y0 + 8, x0:x0 + 8] = blk
-    # luma plane → image dims (chroma decoded for sync, discarded)
-    scale_y = vmax // comps[0]["v"]
-    scale_x = hmax // comps[0]["h"]
-    if scale_y > 1 or scale_x > 1:
-        ly = np.kron(ly, np.ones((scale_y, scale_x)))
-    out = np.clip(ly[:h, :w] + 128.0, 0, 255)
-    return out.astype(np.uint8)
+            preds = {c["id"]: 0 for c in scan}
+            eobrun = 0
+
+    if len(scan) > 1 or (ss == 0 and se == 63):
+        # interleaved (or baseline single-comp full) scan: MCU order
+        c0 = comps[0]
+        mcux, mcuy = c0["mcux"], c0["mcuy"]
+        if len(scan) == 1:
+            # non-interleaved full scan: block grid IS the true grid
+            c = scan[0]
+            for i in range(c["th"] * c["tw"]):
+                maybe_restart(i)
+                by, bx = divmod(i, c["tw"])
+                _block_first(br, c, by, bx, ss, se, ah, al, preds)
+            return
+        for mcu in range(mcux * mcuy):
+            maybe_restart(mcu)
+            mx, my = mcu % mcux, mcu // mcux
+            for c in scan:
+                for byy in range(c["v"]):
+                    for bxx in range(c["h"]):
+                        _block_first(br, c, my * c["v"] + byy,
+                                     mx * c["h"] + bxx, ss, se, ah, al,
+                                     preds)
+        return
+
+    # single-component partial scan (progressive): true grid, row-major
+    c = scan[0]
+    n_blocks = c["th"] * c["tw"]
+    for i in range(n_blocks):
+        maybe_restart(i)
+        by, bx = divmod(i, c["tw"])
+        coef = c["coef"][by, bx]
+        if ss == 0:                              # DC-only scan
+            if ah == 0:
+                t = br.huff(c["dc"])
+                diff = _extend(br.bits(t), t) if t else 0
+                preds[c["id"]] += diff
+                coef[0] = preds[c["id"]] << al
+            else:
+                if br.bits(1):
+                    coef[0] = int(coef[0]) | (1 << al)
+            continue
+        if ah == 0:                              # AC first
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = br.huff(c["ac"])
+                r, sz = rs >> 4, rs & 0x0F
+                if sz == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1 + (br.bits(r) if r else 0)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                coef[k] = _extend(br.bits(sz), sz) << al
+                k += 1
+        else:                                    # AC refinement
+            eobrun = _refine_ac(br, c["ac"], coef, ss, se, al, eobrun)
 
 
-def _decode_block(br: _BitReader, dc: dict, ac: dict,
-                  q: np.ndarray, pred: int) -> tuple[np.ndarray, int]:
-    coef = np.zeros(64, dtype=np.int64)
-    t = br.huff(dc)
-    diff = _extend(br.bits(t), t) if t else 0
-    pred += diff
-    coef[0] = pred
+def _block_first(br: "_BitReader", c: dict, by: int, bx: int, ss: int,
+                 se: int, ah: int, al: int, preds: dict) -> None:
+    """DC (+AC for baseline) decode of one block in an interleaved or
+    full scan; Ah>0 means DC refinement."""
+    coef = c["coef"][by, bx]
+    if ah == 0:
+        t = br.huff(c["dc"])
+        diff = _extend(br.bits(t), t) if t else 0
+        preds[c["id"]] += diff
+        coef[0] = preds[c["id"]] << al
+    else:
+        if br.bits(1):
+            coef[0] = int(coef[0]) | (1 << al)
+    if se == 0 or ah != 0:
+        return
     k = 1
-    while k < 64:
-        rs = br.huff(ac)
-        r, s = rs >> 4, rs & 0x0F
-        if s == 0:
+    while k <= se:
+        rs = br.huff(c["ac"])
+        r, sz = rs >> 4, rs & 0x0F
+        if sz == 0:
             if r == 15:
                 k += 16
                 continue
@@ -301,12 +388,80 @@ def _decode_block(br: _BitReader, dc: dict, ac: dict,
         k += r
         if k > 63:
             raise ValueError("AC run past block end")
-        coef[k] = _extend(br.bits(s), s)
+        coef[k] = _extend(br.bits(sz), sz) << al
         k += 1
-    block = np.zeros(64, dtype=np.float64)
-    block[ZIGZAG] = (coef * q).astype(np.float64)
-    blk8 = block.reshape(8, 8)
-    return _C.T @ blk8 @ _C, pred
+
+
+def _refine_ac(br: "_BitReader", ac_table: dict, coef: np.ndarray,
+               ss: int, se: int, al: int, eobrun: int) -> int:
+    """Successive-approximation AC refinement (spec G.1.2.3): apply
+    correction bits to known-nonzero coefficients, insert new ±1<<al
+    coefficients, honor EOB runs."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k: int) -> None:
+        # a correction bit is read for EVERY nonzero coefficient
+        # visited (skipping the read desyncs the stream); it applies
+        # only when this scan's bit isn't already set
+        v = int(coef[k])
+        if v and br.bits(1) and (v & p1) == 0:
+            coef[k] = v + (p1 if v > 0 else m1)
+
+    # eobrun convention (libjpeg): INCLUSIVE of the current block — an
+    # EOB with r=0 still yields eobrun=1 so this block's remaining
+    # nonzero coefficients get their correction bits before the
+    # decrement; skipping them desyncs the stream
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.huff(ac_table)
+            r, sz = rs >> 4, rs & 0x0F
+            val = 0
+            if sz == 0:
+                if r < 15:
+                    eobrun = (1 << r) + (br.bits(r) if r else 0)
+                    break
+                # r == 15: skip 16 zero-history positions
+            else:
+                val = p1 if br.bits(1) else m1
+            while k <= se:
+                if coef[k]:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k]:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_luma(comps: list[dict], quant: dict, h: int,
+                      w: int) -> np.ndarray:
+    c = comps[0]
+    q = quant[c["tq"]].astype(np.int64)
+    zz = c["coef"].reshape(-1, 64).astype(np.float64) * q[None, :]
+    nat = np.zeros_like(zz)
+    nat[:, ZIGZAG] = zz
+    blk = nat.reshape(-1, 8, 8)
+    idct = np.einsum("ij,bjk,kl->bil", _C.T, blk, _C)
+    bh, bw = c["bh"], c["bw"]
+    plane = idct.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3) \
+        .reshape(bh * 8, bw * 8)
+    hmax = max(cc["h"] for cc in comps)
+    vmax = max(cc["v"] for cc in comps)
+    sy, sx = vmax // c["v"], hmax // c["h"]
+    if sy > 1 or sx > 1:
+        plane = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)
+    return np.clip(plane[:h, :w] + 128.0, 0, 255).astype(np.uint8)
 
 
 # --- encoder (baseline grayscale) ---------------------------------------------
@@ -353,63 +508,97 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
-def encode_jpeg_gray(img: np.ndarray) -> bytes:
-    """(h, w) uint8 → baseline grayscale JPEG (Annex K tables)."""
-    if img.ndim != 2 or img.dtype != np.uint8:
-        raise ValueError("expected (h, w) uint8 array")
+def _quantized_blocks(img: np.ndarray) -> tuple[list, int, int]:
     h, w = img.shape
-    q = STD_LUMA_QUANT.reshape(8, 8)
-    dc_tab, ac_tab = _encode_tables()
-
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     padded = np.pad(img.astype(np.float64) - 128.0,
                     ((0, ph - h), (0, pw - w)), mode="edge")
-    bw = _BitWriter()
-    pred = 0
     qz = STD_LUMA_QUANT[ZIGZAG]                  # quant in zigzag order
+    blocks = []
     for y0 in range(0, ph, 8):
         for x0 in range(0, pw, 8):
             blk = padded[y0:y0 + 8, x0:x0 + 8]
-            coefs = _C @ blk @ _C.T
-            zz = coefs.reshape(-1)[ZIGZAG]
-            qcoef = np.round(zz / qz).astype(np.int64)
-            diff = int(qcoef[0]) - pred
-            pred = int(qcoef[0])
-            t = _category(diff)
-            code, ln = dc_tab[t]
+            zz = (_C @ blk @ _C.T).reshape(-1)[ZIGZAG]
+            blocks.append(np.round(zz / qz).astype(np.int64))
+    return blocks, h, w
+
+
+def _write_dc(bw: "_BitWriter", dc_tab: dict, qcoef, pred: int) -> int:
+    diff = int(qcoef[0]) - pred
+    t = _category(diff)
+    code, ln = dc_tab[t]
+    bw.bits(code, ln)
+    if t:
+        bw.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    return int(qcoef[0])
+
+
+def _write_ac(bw: "_BitWriter", ac_tab: dict, qcoef) -> None:
+    run = 0
+    nz = np.nonzero(qcoef[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(qcoef[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]
             bw.bits(code, ln)
-            if t:
-                bw.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
-            run = 0
-            nz = np.nonzero(qcoef[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(qcoef[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_tab[0xF0]
-                    bw.bits(code, ln)
-                    run -= 16
-                s = _category(v)
-                code, ln = ac_tab[(run << 4) | s]
-                bw.bits(code, ln)
-                bw.bits(v if v >= 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last < 63:
-                code, ln = ac_tab[0x00]          # EOB
-                bw.bits(code, ln)
-    scan = bw.flush()
+            run -= 16
+        s = _category(v)
+        code, ln = ac_tab[(run << 4) | s]
+        bw.bits(code, ln)
+        bw.bits(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_tab[0x00]                  # EOB
+        bw.bits(code, ln)
+
+
+def encode_jpeg_gray(img: np.ndarray, progressive: bool = False) -> bytes:
+    """(h, w) uint8 → grayscale JPEG (Annex K tables).  Baseline by
+    default; ``progressive=True`` writes a spectral-split SOF2 stream
+    (scan 1: DC, scan 2: AC 1-63) — same quantized coefficients, so
+    decode output is bit-identical to the baseline encoding (the
+    decoder test pins that)."""
+    if img.ndim != 2 or img.dtype != np.uint8:
+        raise ValueError("expected (h, w) uint8 array")
+    dc_tab, ac_tab = _encode_tables()
+    blocks, h, w = _quantized_blocks(img)
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
         STD_LUMA_QUANT[ZIGZAG].astype(np.uint8))
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) \
+    sof = 0xC2 if progressive else 0xC0
+    out += bytes((0xFF, sof)) + struct.pack(">HBHHB", 11, 8, h, w, 1) \
         + bytes((1, 0x11, 0))
     for tc, (counts, syms) in ((0, STD_DC_LUMA), (1, STD_AC_LUMA)):
         out += b"\xff\xc4" + struct.pack(
             ">HB", 19 + len(syms), (tc << 4)) + bytes(counts) + bytes(syms)
-    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes((1, 0x00, 0, 63, 0))
-    out += scan + b"\xff\xd9"
+
+    if not progressive:
+        bw = _BitWriter()
+        pred = 0
+        for qcoef in blocks:
+            pred = _write_dc(bw, dc_tab, qcoef, pred)
+            _write_ac(bw, ac_tab, qcoef)
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) \
+            + bytes((1, 0x00, 0, 63, 0))
+        out += bw.flush() + b"\xff\xd9"
+        return bytes(out)
+
+    # progressive: DC scan (Ss=Se=0), then AC scan (Ss=1, Se=63)
+    bw = _BitWriter()
+    pred = 0
+    for qcoef in blocks:
+        pred = _write_dc(bw, dc_tab, qcoef, pred)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes((1, 0x00, 0, 0, 0))
+    out += bw.flush()
+    bw = _BitWriter()
+    for qcoef in blocks:
+        _write_ac(bw, ac_tab, qcoef)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) \
+        + bytes((1, 0x10, 1, 63, 0))
+    out += bw.flush() + b"\xff\xd9"
     return bytes(out)

@@ -288,10 +288,11 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
 def decode_image(payload: bytes) -> np.ndarray:
     """Image decode via the repo's stdlib codecs: grayscale PNG
     (``core/png.py``), single-frame GIF incl. interlace
-    (``core/gif.py``, full variable-width LZW), and baseline JPEG
-    (``core/jpeg.py``, Huffman + IDCT, luma plane) — all REAL, no
-    raster library.  Remaining formats (progressive JPEG, WebP, TIFF…)
-    fall back to Pillow when available, else raise loudly."""
+    (``core/gif.py``, full variable-width LZW), and baseline +
+    progressive JPEG (``core/jpeg.py``, Huffman + successive
+    approximation + IDCT, luma plane) — all REAL, no raster library.
+    Remaining formats (WebP, TIFF, arithmetic JPEG…) fall back to
+    Pillow when available, else raise loudly."""
     from ..core.gif import GIF_SIGS, decode_gif_gray
     from ..core.jpeg import decode_jpeg_gray
     from ..core.png import PNG_SIG, decode_png_gray
@@ -306,10 +307,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "progressive-JPEG/WebP/TIFF decoding requires Pillow; PNG, "
-            "GIF and baseline JPEG decode natively via core/{png,gif,"
-            "jpeg}.py — swap this fallback for Image.open(...) in a "
-            "full environment"
+            "WebP/TIFF decoding requires Pillow; PNG, GIF and "
+            "baseline/progressive JPEG decode natively via "
+            "core/{png,gif,jpeg}.py — swap this fallback for "
+            "Image.open(...) in a full environment"
         ) from e
     raise NotImplementedError("non-PNG/GIF/JPEG decode stubbed")
 

@@ -418,6 +418,11 @@ def test_jpeg_codec_roundtrip_and_real_files():
     with pytest.raises(ValueError):
         decode_jpeg_gray(b"\xff\xd8trunc")
 
+    # progressive spectral-split stream decodes BIT-IDENTICAL to the
+    # baseline encoding (same quantized coefficients)
+    prog = decode_jpeg_gray(encode_jpeg_gray(img, progressive=True))
+    assert np.array_equal(prog, dec)
+
     # real-world JPEGs from the Python installation, when present
     stdlib = os.path.dirname(os.__file__)
     files = glob.glob(os.path.join(stdlib, "test", "imghdrdata", "*.jpg"))
