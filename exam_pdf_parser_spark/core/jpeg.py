@@ -191,6 +191,9 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             raise ValueError("desynchronized JPEG marker stream")
         marker = payload[pos + 1]
+        if marker == 0xFF:                       # fill byte (B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD9:                       # EOI
             break
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
@@ -262,8 +265,12 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
             data_start = pos + 2 + seg_len
             scan_end = _find_scan_end(payload, data_start)
-            _decode_scan_into(payload, data_start, comps, scan,
-                              ss, se, ahal >> 4, ahal & 0x0F, restart)
+            try:
+                _decode_scan_into(payload, data_start, comps, scan,
+                                  ss, se, ahal >> 4, ahal & 0x0F, restart)
+            except _RestartHit:
+                raise ValueError(
+                    "restart marker misaligned with DRI") from None
             saw_scan = True
             pos = scan_end
             continue
@@ -276,12 +283,14 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
 def _find_scan_end(data: bytes, start: int) -> int:
     i = start
     n = len(data)
-    while i + 1 < n:
-        if data[i] == 0xFF and data[i + 1] != 0x00 \
-                and not 0xD0 <= data[i + 1] <= 0xD7:
+    while True:
+        i = data.find(b"\xff", i)      # C-speed skip between FF bytes
+        if i < 0 or i + 1 >= n:
+            return n
+        nxt = data[i + 1]
+        if nxt != 0x00 and not 0xD0 <= nxt <= 0xD7:
             return i
-        i += 1
-    return n
+        i += 2
 
 
 def _decode_scan_into(data: bytes, start: int, comps: list[dict],
@@ -329,14 +338,7 @@ def _decode_scan_into(data: bytes, start: int, comps: list[dict],
         by, bx = divmod(i, c["tw"])
         coef = c["coef"][by, bx]
         if ss == 0:                              # DC-only scan
-            if ah == 0:
-                t = br.huff(c["dc"])
-                diff = _extend(br.bits(t), t) if t else 0
-                preds[c["id"]] += diff
-                coef[0] = preds[c["id"]] << al
-            else:
-                if br.bits(1):
-                    coef[0] = int(coef[0]) | (1 << al)
+            _block_first(br, c, by, bx, ss, se, ah, al, preds)
             continue
         if ah == 0:                              # AC first
             if eobrun:
@@ -588,17 +590,79 @@ def encode_jpeg_gray(img: np.ndarray, progressive: bool = False) -> bytes:
         out += bw.flush() + b"\xff\xd9"
         return bytes(out)
 
-    # progressive: DC scan (Ss=Se=0), then AC scan (Ss=1, Se=63)
-    bw = _BitWriter()
+    # progressive with SUCCESSIVE APPROXIMATION (4 scans), so the
+    # decoder's refinement machinery is exercised by the round-trip
+    # gate: DC first Al=1 → AC first Al=1 → DC refine → AC refine.
+    def sos(params: tuple) -> bytes:
+        return b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(params)
+
+    bw = _BitWriter()                            # 1. DC first, Al=1
     pred = 0
     for qcoef in blocks:
-        pred = _write_dc(bw, dc_tab, qcoef, pred)
-    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes((1, 0x00, 0, 0, 0))
-    out += bw.flush()
-    bw = _BitWriter()
+        hi = [int(qcoef[0]) >> 1]                # arithmetic shift (spec)
+        pred = _write_dc(bw, dc_tab, hi, pred)
+    out += sos((1, 0x00, 0, 0, 0x01)) + bw.flush()
+
+    bw = _BitWriter()                            # 2. AC first, Al=1
     for qcoef in blocks:
-        _write_ac(bw, ac_tab, qcoef)
-    out += b"\xff\xda" + struct.pack(">HB", 8, 1) \
-        + bytes((1, 0x10, 1, 63, 0))
-    out += bw.flush() + b"\xff\xd9"
+        shifted = np.array(
+            [0] + [int(np.sign(v)) * (abs(int(v)) >> 1)
+                   for v in qcoef[1:]], dtype=np.int64)
+        _write_ac(bw, ac_tab, shifted)
+    out += sos((1, 0x10, 1, 63, 0x01)) + bw.flush()
+
+    bw = _BitWriter()                            # 3. DC refine, Al=0
+    for qcoef in blocks:
+        bw.bits(int(qcoef[0]) & 1, 1)            # raw bit, no Huffman
+    out += sos((1, 0x00, 0, 0, 0x10)) + bw.flush()
+
+    bw = _BitWriter()                            # 4. AC refine, Al=0
+    for qcoef in blocks:
+        _write_ac_refine(bw, ac_tab, qcoef, 0)
+    out += sos((1, 0x10, 1, 63, 0x10)) + bw.flush()
+    out += b"\xff\xd9"
     return bytes(out)
+
+
+def _write_ac_refine(bw: "_BitWriter", ac_tab: dict, qcoef,
+                     al: int) -> None:
+    """AC refinement scan for one block (per-block EOB flush): newly
+    significant coefficients (abs>>al == 1) emit (run, 1) + sign;
+    already-significant ones buffer their correction bit, flushed
+    after each emitted code / ZRL / EOB — mirror image of
+    ``_refine_ac``."""
+    absv = [abs(int(qcoef[k])) >> al for k in range(64)]
+    eob = 0
+    for k in range(1, 64):
+        if absv[k] == 1:
+            eob = k
+    r = 0
+    br_bits: list[int] = []
+
+    def flush_br() -> None:
+        for b in br_bits:
+            bw.bits(b, 1)
+        br_bits.clear()
+
+    for k in range(1, 64):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            code, ln = ac_tab[0xF0]              # ZRL inside the
+            bw.bits(code, ln)                    # significant region
+            r -= 16
+            flush_br()
+        if t > 1:                                # already significant:
+            br_bits.append(t & 1)                # buffer correction bit
+            continue
+        code, ln = ac_tab[(r << 4) | 1]          # newly significant
+        bw.bits(code, ln)
+        bw.bits(0 if int(qcoef[k]) < 0 else 1, 1)
+        flush_br()
+        r = 0
+    if r > 0 or br_bits:
+        code, ln = ac_tab[0x00]                  # EOB (run of 1)
+        bw.bits(code, ln)
+        flush_br()

@@ -391,10 +391,9 @@ def test_gif_interlace_deinterlaces():
 
 
 def test_jpeg_codec_roundtrip_and_real_files():
-    """Baseline JPEG decode is real: encoder round-trip within a PSNR
-    bound on smooth content, real-world files decode to plausible luma
-    (incl. a chroma-subsampled color photo when present), progressive
-    rejected loudly."""
+    """JPEG decode is real: encoder round-trip within a PSNR bound on
+    smooth content, progressive decode bit-identical to baseline, and
+    real-world files decode to plausible luma."""
     import glob
     import os
 
@@ -418,14 +417,33 @@ def test_jpeg_codec_roundtrip_and_real_files():
     with pytest.raises(ValueError):
         decode_jpeg_gray(b"\xff\xd8trunc")
 
-    # progressive spectral-split stream decodes BIT-IDENTICAL to the
-    # baseline encoding (same quantized coefficients)
-    prog = decode_jpeg_gray(encode_jpeg_gray(img, progressive=True))
-    assert np.array_equal(prog, dec)
+    # progressive successive-approximation stream (DC first Al=1 →
+    # AC first Al=1 → DC refine → AC refine) decodes BIT-IDENTICAL to
+    # the baseline encoding — exercises the whole refinement engine
+    prog_blob = encode_jpeg_gray(img, progressive=True)
+    assert np.array_equal(decode_jpeg_gray(prog_blob), dec)
 
-    # real-world JPEGs from the Python installation, when present
+    # spec-legal 0xFF fill bytes before a marker must not desync the
+    # multi-scan walk (T.81 B.1.1.2)
+    second_sos = prog_blob.index(b"\xff\xda", 2 + prog_blob.index(b"\xff\xda"))
+    padded = prog_blob[:second_sos] + b"\xff" + prog_blob[second_sos:]
+    assert np.array_equal(decode_jpeg_gray(padded), dec)
+
+    # a stray restart marker raises the documented ValueError, not a
+    # private exception type
+    blob = encode_jpeg_gray(img)
+    scan_at = blob.index(b"\xff\xda")
+    broken = blob[:scan_at + 20] + b"\xff\xd0" + blob[scan_at + 20:]
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(broken)
+
+    # real-world JPEGs from the Python installation, when present —
+    # plus any real PROGRESSIVE photo shipped with system docs
     stdlib = os.path.dirname(os.__file__)
     files = glob.glob(os.path.join(stdlib, "test", "imghdrdata", "*.jpg"))
+    files += [f for f in glob.glob(
+        "/root/.rustup/toolchains/*/share/doc/rust/html/embedded-book/"
+        "assets/*.jp*g")][:2]
     if not files:
         pytest.skip("no stdlib sample JPEGs on this machine")
     for f in sorted(files):
