@@ -1,15 +1,16 @@
 """Multimodal column handling: image/audio/video as opaque ``binary``
 columns with typed metadata, processed in Arrow batches.
 
-The IMAGE path is fully real: grayscale PNG payloads decode via the
-repo's stdlib codec (``core/png.py``), with genuine pixel features
-(``image_pixel_features``) and pixel-level block-mean resize
-(``resize_images``).  Audio/video decoding would need codecs the
-container doesn't ship, so those decode steps stay honestly stubbed
-(deterministic synthetic payload format XMED1; real decoders gated
-behind import-try raising ``NotImplementedError``), while everything
-Spark-side is real and tested: schemas, batch shapes, ``mapInPandas``
-signatures, partitioning, and a codec-free byte-histogram embedding.
+The IMAGE path is fully real: PNG, GIF and baseline/progressive JPEG
+decode via the repo's stdlib codecs (``core/{png,gif,jpeg}.py``), with
+genuine pixel features (``image_pixel_features``) and pixel-level
+block-mean resize.  The AUDIO path is real for PCM WAV (stdlib
+``wave``): ``decode_audio`` + ``wav_audio_features`` (duration, RMS,
+peak, zero crossings).  Compressed audio (mp3/ogg) and video need
+codecs the container doesn't ship — those stay honestly stubbed
+(``NotImplementedError``), while everything Spark-side is real and
+tested: schemas, batch shapes, ``mapInPandas`` signatures,
+partitioning, and a codec-free byte-histogram embedding.
 
 XMED1 payload format (synthetic): b"XMED1" + kind(1B: I/A/V) +
 width(2B) + height(2B) + n_frames(2B) + body bytes (seeded).
@@ -91,7 +92,7 @@ def parse_meta(payload: bytes) -> dict:
         w, h, f = struct.unpack(">HHH", payload[6:12])
         return {"kind": kind, "width": w, "height": h, "n_frames": f,
                 "valid": "ok"}
-    for probe in (_png_dims, _jpeg_dims, _gif_dims):
+    for probe in (_png_dims, _jpeg_dims, _gif_dims, _wav_meta):
         meta = probe(payload)
         if meta is not None:
             return meta
@@ -137,6 +138,25 @@ def _jpeg_dims(payload: bytes) -> dict | None:
             return None
         i += 2 + seg_len
     return None
+
+
+def _wav_meta(payload: bytes) -> dict | None:
+    """RIFF/WAVE header → (kind=audio, width=sample rate, height=
+    channels, n_frames=sample frames) — real audio metadata with no
+    codec (PCM WAV is stdlib-parseable)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as wf:
+            return {"kind": "audio", "width": wf.getframerate(),
+                    "height": wf.getnchannels(),
+                    "n_frames": wf.getnframes(), "valid": "ok"}
+    except Exception:
+        return {"kind": "audio", "width": None, "height": None,
+                "n_frames": None, "valid": "corrupt"}
 
 
 def _gif_dims(payload: bytes) -> dict | None:
@@ -283,6 +303,95 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
                                               "frame"])
 
     return src.mapInPandas(run, FRAME_SCHEMA)
+
+
+def encode_audio_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """float32/float64 mono samples in [-1, 1] → 16-bit PCM WAV."""
+    import io
+    import wave
+
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL audio decode for PCM WAV (stdlib ``wave``): → (mono
+    float64 samples in [-1, 1], sample rate).  Multi-channel input is
+    averaged to mono.  Compressed formats (mp3/ogg/aac) have no
+    stdlib codec — they raise loudly."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only PCM WAV decodes natively; mp3/ogg/aac need an "
+            "external codec")
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as wf:
+        nch, width = wf.getnchannels(), wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+        rate = wf.getframerate()
+    if width == 2:
+        x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128) / 128.0
+    else:
+        raise NotImplementedError(f"{width * 8}-bit PCM not supported")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+AUDIO_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("sample_rate", IntegerType(), True),
+    StructField("duration_s", FloatType(), True),
+    StructField("rms", FloatType(), True),
+    StructField("peak", FloatType(), True),
+    StructField("zero_crossings", IntegerType(), True),
+    StructField("valid", StringType(), False),
+])
+
+
+def wav_audio_features(media: DataFrame) -> DataFrame:
+    """REAL decode + signal statistics per WAV payload (Arrow-batched,
+    no shuffle): duration, RMS, peak, zero-crossing count.  Corrupt or
+    non-WAV payloads quarantine as valid='corrupt', never dropped."""
+    src = media.select("media_id", "payload")
+    cols = [f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    x, rate = decode_audio(bytes(payload))
+                    rows.append({
+                        "media_id": int(mid), "sample_rate": rate,
+                        "duration_s": float(len(x) / rate),
+                        "rms": float(np.sqrt(np.mean(x * x))) if len(x)
+                        else 0.0,
+                        "peak": float(np.max(np.abs(x))) if len(x) else 0.0,
+                        "zero_crossings": int(np.sum(
+                            np.abs(np.diff(np.signbit(x))))) if len(x)
+                        else 0,
+                        "valid": "ok",
+                    })
+                except Exception:
+                    rows.append({
+                        "media_id": int(mid), "sample_rate": None,
+                        "duration_s": None, "rms": None, "peak": None,
+                        "zero_crossings": None, "valid": "corrupt",
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
 def decode_image(payload: bytes) -> np.ndarray:
