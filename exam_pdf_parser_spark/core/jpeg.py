@@ -159,8 +159,11 @@ class _BitReader:
         self.acc = 0
         self.n = 0
         d = self.data
-        while not (d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7):
+        while self.pos + 1 < len(d) and not (
+                d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7):
             self.pos += 1
+        if self.pos + 1 >= len(d):
+            raise ValueError("truncated JPEG scan: restart marker not found")
         self.pos += 2
 
 

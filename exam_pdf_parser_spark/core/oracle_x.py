@@ -45,16 +45,20 @@ def _parsed_by_url(rows: list[dict], min_q: int = 1,
                    max_q: int = 50) -> dict[str, list[dict]]:
     out: dict[str, list[dict]] = {}
     for row in rows:
+        # whole-document quarantine mirrors the Spark side's per-doc
+        # mapInPandas contract: a parse-stage bug must surface as a
+        # clean hash mismatch, not a crosscheck crash — so title/field
+        # parsing sits inside the try, not just extract_document.
         try:
             _, regions = extract_document(row["html"], min_q, max_q)
+            title = parse_exam_title(regions)
+            qs = []
+            for q in parse_question_fields(regions):
+                q = dict(q)
+                q["exam_title"] = title
+                qs.append(q)
         except Exception:
             continue
-        title = parse_exam_title(regions)
-        qs = []
-        for q in parse_question_fields(regions):
-            q = dict(q)
-            q["exam_title"] = title
-            qs.append(q)
         if qs:
             out[row["url"]] = qs
     return out

@@ -50,6 +50,29 @@ def _xcheck(spark, sf_dir: str, queries, only: set[str]) -> list[str]:
             f"{sf_dir}/documents.parquet").select("doc_id").collect())
     rows = [build_document(int(i)) for i in doc_ids]
 
+    # Guard against a stale Spark-side corpus cache: the x_* queries
+    # read a parquet cache of the generated corpus (tagged by
+    # generator+assemble source), while these oracle rows come from
+    # the LIVE generator.  If a transitive dependency changed without
+    # rotating the cache tag, a mismatch here would masquerade as a
+    # query bug — so compare the html bytes for a few doc_ids first
+    # and fail with a clear attribution instead.
+    import __spark_entry__ as _entry
+    from pyspark.sql import functions as F
+    probe_urls = [row["url"] for row in rows[:3]]
+    cached = {r["url"]: r["html"] for r in _entry._corpus_from_docids(
+        spark, sf_dir, with_answer_key=True)
+        .filter(F.col("url").isin(probe_urls))
+        .select("url", "html").collect()}
+    for row in rows[:3]:
+        got = cached.get(row["url"])
+        if got is None or bytes(got) != bytes(row["html"]):
+            raise SystemExit(
+                "corpus cache STALE: Spark-side cached html differs from "
+                "the live generator for " + row["url"] + " — delete "
+                "$TMPDIR/epps_corpus_* and rerun (this is corpus skew, "
+                "not a query bug)")
+
     failures: list[str] = []
     report: dict[str, dict] = {}
     for name in names:
@@ -83,10 +106,14 @@ def _xcheck(spark, sf_dir: str, queries, only: set[str]) -> list[str]:
         report[name] = entry
     # sf0.01 is the driver-gate scale and owns the canonical artifact
     # name; other scales write a suffixed file so a 10x run can never
-    # clobber the committed sf0.01 evidence
+    # clobber the committed sf0.01 evidence.  A PARTIAL run (explicit
+    # query names on the command line) never writes the canonical
+    # artifact either — it would silently shrink the committed 9/9.
     import os
     base = os.path.basename(sf_dir.rstrip("/"))
     out = "XCHECK_X.json" if base == "sf0.01" else f"XCHECK_X_{base}.json"
+    if only and len(names) < len(X_ORACLES):
+        out = out.replace(".json", ".partial.json")
     with open(out, "w") as f:
         json.dump({"sf_dir": sf_dir, "results": report}, f, indent=1)
     return failures

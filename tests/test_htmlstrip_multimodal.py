@@ -457,8 +457,11 @@ def test_jpeg_codec_roundtrip_and_real_files():
 
 def test_jpeg_codec_scales_linearly():
     """Review regression: the bit accumulators must stay masked — an
-    unmasked acc made 512x512 decode take ~12 s (quadratic); bounded
-    here generously for slow shared hosts."""
+    unmasked acc made 512x512 decode take ~12 s (quadratic in stream
+    length).  Asserted RELATIVELY (512² vs 128² codec time, best-of-2
+    per size): linear ≈16×, quadratic ≈256×; the 80× bound separates
+    the regimes without depending on this shared VM's absolute clock.
+    """
     import time
 
     import numpy as np
@@ -467,13 +470,21 @@ def test_jpeg_codec_scales_linearly():
         decode_jpeg_gray, encode_jpeg_gray,
     )
 
-    n = 512
-    img = (np.arange(n * n, dtype=np.uint32) % 256).astype(
-        np.uint8).reshape(n, n)
-    t0 = time.perf_counter()
-    blob = encode_jpeg_gray(img)
-    decode_jpeg_gray(blob)
-    assert time.perf_counter() - t0 < 3.0
+    def codec_time(n: int) -> float:
+        img = (np.arange(n * n, dtype=np.uint32) % 256).astype(
+            np.uint8).reshape(n, n)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            blob = encode_jpeg_gray(img)
+            decode_jpeg_gray(blob)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    small, big = codec_time(128), codec_time(512)
+    assert big < 80 * max(small, 1e-3), (
+        f"512² codec {big:.3f}s vs 128² {small:.3f}s — super-linear; "
+        "check the _BitReader accumulator masking")
 
 
 def test_wav_audio_real_decode(spark):
