@@ -27,6 +27,7 @@ an explicit key).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from .textfuncs import block_text, detect_question_start, is_section_header
@@ -34,6 +35,9 @@ from .textfuncs import block_text, detect_question_start, is_section_header
 DEFAULT_PAGE_SIZE = (842.0, 1191.0)  # src/cropper/detector.py:54-55
 PREVIEW_LEN = 80                     # src/cropper/detector.py:170
 CONTINUATION_PREVIEW = "(continuation from previous page)"  # :180
+# a layout block whose entire text is a "+N" point marker
+# (src/evaluator.py:134-145 — the reference's line-final +N strip)
+_PLUS_BLOCK_RE = re.compile(r"^\+(\d+)$")
 
 
 @dataclass
@@ -67,6 +71,15 @@ class Region:
     # rule derives it from layout geometry).  Zero-area figures are
     # known-present but undescribable → V22 fires.
     figures: list = field(default_factory=list)
+    # values of standalone "+N" point-marker blocks inside the region
+    # (src/evaluator.py:134-145 strips them line-final from the
+    # passage; our layout analogue is "the whole block is the
+    # marker").  Captured here instead of entering full_text so a
+    # legitimate mid-prose "+N" in passage prose is never deleted.
+    plus_markers: list = field(default_factory=list)
+    # marker blocks swallowed from the pre-question pool — reattributed
+    # to the PREVIOUS question by the field stage, like pre_text
+    pre_plus: list = field(default_factory=list)
 
 
 def _union(bboxes: list[list[float]]) -> tuple[float, float, float, float]:
@@ -128,10 +141,13 @@ def scan_column(
     cur_pre = ""
     cur_img = cur_tbl = False
     cur_figs: list = []
+    cur_plus: list[int] = []
+    cur_pre_plus: list[int] = []
     pool: list[list[float]] = []
     pool_texts: list[str] = []
     pool_img = pool_tbl = False
     pool_figs: list = []
+    pool_plus: list[int] = []
     saw_header = False
 
     def fig_of(btype: str, bbox: list[float]) -> tuple:
@@ -143,7 +159,8 @@ def scan_column(
         out.append(Region(cur_num, page_idx, *bb, cur_text[:PREVIEW_LEN],
                           group_range=cur_group, full_text=cur_text,
                           pre_text=cur_pre, has_image=cur_img,
-                          has_table=cur_tbl, figures=cur_figs))
+                          has_table=cur_tbl, figures=cur_figs,
+                          plus_markers=cur_plus, pre_plus=cur_pre_plus))
 
     for b in blocks:
         bbox = b.get("bbox")
@@ -168,6 +185,20 @@ def scan_column(
         if is_section_header(text):
             saw_header = True
             continue
+        pm = _PLUS_BLOCK_RE.match(text.strip())
+        if pm is not None:
+            # standalone "+N" point-marker block (the layout analogue
+            # of the reference's line-final +N, src/evaluator.py:134):
+            # bbox stays part of the region; the text never enters
+            # full_text, so prose "+N" elsewhere is left untouched
+            val = int(pm.group(1))
+            if cur_num is not None:
+                cur_boxes.append(bbox)
+                cur_plus.append(val)
+            else:
+                pool.append(bbox)
+                pool_plus.append(val)
+            continue
         q_num, group_range = detect_question_start(text, min_q, max_q)
         if q_num is not None and q_num != cur_num:
             if cur_num is not None:
@@ -177,6 +208,8 @@ def scan_column(
             cur_pre = ""
             cur_img = cur_tbl = False
             cur_figs = []
+            cur_plus = []
+            cur_pre_plus = []
             if pool:
                 if not saw_header and carry_q is not None:
                     bb = _union(pool)
@@ -185,17 +218,20 @@ def scan_column(
                                       full_text=" ".join(pool_texts),
                                       has_image=pool_img,
                                       has_table=pool_tbl,
-                                      figures=pool_figs))
+                                      figures=pool_figs,
+                                      plus_markers=pool_plus))
                     cur_boxes = [bbox]
                 else:
                     cur_boxes = pool + [bbox]
                     cur_pre = " ".join(pool_texts)
                     cur_img, cur_tbl = pool_img, pool_tbl
                     cur_figs = pool_figs
+                    cur_pre_plus = pool_plus
                 pool = []
                 pool_texts = []
                 pool_img = pool_tbl = False
                 pool_figs = []
+                pool_plus = []
             else:
                 cur_boxes = [bbox]
             cur_text = text
@@ -261,6 +297,7 @@ def repair_duplicates(regions: list[Region], max_q: int) -> list[Region]:
                     group_range=r.group_range, full_text=r.full_text,
                     pre_text=r.pre_text, has_image=r.has_image,
                     has_table=r.has_table, figures=r.figures,
+                    plus_markers=r.plus_markers, pre_plus=r.pre_plus,
                 ))
                 all_nums.add(candidate)
                 break

@@ -140,12 +140,18 @@ def parse_question_fields(regions: list[Region]) -> list[dict]:
     # not question content — it feeds exam_info (A11/V1), see
     # :func:`parse_exam_title`.
     chunks: dict[int, list[str]] = {}
+    plus_by_num: dict[int, list[int]] = {}
     prev_num: int | None = None
     for r in ordered:
         if r.pre_text and prev_num is not None:
             chunks.setdefault(prev_num, []).append(r.pre_text)
+        if r.pre_plus and prev_num is not None:
+            plus_by_num.setdefault(prev_num, []).extend(r.pre_plus)
         if r.full_text:
             chunks.setdefault(r.question_number, []).append(r.full_text)
+        if r.plus_markers:
+            plus_by_num.setdefault(
+                r.question_number, []).extend(r.plus_markers)
         prev_num = r.question_number
 
     by_num: dict[int, list[Region]] = {}
@@ -165,26 +171,24 @@ def parse_question_fields(regions: list[Region]) -> list[dict]:
         # the simple, reproducible rule: everything before the choices
         # normalized, passage = None for listening positions.
         body_norm = normalize_text(body)
-        # +N point marker (parity src/evaluator.py:134-145: the
-        # reference searches \+(\d+) anywhere in the block and honors
-        # only the value 3; [3점] in the stem is the canonical form).
-        # Only STANDALONE +N tokens are stripped from the body (the
-        # planted marker is its own layout block) so an in-word "+N"
-        # in passage prose is never deleted; stripping happens BEFORE
-        # the stem/passage split so the marker can't leak into the
-        # passage (the reference strips trailing +N lines there too).
-        # DOCUMENTED DIVERGENCE: block boundaries are gone after the
-        # region text join, so a legitimate standalone "+5" token in
-        # mid-prose passage text would also be stripped here, whereas
-        # the reference removes only line-final +N inside the passage
-        # (src/evaluator.py:134-145).  The goldens pin this behavior
-        # for generator-planted corpora, where the marker is always
-        # its own block.
-        plus = _PLUS_POINTS_RE.search(body_norm)
-        plus_three = plus is not None and int(plus.group(1)) == 3
-        if plus:
-            body_norm = normalize_text(
-                _PLUS_TOKEN_RE.sub(" ", body_norm))
+        # +N point marker (parity src/evaluator.py:134-145): standalone
+        # marker BLOCKS are captured at layout-scan time into
+        # Region.plus_markers and never enter the region text — the
+        # block-granular analogue of the reference's line-final +N
+        # strip — so a legitimate mid-prose "+N" in passage prose
+        # survives byte-identically.  Detection honors the marker
+        # block first, else the first in-text \+(\d+) (the reference
+        # searches the raw block; only the value 3 is honored — [3점]
+        # in the stem is the canonical form).  Tie-break divergence
+        # (marker block AND a different-valued in-text +N in one
+        # question) is theoretical: the corpus plants at most one.
+        qplus = plus_by_num.get(num, [])
+        if qplus:
+            plus_val: int | None = qplus[0]
+        else:
+            plus = _PLUS_POINTS_RE.search(body_norm)
+            plus_val = int(plus.group(1)) if plus else None
+        plus_three = plus_val == 3
         # sub-question markers are parsed only on choice-less bodies
         # (written/workbook items, the only place the reference's
         # sub_questions field applies — src/schema.py:86); a "(1)"
@@ -265,7 +269,6 @@ def parse_exam_title(regions: list[Region]) -> str | None:
 
 
 _PLUS_POINTS_RE = re.compile(r"\+(\d+)")            # detection (ref parity)
-_PLUS_TOKEN_RE = re.compile(r"(?:(?<=\s)|^)\+\d+(?=\s|$)")  # standalone strip
 _SUB_Q_RE = re.compile(r"\((\d+)\)\s*")
 
 

@@ -234,6 +234,44 @@ def test_plus_points_marker_parity(corpus_rows):
     assert found > 0  # the generator plants the +3 dialect
 
 
+def test_mid_prose_plus_survives_extraction():
+    """Round-4 fix of the documented divergence: a legitimate
+    mid-prose '+5' in passage prose survives byte-identically (the
+    reference strips only line-final +N inside the passage,
+    src/evaluator.py:134-145; our block-granular analogue strips only
+    blocks that ARE the marker), while the standalone '+3' marker
+    block still sets points=3 and never leaks into text."""
+    import random
+
+    from exam_pdf_parser_spark.core.detector import detect_regions
+    from exam_pdf_parser_spark.core.fields import parse_question_fields
+    from exam_pdf_parser_spark.corpus.generator import _PageFlow
+
+    flow = _PageFlow(random.Random(7))
+    flow.add_block("21.다음 글을 읽고 물음에 답하시오")
+    flow.add_block(
+        "The company profit rose +5 percent this quarter while costs fell")
+    flow.add_block("+3", height=16.0)
+    flow.add_block("① one ② two ③ three ④ four ⑤ five")
+    rows = parse_question_fields(detect_regions(flow.pages))
+    (q,) = [r for r in rows if r["number"] == 21]
+    assert q["points"] == 3
+    joined = (q["question_text"] or "") + " " + (q["passage"] or "")
+    assert "+5" in joined      # mid-prose token survives verbatim
+    assert "+3" not in joined  # the marker block never enters text
+
+    # without the marker block, an in-text +5 is detected (value != 3)
+    # but points stay 2 and the text is untouched
+    flow2 = _PageFlow(random.Random(7))
+    flow2.add_block("21.다음 글을 읽고 물음에 답하시오")
+    flow2.add_block("Profit rose +5 percent overall")
+    flow2.add_block("① one ② two ③ three ④ four ⑤ five")
+    rows2 = parse_question_fields(detect_regions(flow2.pages))
+    (q2,) = [r for r in rows2 if r["number"] == 21]
+    assert q2["points"] == 2
+    assert "+5" in (q2["question_text"] or "") + " " + (q2["passage"] or "")
+
+
 def test_exam_title_matches_generator(spark_tables, corpus_rows):
     # parsed exam_title must equal the generator's planted banner
     got = {

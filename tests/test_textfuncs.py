@@ -96,17 +96,21 @@ def test_split_sub_questions():
     assert split_sub_questions("그냥 본문") == ("그냥 본문", [])
 
 
-def test_plus_points_strip_is_token_bounded():
-    from exam_pdf_parser_spark.core.fields import (
-        _PLUS_POINTS_RE, _PLUS_TOKEN_RE,
-    )
+def test_plus_marker_is_block_scoped():
+    """Round-4 parity fix (src/evaluator.py:134-145): only a block
+    that IS exactly '+N' counts as the point-marker; prose containing
+    +N is never treated as (or stripped like) a marker."""
+    from exam_pdf_parser_spark.core.detector import _PLUS_BLOCK_RE
+    from exam_pdf_parser_spark.core.fields import _PLUS_POINTS_RE
 
     # detection mirrors the reference (anywhere in the block)
     assert _PLUS_POINTS_RE.search("수익이 a+3b 올랐다").group(1) == "3"
-    # stripping removes only STANDALONE markers
-    assert _PLUS_TOKEN_RE.sub(" ", "문제 +3 지문") == "문제   지문"
-    assert _PLUS_TOKEN_RE.sub(" ", "+3 문제") == "  문제"
-    assert _PLUS_TOKEN_RE.sub(" ", "rose a+3b percent") == "rose a+3b percent"
+    # marker-block match is exact-text only
+    assert _PLUS_BLOCK_RE.match("+3")
+    assert _PLUS_BLOCK_RE.match("+12")
+    assert not _PLUS_BLOCK_RE.match("문제 +3")
+    assert not _PLUS_BLOCK_RE.match("+3 문제")
+    assert not _PLUS_BLOCK_RE.match("a+3")
 
 
 def test_strip_md_fences_reference_parity():
