@@ -59,6 +59,37 @@ EXTRACT_SCHEMA = StructType([
 ])
 
 
+def span_dicts(regions) -> list[dict]:
+    """Region list → SPAN_STRUCT dicts (shared by every extraction
+    variant so the span shape can never skew between paths)."""
+    return [
+        {
+            "question_number": r.question_number,
+            "page_idx": r.page_idx,
+            "x0": r.x0, "y0": r.y0, "x1": r.x1, "y1": r.y1,
+            "text_preview": r.text_preview,
+            "spans_page": r.spans_page,
+            "group_range": r.group_range,
+            "region_idx": r.region_idx,
+        }
+        for r in regions
+    ]
+
+
+def extract_one_row(url, html, min_q: int = 1, max_q: int = 50) -> dict:
+    """Single-document extraction row (EXTRACT_SCHEMA shape): the
+    per-doc body of :func:`extract`, shared with ``extract_auto``'s
+    router so the small-doc path is byte-identical by construction —
+    including the quarantine error string for corrupt/NULL payloads."""
+    try:
+        extracted, regions = extract_document(bytes(html), min_q, max_q)
+    except Exception as e:  # quarantine, never fail the task
+        return {"url": url, "extracted_text": None, "spans": [],
+                "status": "error", "error": f"{type(e).__name__}: {e}"[:500]}
+    return {"url": url, "extracted_text": extracted,
+            "spans": span_dicts(regions), "status": "ok", "error": None}
+
+
 def extract(documents: DataFrame, min_q: int = 1, max_q: int = 50,
             with_timing: bool = False) -> DataFrame:
     """documents(url, …, html, …) → (url, extracted_text, spans, status, error).
@@ -103,18 +134,7 @@ def extract(documents: DataFrame, min_q: int = 1, max_q: int = 50,
                     procs.append((time.perf_counter_ns() - t0) // 1000)
                     continue
                 texts.append(extracted)
-                spans.append([
-                    {
-                        "question_number": r.question_number,
-                        "page_idx": r.page_idx,
-                        "x0": r.x0, "y0": r.y0, "x1": r.x1, "y1": r.y1,
-                        "text_preview": r.text_preview,
-                        "spans_page": r.spans_page,
-                        "group_range": r.group_range,
-                        "region_idx": r.region_idx,
-                    }
-                    for r in regions
-                ])
+                spans.append(span_dicts(regions))
                 status.append("ok")
                 errors.append(None)
                 procs.append((time.perf_counter_ns() - t0) // 1000)

@@ -174,36 +174,40 @@ def extract_paged(paged: DataFrame, min_q: int = 1, max_q: int = 50) -> DataFram
 GIANT_BYTES = 100_000
 
 
+def _page_rows_of(url, blob) -> list[tuple]:
+    """One document's (url, page_idx, page_html) page rows.  A payload
+    that fails to decode is forwarded whole as its own page row — the
+    paged pipeline's stage-A quarantine then flags it (nothing is
+    dropped); a decodable zero-page payload gets one empty-marker page
+    row so the url stays alive through the paged pipeline.  Shared by
+    :func:`explode_pages` and ``extract_auto``'s router."""
+    blob = bytes(blob) if blob is not None else b""
+    try:
+        pages = decode_payload(blob)["pages"]
+    except Exception:
+        return [(url, 0, blob)]
+    if not pages:
+        return [(url, 0, encode_payload({"v": 1, "pages": []}))]
+    return [
+        (url, int(p.get("page_idx", 0)),
+         encode_payload({"v": 1, "pages": [p]}))
+        for p in pages
+    ]
+
+
 def explode_pages(documents: DataFrame) -> DataFrame:
-    """(url, html) → one PAGED_SCHEMA row per page.  A payload that
-    fails to decode is forwarded whole as its own page row — the paged
-    pipeline's stage-A quarantine then flags it (nothing is dropped)."""
+    """(url, html) → one PAGED_SCHEMA row per page (see
+    :func:`_page_rows_of` for the quarantine contract)."""
     src = documents.select("url", "html")
 
     def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             urls, idxs, payloads = [], [], []
             for url, blob in zip(pdf["url"], pdf["html"]):
-                blob = bytes(blob) if blob is not None else b""
-                try:
-                    pages = decode_payload(blob)["pages"]
-                except Exception:
-                    urls.append(url)
-                    idxs.append(0)
-                    payloads.append(blob)
-                    continue
-                if not pages:
-                    # decodable, zero pages: must still surface as an
-                    # (empty, ok) row — one marker page row keeps the
-                    # url alive through the paged pipeline
-                    urls.append(url)
-                    idxs.append(0)
-                    payloads.append(encode_payload({"v": 1, "pages": []}))
-                    continue
-                for p in pages:
-                    urls.append(url)
-                    idxs.append(int(p.get("page_idx", 0)))
-                    payloads.append(encode_payload({"v": 1, "pages": [p]}))
+                for u, idx, payload in _page_rows_of(url, blob):
+                    urls.append(u)
+                    idxs.append(idx)
+                    payloads.append(payload)
             if urls:
                 yield pd.DataFrame(
                     {"url": urls, "page_idx": idxs, "page_html": payloads})
@@ -211,42 +215,78 @@ def explode_pages(documents: DataFrame) -> DataFrame:
     return src.mapInPandas(split, PAGED_SCHEMA)
 
 
+# marker value in ROUTED_SCHEMA.status for giant-doc page rows (never
+# collides with extract()'s 'ok'/'error'/'partial')
+_PAGE_STATUS = "__page__"
+
+ROUTED_SCHEMA = StructType(
+    EXTRACT_SCHEMA.fields + [
+        StructField("page_idx", IntegerType(), True),
+        StructField("page_html", BinaryType(), True),
+    ])
+
+
 def extract_auto(documents: DataFrame, min_q: int = 1, max_q: int = 50,
                  giant_bytes: int = GIANT_BYTES) -> DataFrame:
-    """Size-routed extraction: ordinary documents take the zero-shuffle
-    whole-doc ``extract()``; documents above ``giant_bytes`` are
-    exploded to pages and take ``extract_paged`` (page-parallel decode,
-    url-regrouped detect), unioned back.  Output is byte-identical to
-    ``extract()`` either way; routing only changes WHERE a document's
-    work lands, so one 1,000-page document cannot stall a task.
+    """Size-routed extraction in a SINGLE source scan: one
+    ``mapInPandas`` router reads each document once — ordinary
+    documents are extracted in place (the zero-shuffle whole-doc path,
+    byte-identical by construction: same :func:`extract_one_row`);
+    documents above ``giant_bytes`` are exploded to page rows that
+    continue through ``extract_paged`` (page-parallel decode,
+    url-regrouped detect).  Output is byte-identical to ``extract()``
+    either way; routing only changes WHERE a document's work lands, so
+    one 1,000-page document cannot stall a task.
 
-    Scale note: the two branches are complementary FILTERS over the
-    source, so a columnar scan is read twice; the giant branch's read
-    prunes to almost nothing when the ingest table carries a size or
-    page-count column with row-group stats (Iceberg ingest should
-    persist one — binaryFile sources expose ``length`` for free).  The
-    ordinary branch pays only a JVM length() filter.
+    Scale note: the routed output is persisted (MEMORY_AND_DISK) so
+    the two consumers — finished rows and the giant-page branch —
+    share ONE materialization instead of re-scanning the source: the
+    cache holds extraction RESULTS plus the rare giant pages (a few
+    percent of input size at web scale), never the raw input table.
+    Spark evicts it LRU; callers running many jobs in one session can
+    ``spark.catalog.clearCache()`` between them.  Only the rare giant
+    pages cross the wire in the spread shuffle, and AQE coalesces the
+    exchange when no giants exist.
     """
     from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
 
-    from .extract import extract
+    from .extract import extract_one_row
 
     docs = documents.select("url", "html")
-    size = F.coalesce(F.length("html"), F.lit(0))  # NULL html → small/quarantine
-    small = docs.filter(size <= giant_bytes)
-    giant = docs.filter(size > giant_bytes)
-    # coalesce BEFORE the Python explode stage: giant docs are rare, so
-    # most giant-side tasks are empty, and every empty mapInPandas task
-    # still pays a Python-runner round trip (measured ~0.8 s over 128
-    # empty partitions).  The whole-doc zlib stream is one serial
-    # decode per giant doc anyway, so 8 tasks lose no real parallelism.
-    # Then repartition AFTER the explode: one giant doc's pages must
-    # spread across tasks (the whole point of the route); the shuffle
-    # moves only the rare giant payloads, and AQE coalesces it when
-    # empty.
-    giant_pages = explode_pages(giant.coalesce(8)).repartition(
-        "url", "page_idx")
-    return (
-        extract(small, min_q, max_q)
-        .unionByName(extract_paged(giant_pages, min_q, max_q))
-    )
+    cols = [f.name for f in ROUTED_SCHEMA.fields]
+
+    def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                size = len(blob) if blob is not None else 0
+                if size <= giant_bytes:
+                    r = extract_one_row(url, blob, min_q, max_q)
+                    r["page_idx"] = None
+                    r["page_html"] = None
+                    rows.append(r)
+                else:
+                    for u, idx, payload in _page_rows_of(url, blob):
+                        rows.append({
+                            "url": u, "extracted_text": None, "spans": [],
+                            "status": _PAGE_STATUS, "error": None,
+                            "page_idx": idx, "page_html": payload,
+                        })
+            if rows:
+                out = pd.DataFrame(rows, columns=cols)
+                # nullable Int32 so Arrow sees int32-with-nulls, not
+                # float64 (page_idx is None on every finished row)
+                out["page_idx"] = pd.array(out["page_idx"], dtype="Int32")
+                yield out
+
+    routed = docs.mapInPandas(route, ROUTED_SCHEMA).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    done = routed.filter(F.col("status") != _PAGE_STATUS).select(
+        *[f.name for f in EXTRACT_SCHEMA.fields])
+    # repartition AFTER the router: one giant doc's pages must spread
+    # across tasks (the whole point of the route); the shuffle moves
+    # only the rare giant payloads
+    giant_pages = routed.filter(F.col("status") == _PAGE_STATUS).select(
+        "url", "page_idx", "page_html").repartition("url", "page_idx")
+    return done.unionByName(extract_paged(giant_pages, min_q, max_q))
