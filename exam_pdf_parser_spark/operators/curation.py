@@ -91,7 +91,8 @@ def curate(
 
 
 def budget_sample(documents: DataFrame, budget_tokens: int,
-                  by: str = "lang") -> DataFrame:
+                  by: str = "lang",
+                  durable_pin: str | None = None) -> DataFrame:
     """Deterministic greedy mixer: per ``by`` group, rank docs by
     (uniq_ratio desc, doc_id asc) and keep the prefix whose running
     token total stays within ``budget_tokens``.  Prefix semantics —
@@ -109,12 +110,16 @@ def budget_sample(documents: DataFrame, budget_tokens: int,
     sums.  The sorted frame is localCheckpoint'd between the passes so
     the sampled range boundaries cannot shift under recomputation.
 
-    Fault-tolerance note: ``localCheckpoint`` blocks live on executors
-    only — on a real cluster an executor loss discards them and FAILS
-    the job (fail-loud, never silently-wrong boundaries).  For long
-    cluster deployments, replace the pin with a reliable stage:
-    ``ordered.write.parquet(tmp)`` + re-read, which survives executor
-    loss at the cost of one durable write.
+    Fault tolerance: by default the sorted frame is pinned with
+    ``localCheckpoint`` — blocks live on executors only, so on a real
+    cluster an executor loss discards them and FAILS the job
+    (fail-loud, never silently-wrong boundaries).  For long cluster
+    runs pass ``durable_pin=<path>``: the sorted frame is written to
+    parquet there (with its partition ids) and re-read, so an executor
+    loss RESUMES from the durable copy instead of restarting a 100 TB
+    mixer from zero.  Cost: one durable write plus one pid-keyed
+    shuffle on re-read (all rows of a sorted partition must land whole
+    in one task again); output is identical to the in-memory pin.
     """
     from collections.abc import Iterator
 
@@ -122,12 +127,24 @@ def budget_sample(documents: DataFrame, budget_tokens: int,
 
     d = _with_stats(documents)
     sort_keys = [F.col(by), F.desc("uniq_ratio"), F.asc("doc_id")]
-    ordered = (
+    sorted_frame = (
         d.repartitionByRange(*sort_keys)
         .sortWithinPartitions(*sort_keys)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
     )
+    if durable_pin is None:
+        ordered = sorted_frame.localCheckpoint(eager=False)
+    else:
+        sorted_frame.write.mode("overwrite").parquet(durable_pin)
+        # re-read: a read task may hold several (whole) pids or split
+        # one pid's file, so re-gather each pid into one task and
+        # restore its row order — deterministic because (by, uniq
+        # desc, doc_id) totally orders rows within a pid
+        ordered = (
+            documents.sparkSession.read.parquet(durable_pin)
+            .repartition("_pid")
+            .sortWithinPartitions("_pid", *sort_keys)
+        )
 
     part_sums = (
         ordered.groupBy("_pid", by)
@@ -138,11 +155,14 @@ def budget_sample(documents: DataFrame, budget_tokens: int,
     # which would give null-keyed rows NaN running sums and silently
     # filter them out downstream
     NULLKEY = "\x00<null>"
-    offsets: dict[tuple[int, str], int] = {}
+    # composite "pid\x01group" string keys: vectorized to build in the
+    # cumsum pass, and they keep that pass correct even when one task
+    # holds SEVERAL whole pids (the durable re-read path)
+    offsets: dict[str, int] = {}
     running: dict[str, int] = {}
     for r in sorted(part_sums, key=lambda r: r["_pid"]):
         key = r[by] if r[by] is not None else NULLKEY
-        offsets[(r["_pid"], key)] = running.get(key, 0)
+        offsets[f"{r['_pid']}\x01{key}"] = running.get(key, 0)
         running[key] = running.get(key, 0) + (r["t"] or 0)
     bc = documents.sparkSession.sparkContext.broadcast(offsets)
 
@@ -150,20 +170,22 @@ def budget_sample(documents: DataFrame, budget_tokens: int,
     cols = [f.name for f in out_schema.fields]
 
     def cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # one partition per call; running state spans its batches.
-        # Vectorized: per-batch groupby cumsum + a per-group base offset
+        # running state spans one task's batches.  Vectorized:
+        # per-batch groupby cumsum + a per-(pid, group) base offset
         # (partition offset from pass 1, plus the running total carried
-        # from this partition's earlier batches) — no per-row loop.
+        # from this task's earlier batches) — no per-row loop.  Keyed
+        # by (pid, group) rather than group alone so a task holding
+        # multiple whole pids (durable-pin re-read) stays exact.
         carry: dict[str, int] = {}
         off = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            pid = int(pdf["_pid"].iloc[0])
-            gk = pdf[by].fillna(NULLKEY)   # pandas groupby drops NaN keys
+            gk = (pdf["_pid"].astype("int64").astype(str) + "\x01"
+                  + pdf[by].fillna(NULLKEY))  # groupby drops NaN keys
             toks = pdf["tokens"].astype("int64")
             cums = toks.groupby(gk, sort=False).cumsum()
-            bases = {g: carry.get(g, off.get((pid, g), 0))
+            bases = {g: carry.get(g, off.get(g, 0))
                      for g in gk.unique()}   # per-GROUP, not per-row
             cums = cums + gk.map(bases).astype("int64")
             ends = cums.groupby(gk, sort=False).max()

@@ -85,6 +85,24 @@ def test_budget_sample_deterministic_across_partitionings(spark, docs):
     assert a == b
 
 
+def test_budget_sample_durable_pin_identical(spark, docs, tmp_path):
+    """Round-4 ask: the opt-in durable boundary pin (parquet write +
+    pid-regathered re-read) must produce output identical to the
+    default localCheckpoint pin — including per-row cum_tokens — so an
+    executor loss can resume a mixer run without changing the sample."""
+    mem = sorted((r["lang"], r["doc_id"], r["cum_tokens"]) for r in
+                 budget_sample(docs, 3000).collect())
+    dur = sorted((r["lang"], r["doc_id"], r["cum_tokens"]) for r in
+                 budget_sample(docs, 3000,
+                               durable_pin=str(tmp_path / "pin")).collect())
+    assert mem == dur
+    # the pin really is on disk (resumable) and carries the pids
+    import pyarrow.parquet as pq
+    files = list((tmp_path / "pin").glob("*.parquet"))
+    assert files
+    assert "_pid" in pq.read_schema(str(files[0])).names
+
+
 def test_curate_null_text_and_duplicate_ids(spark):
     """NULL text is a quality drop (never 'duplicate'); non-unique
     doc_ids still yield exactly one keeper per identical-text group."""
