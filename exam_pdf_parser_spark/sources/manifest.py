@@ -23,6 +23,7 @@ Layout:
 from __future__ import annotations
 
 import os
+import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,6 +55,46 @@ def completed_buckets(spark: SparkSession, out_dir: str) -> list[int]:
         for r in mdf.filter(F.col("status") == "done")
         .select("bucket").distinct().collect()
     ]
+
+
+def _commit_manifest(out_dir: str, run_id: str, rows: list[tuple]) -> None:
+    """Atomic all-or-nothing manifest append: ONE parquet file per
+    run, written under a dot-prefixed temp name (invisible to Spark /
+    Hadoop readers) and ``os.rename``'d into place — atomic within a
+    POSIX directory.  Readers therefore see either every bucket row of
+    this run or none of them, and because the rename happens strictly
+    after the data write returned, a killed run can never mark a
+    bucket done without its data.  Concurrent writers each commit
+    their own uniquely-named file; duplicate done-rows for a bucket
+    are harmless (``completed_buckets`` is a distinct filter).
+
+    Object-store note: S3-style stores lack atomic rename — there,
+    commit through a transactional table format instead (an Iceberg
+    append of the same rows is a single atomic snapshot).
+    """
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mdir = os.path.join(out_dir, "manifest")
+    os.makedirs(mdir, exist_ok=True)
+    schema = pa.schema([
+        ("run_id", pa.string()), ("bucket", pa.int32()),
+        ("status", pa.string()), ("rows_out", pa.int64()),
+        ("docs_in", pa.int64()), ("errors", pa.int64()),
+        ("wall_ms", pa.int64()), ("cpu_ms", pa.int64()),
+        ("docs_per_cpu_sec", pa.float64()),
+    ])
+    table = pa.table(
+        {f.name: [r[i] for r in rows]
+         for i, f in enumerate(schema)}, schema=schema)
+    token = uuid.uuid4().hex[:12]
+    safe_run = re.sub(r"[^A-Za-z0-9_.-]", "_", run_id)[:64]
+    tmp = os.path.join(mdir, f".tmp-{token}.parquet")
+    final = os.path.join(mdir, f"part-{safe_run}-{token}.parquet")
+    pq.write_table(table, tmp)
+    os.rename(tmp, final)
 
 
 def run_extraction(
@@ -135,8 +176,7 @@ def run_extraction(
 
     manifest_rows = [row(b) for b in pending_buckets]
     if manifest_rows:
-        spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA).write.mode(
-            "append").parquet(os.path.join(out_dir, "manifest"))
+        _commit_manifest(out_dir, run_id, manifest_rows)
 
     return {
         "run_id": run_id,

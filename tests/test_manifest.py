@@ -71,6 +71,80 @@ def test_resume_after_partial_failure(spark, out_dir):
     assert full["buckets_processed"] == len(buckets)
 
 
+def test_killed_run_never_marks_done_without_data(spark, out_dir,
+                                                  monkeypatch):
+    """Round-4 ask: the manifest commit is a single temp-file +
+    atomic-rename — a run killed mid-commit leaves NO visible manifest
+    row (only an invisible dot-temp), so no bucket can be marked done
+    without its data, and the next run resumes everything cleanly."""
+    import os
+
+    import exam_pdf_parser_spark.sources.manifest as mf
+
+    docs = corpus_df(spark, N_DOCS, partitions=4)
+    real_rename = os.rename
+
+    def killed_rename(src, dst):
+        if "manifest" in str(dst):
+            raise OSError("simulated kill mid manifest commit")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(mf.os, "rename", killed_rename)
+    with pytest.raises(OSError, match="simulated kill"):
+        run_extraction(spark, docs, out_dir, "killed", n_buckets=N_BUCKETS)
+    monkeypatch.undo()
+
+    # data was written, but not one bucket is marked done...
+    assert completed_buckets(spark, out_dir) == []
+    mdir = f"{out_dir}/manifest"
+    visible = [f for f in os.listdir(mdir)
+               if not f.startswith((".", "_"))] if os.path.isdir(mdir) else []
+    assert visible == []        # only the dot-temp remains
+
+    # ...and a clean rerun processes every bucket and lands consistent
+    s = run_extraction(spark, docs, out_dir, "retry", n_buckets=N_BUCKETS)
+    assert s["buckets_processed"] > 0 and s["buckets_skipped"] == 0
+    assert sorted(completed_buckets(spark, out_dir)) == sorted(
+        r["bucket"] for r in spark.read.parquet(f"{out_dir}/extracted")
+        .select("bucket").distinct().collect())
+
+
+def test_two_writer_manifest_consistency(spark, out_dir):
+    """A stale second writer (computed its pending set before the
+    first writer committed) double-commits done-rows for the same
+    buckets.  The manifest must stay consistent: each committed file
+    is whole, completed_buckets is a distinct set, and a subsequent
+    resume processes nothing and changes nothing."""
+    from exam_pdf_parser_spark.sources.manifest import _commit_manifest
+
+    docs = corpus_df(spark, N_DOCS, partitions=4)
+    s1 = run_extraction(spark, docs, out_dir, "writerA", n_buckets=N_BUCKETS)
+    done = sorted(completed_buckets(spark, out_dir))
+    before = (spark.read.parquet(f"{out_dir}/extracted")
+              .select("url", "extracted_text").orderBy("url").collect())
+
+    # writer B raced: it saw an empty manifest, (re)wrote the same
+    # deterministic bucket data, and now commits its own done-rows
+    _commit_manifest(out_dir, "writerB",
+                     [("writerB", b, "done", 0, 0, 0, 1, 0, 0.0)
+                      for b in done])
+
+    assert sorted(completed_buckets(spark, out_dir)) == done  # distinct
+    mdf = spark.read.parquet(f"{out_dir}/manifest")
+    assert mdf.count() == 2 * len(done)       # both commits whole
+    assert {r["run_id"] for r in
+            mdf.select("run_id").distinct().collect()} == \
+        {"writerA", "writerB"}
+
+    s3 = run_extraction(spark, docs, out_dir, "resume", n_buckets=N_BUCKETS)
+    assert s3["buckets_processed"] == 0
+    assert s3["buckets_skipped"] == len(done)
+    after = (spark.read.parquet(f"{out_dir}/extracted")
+             .select("url", "extracted_text").orderBy("url").collect())
+    assert after == before
+    assert s1["buckets_processed"] == len(done)
+
+
 def test_bucketing_is_deterministic(spark):
     docs = corpus_df(spark, 20, partitions=2)
     a = {r["url"]: r["bucket"]
