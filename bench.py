@@ -9,6 +9,12 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 The extraction block reports docs/sec (the BASELINE.json headline
 metric).  Scaling evidence (local[8] vs local[32]) is produced by
 scripts/scaling_bench.py, not here.
+
+Methodology (round 4): every query and both extraction passes are
+timed best-of-N (N = $SPARK_GRAFT_BENCH_REPS, default 3) in one warm
+session; the min is the headline and the full runs list is emitted
+(``query_runs`` / ``runs_sec``) so shared-VM noise is visible and
+round-over-round drift is attributable.  See BASELINE.md §variance.
 """
 
 from __future__ import annotations
@@ -94,15 +100,27 @@ def main() -> None:
     # plan, not process spin-up
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # Per-query best-of-N (round-4 methodology): each query is timed
+    # REPS times back-to-back in the same warm session and the MIN is
+    # reported — min is the low-noise estimator on a shared VM (host
+    # contention only ever adds time).  The full runs list is emitted
+    # too, so round-over-round drift is attributable: a real
+    # regression moves the min; host noise only widens the spread.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    runs_all: dict[str, list[float]] = {}
     total = 0.0
     n_docs = 0
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        cnt = qmap[name](spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        runs: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            cnt = qmap[name](spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        best = min(runs)
+        timings[name] = round(best, 3)
+        runs_all[name] = [round(r, 3) for r in runs]
+        total += best
         if name == "x_extract_spans":
             n_spans = cnt
     # extraction throughput on its own (docs/sec headline).  The corpus
@@ -120,9 +138,12 @@ def main() -> None:
         int(cpus) * 4).persist()
     n_docs = docs_df.count()
     extract(docs_df).select(F.count("*")).collect()  # warm pass
-    t0 = time.perf_counter()
-    extract(docs_df).select(F.count("*")).collect()
-    extract_sec = time.perf_counter() - t0
+    extract_runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        extract(docs_df).select(F.count("*")).collect()
+        extract_runs.append(time.perf_counter() - t0)
+    extract_sec = min(extract_runs)
     docs_df.unpersist()
 
     # Frozen-corpus extraction: the SAME extraction code over the
@@ -133,9 +154,12 @@ def main() -> None:
         int(cpus) * 4).persist()
     n_frozen = frozen_df.count()
     extract(frozen_df).select(F.count("*")).collect()  # warm pass
-    t0 = time.perf_counter()
-    extract(frozen_df).select(F.count("*")).collect()
-    frozen_sec = time.perf_counter() - t0
+    frozen_runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        extract(frozen_df).select(F.count("*")).collect()
+        frozen_runs.append(time.perf_counter() - t0)
+    frozen_sec = min(frozen_runs)
     frozen_df.unpersist()
 
     print(json.dumps({
@@ -143,17 +167,21 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "query_runs": runs_all,
+        "reps": reps,
         "sf": sf,
         "extraction": {
             "docs": n_docs,
             "wall_sec": round(extract_sec, 3),
             "docs_per_sec": round(n_docs / extract_sec, 2),
+            "runs_sec": [round(r, 3) for r in extract_runs],
             "spans": n_spans,
         },
         "extraction_frozen_r02_corpus": {
             "docs": n_frozen,
             "wall_sec": round(frozen_sec, 3),
             "docs_per_sec": round(n_frozen / frozen_sec, 2),
+            "runs_sec": [round(r, 3) for r in frozen_runs],
         },
     }))
     spark.stop()
