@@ -377,19 +377,106 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
-                         dst: str = "doc_b", max_iter: int = 50) -> DataFrame:
+                         dst: str = "doc_b", max_iter: int = 50,
+                         method: str = "star") -> DataFrame:
     """Transitive closure over a near-dup pair graph → cluster ids.
 
     Production dedup keeps ONE document per connected component of the
     similarity graph; pairs alone under-merge (A~B, B~C must collapse
-    to one cluster).  Min-label propagation: every node repeatedly
-    adopts the smallest id among itself and its neighbors until a
-    fixpoint — O(diameter) iterative joins, each a hash shuffle on the
-    node id; localCheckpoint every iteration truncates the lineage so
-    plans stay flat at scale.  Deterministic (min is order-free).
+    to one cluster).  Returns (node, component) with component = min
+    node id reachable.  Deterministic (min is order-free).
 
-    Returns (node, component) with component = min node id reachable.
+    ``method="star"`` (default): alternating large-star / small-star
+    contraction (Kiveris et al., *Connected Components in MapReduce
+    and Beyond*, SoCC'14) — converges in O(log² n) rounds INDEPENDENT
+    of graph diameter, so a 100 TB near-dup graph with long chained
+    template pages (diameter ≫ 50) still finishes; each round is two
+    self-join+groupBy shuffles on node ids, localCheckpoint'd so plans
+    stay flat.
+
+    ``method="propagate"``: round-3 min-label propagation — O(diameter)
+    rounds; kept as the independent parity twin for tests.
+
+    Both fail loudly past ``max_iter`` rather than returning partial
+    labels (phantom clusters with zero keepers downstream).
     """
+    if method == "propagate":
+        return _cc_propagate(pairs, src, dst, max_iter)
+    if method != "star":
+        raise ValueError(f"unknown connected-components method {method!r}")
+
+    edges0 = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = (
+        pairs.select(F.col(src).alias("node"))
+        .unionAll(pairs.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = edges0.localCheckpoint(eager=True)
+    converged = False
+    for _ in range(max_iter):
+        # large-star: every node links its LARGER neighbors to the
+        # minimum of its closed neighborhood
+        sym = edges.unionAll(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        lmin = (
+            sym.groupBy("a").agg(F.min("b").alias("mnb"))
+            .select("a", F.least(F.col("a"), F.col("mnb")).alias("m"))
+        )
+        ls = (
+            sym.filter(F.col("b") > F.col("a"))
+            .join(lmin, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: orient larger→smaller (large-star output already
+        # is), link every smaller neighbor and the node itself to the
+        # minimum neighbor
+        smin = ls.groupBy("a").agg(F.min("b").alias("m"))
+        ss_child = (
+            ls.join(smin, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        ss_self = smin.select(F.col("a"), F.col("m").alias("b"))
+        new_edges = (ss_child.unionAll(ss_self).distinct()
+                     .localCheckpoint(eager=True))
+        # fixpoint = identical edge set (cheap count gate, then exact
+        # exceptAll confirm — runs once, at convergence)
+        if (new_edges.count() == edges.count()
+                and new_edges.exceptAll(edges).limit(1).count() == 0):
+            edges = new_edges
+            converged = True
+            break
+        edges = new_edges
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(star) did not converge within "
+            f"{max_iter} rounds; raise max_iter")
+    # fixpoint is a forest of stars: every non-root points at its
+    # component min, roots have no outgoing edge → label themselves
+    labels = (
+        nodes.join(
+            edges.groupBy(F.col("a").alias("node"))
+            .agg(F.min("b").alias("comp")),
+            "node", "left_outer")
+        .select("node",
+                F.coalesce("comp", F.col("node")).alias("component"))
+    )
+    return labels
+
+
+def _cc_propagate(pairs: DataFrame, src: str = "doc_a",
+                  dst: str = "doc_b", max_iter: int = 50) -> DataFrame:
+    """Min-label propagation twin (O(diameter) shuffle rounds): every
+    node repeatedly adopts the smallest id among itself and its
+    neighbors until a fixpoint.  Used as the independent parity check
+    for the star contraction."""
     F_ = F
     edges = (
         pairs.select(F_.col(src).alias("a"), F_.col(dst).alias("b"))

@@ -38,6 +38,47 @@ def test_long_chain_converges(spark):
     assert comp.count() == n + 1
 
 
+def test_star_matches_propagation_on_planted_graphs(spark):
+    """Round-4 ask: the default large-star/small-star contraction must
+    label exactly like the independent min-label propagation twin on
+    planted graphs (chains, stars, cliques, forests, random)."""
+    import random
+
+    rng = random.Random(404)
+    graphs = [
+        [(i, i + 1) for i in range(12)],                   # chain
+        [(0, i) for i in range(1, 9)],                     # star
+        [(i, j) for i in range(6) for j in range(i)],      # clique
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)],    # forest
+        [(rng.randrange(40), rng.randrange(40)) for _ in range(60)],
+    ]
+    for g in graphs:
+        g = [(a, b) for a, b in g if a != b]
+        pairs = spark.createDataFrame(g, "doc_a long, doc_b long")
+        star = {r["node"]: r["component"] for r in
+                connected_components(pairs, method="star").collect()}
+        prop = {r["node"]: r["component"] for r in
+                connected_components(pairs, method="propagate").collect()}
+        assert star == prop, g
+
+
+def test_star_converges_sublinearly_on_deep_chain(spark):
+    """A diameter-200 chain must converge in ~log rounds: star
+    contraction finishes within 15 rounds where propagation needs
+    ~200 (and correctly fails loudly at the same budget)."""
+    import pytest
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long")
+    comp = connected_components(pairs, max_iter=15, method="star")
+    rows = comp.collect()
+    assert len(rows) == n + 1
+    assert {r["component"] for r in rows} == {0}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=15, method="propagate")
+
+
 def test_end_to_end_with_minhash_pairs(spark):
     # real pipeline shape: LSH pairs from the documents table → clusters
     from exam_pdf_parser_spark.operators.dedupe import minhash_lsh_pairs
