@@ -291,9 +291,79 @@ def cosine_topk_pandas(
         F.col("rk") <= k)
 
 
+def _bucket_candidate_pairs(sigs: DataFrame,
+                            bucket_cap: int | None) -> DataFrame:
+    """(vec_id, table, bucket) signatures → distinct candidate id
+    pairs sharing any (table, bucket) key.
+
+    ``bucket_cap=None``: plain self equi-join — a bucket of size m
+    generates its m² joined rows inside ONE task per table.
+    Otherwise, buckets above the cap are split into a g×g salted
+    block grid (g = ceil(m/cap)): side A fixes block ba =
+    xxhash64(vec_a) % g and replicates across the g values of bb,
+    side B symmetrically, so every pair still meets in exactly one
+    (ba, bb) block and per-task join work is bounded by ~cap²
+    regardless of bucket size.  Output is identical either way
+    (asserted in pytest); the hot-bucket list is a tiny broadcast.
+    The TOTAL candidate volume of a hot bucket stays quadratic by
+    definition — the guard bounds task granularity so no straggler /
+    OOM task forms; when all-pairs output itself is the problem,
+    dedup should consume clusters (``semantic_dedup``), not pairs.
+    """
+    a = sigs.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
+    b = sigs.select(F.col("vec_id").alias("vec_b"), "table", "bucket")
+    if bucket_cap is None:
+        return (
+            a.join(b, ["table", "bucket"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
+    hot = (
+        sigs.groupBy("table", "bucket").count()
+        .filter(F.col("count") > bucket_cap)
+        .select("table", "bucket",
+                F.ceil(F.col("count") / bucket_cap).cast("int").alias("g"))
+    )
+    ga = (
+        a.join(F.broadcast(hot), ["table", "bucket"], "left")
+        .withColumn("g", F.coalesce("g", F.lit(1)))
+        .withColumn("ba", F.pmod(F.xxhash64("vec_a"), F.col("g"))
+                    .cast("int"))
+        .withColumn("bb", F.explode(F.sequence(F.lit(0), F.col("g") - 1)))
+    )
+    gb = (
+        b.join(F.broadcast(hot), ["table", "bucket"], "left")
+        .withColumn("g", F.coalesce("g", F.lit(1)))
+        .withColumn("bb", F.pmod(F.xxhash64("vec_b"), F.col("g"))
+                    .cast("int"))
+        .withColumn("ba", F.explode(F.sequence(F.lit(0), F.col("g") - 1)))
+    )
+    # Explicit-NUMBER co-partitioning on the full block key: the join
+    # INPUTS are tiny id rows, so AQE's size-based coalescing would
+    # otherwise fuse the whole grid back into one or two partitions —
+    # it cannot see that the join OUTPUT explodes quadratically.  A
+    # numbered repartition is exempt from AQE coalescing, and matching
+    # (keys, numPartitions) on both sides satisfies the join's
+    # distribution requirement with no further exchange, so the
+    # per-block bound survives into the executed plan (A/B-measured in
+    # scripts/hot_bucket_bench.py).
+    n_parts = sigs.sparkSession.sparkContext.defaultParallelism * 4
+    key = ["table", "bucket", "ba", "bb"]
+    ga = ga.repartition(n_parts, *key)
+    gb = gb.repartition(n_parts, *key)
+    return (
+        ga.join(gb, key)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
 def embedding_near_pairs_lsh(
     embeddings: DataFrame, threshold: float = 0.8,
     n_planes: int = 8, n_tables: int = 8, seed: int = 7,
+    bucket_cap: int | None = 5000,
 ) -> DataFrame:
     """Scale path for thresholded near-dup PAIR generation — replaces
     the exact tier's all-pairs theta join (`embedding_near_dups`) with
@@ -308,6 +378,19 @@ def embedding_near_pairs_lsh(
     exact (every emitted pair passes the true cosine test); recall
     rises with ``n_tables`` — the pytest recall gate plants clustered
     near-dups and requires ≥ 0.95 vs the exact tier.
+
+    Hot-bucket skew (round 4): a near-duplicate-heavy crawl can put a
+    large fraction of vectors into ONE (table, bucket) key, and the
+    self-join then goes quadratic inside a single task.  Buckets
+    larger than ``bucket_cap`` are therefore split into a g×g salted
+    block grid (g = ceil(size/cap)): side A is salted by
+    xxhash64(vec_a) and replicated across the g B-blocks, side B
+    symmetrically, so every pair still meets in exactly one block and
+    per-task join work is bounded by cap² REGARDLESS of bucket size —
+    output is identical to the unsalted join (asserted in pytest),
+    only its placement changes.  The hot-bucket list itself is a tiny
+    broadcast (one row per over-cap bucket).  ``bucket_cap=None``
+    disables the guard (kept for the A/B bench).
 
     Returns (vec_a, vec_b, cosine) with cosine ≥ threshold.
     """
@@ -347,14 +430,7 @@ def embedding_near_pairs_lsh(
 
     sigs = embeddings.select("vec_id", "embedding").mapInPandas(
         sig, sig_schema)
-    a = sigs.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
-    b = sigs.select(F.col("vec_id").alias("vec_b"), "table", "bucket")
-    cands = (
-        a.join(b, ["table", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
+    cands = _bucket_candidate_pairs(sigs, bucket_cap)
     ea = embeddings.select(F.col("vec_id").alias("vec_a"),
                            F.col("embedding").alias("emb_a"))
     eb = embeddings.select(F.col("vec_id").alias("vec_b"),
@@ -467,7 +543,14 @@ def lsh_bucketed_topk(
             *[F.expr(f"bucket ^ {1 << i}") for i in range(n_planes)],
         )).alias("bucket"),
     )
-    joined = probes.join(corpus_sig, ["table", "bucket"])  # AQE handles skew
+    # Broadcast the PROBE side (queries ≪ corpus is the top-k search
+    # contract: queries × tables × (1 + n_planes) rows).  The corpus
+    # then never shuffles on the bucket key at all — a hot bucket
+    # (near-duplicate-heavy crawl) stays spread across whatever
+    # partitions already hold it, so bucket skew cannot create a
+    # straggler task; candidate rows re-spread downstream on the
+    # (query, neighbor) hash of the groupBy.
+    joined = F.broadcast(probes).join(corpus_sig, ["table", "bucket"])
 
     def _dot(a, b):
         return F.aggregate(

@@ -92,6 +92,57 @@ def test_lsh_pair_bucket_join_carries_ids_only(spark):
         assert not ("bucket" in line and "emb_a" in line), line
 
 
+def _hot_bucket_corpus(n=1200, hot_frac=0.3, dim=32, seed=11):
+    """~30% of vectors are near-identical → they share one
+    (table, bucket) sign pattern in EVERY LSH table (the adversarial
+    near-duplicate-heavy crawl)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n_hot = int(n * hot_frac)
+    base = rng.standard_normal(dim)
+    hot = base + 0.02 * rng.standard_normal((n_hot, dim))
+    rest = rng.standard_normal((n - n_hot, dim))
+    return np.vstack([hot, rest]), n_hot
+
+
+def test_hot_bucket_cap_drops_no_pairs(spark):
+    """Round-4 top ask: on a corpus with ~30% of vectors in one LSH
+    bucket, the g×g block-grid guard must change only WHERE the join
+    work runs — the emitted pair set is identical to the unguarded
+    join (no drops, no extras), with the guard genuinely engaged."""
+    from exam_pdf_parser_spark.operators.similarity import (
+        embedding_near_pairs_lsh,
+    )
+
+    mat, n_hot = _hot_bucket_corpus()
+    cap = 100
+    assert n_hot > 3 * cap          # hot bucket far beyond the cap
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(len(mat))],
+        "vec_id: long, embedding: array<float>").persist()
+
+    capped = {(r["vec_a"], r["vec_b"]) for r in embedding_near_pairs_lsh(
+        df, threshold=0.9, bucket_cap=cap).collect()}
+    uncapped = {(r["vec_a"], r["vec_b"]) for r in embedding_near_pairs_lsh(
+        df, threshold=0.9, bucket_cap=None).collect()}
+    df.unpersist()
+    assert len(uncapped) >= n_hot * (n_hot - 1) // 4   # hot cluster found
+    assert capped == uncapped
+
+
+def test_lsh_topk_broadcasts_probes_no_corpus_bucket_shuffle(spark):
+    """Round-4 top ask: the top-k bucket join must broadcast the probe
+    side — the corpus never shuffles on the (skewable) bucket key, so
+    a hot bucket cannot create a straggler task."""
+    emb = load(spark, SF, "embeddings")
+    queries = emb.filter("vec_id < 5")
+    plan = lsh_bucketed_topk(
+        emb, queries, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(table" not in plan
+
+
 def test_ivf_recall_against_brute_force(spark):
     from exam_pdf_parser_spark.operators.similarity import ivf_topk
 
