@@ -1,0 +1,142 @@
+"""Minimal MJPEG-in-AVI container codec (stdlib only).
+
+The sandbox has no video libraries, but an AVI carrying Motion-JPEG is
+fully decodable with what the repo already ships: this module walks
+the RIFF container (reference for the layout: the public AVI RIFF
+spec — 'RIFF…AVI ' → LIST hdrl (avih / strl) → LIST movi with
+``00dc``/``00db`` frame chunks, word-aligned) and hands each frame's
+JPEG bytes to ``core/jpeg.py``.  The encoder writes the same shape so
+round-trips are self-contained.
+
+Deliberately tolerant on decode (real muxers vary): meta comes from
+the first ``avih`` chunk found; frames are any ``..dc``/``..db``
+sub-chunk of any ``movi`` list, in file order; the optional ``idx1``
+index is ignored.  Anything structurally unsound raises ``ValueError``
+— Spark stages quarantine per payload.
+"""
+
+from __future__ import annotations
+
+import struct
+
+AVI_RIFF_SIG = b"RIFF"
+AVI_FORM = b"AVI "
+
+
+def _chunks(buf: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_size) over a chunk run,
+    honoring word alignment."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc = buf[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        body = pos + 8
+        if body + size > end:
+            # truncated / corrupt-length final chunk: expose only what
+            # lies inside the enclosing scope
+            size = max(0, end - body)
+        yield fourcc, body, size
+        pos = body + size + (size & 1)
+
+
+def decode_avi(payload: bytes) -> tuple[list[bytes], dict]:
+    """AVI bytes → (frame payloads in file order, header meta).
+
+    Meta keys: width, height, n_frames (from ``avih``; n_frames falls
+    back to the counted movi chunks when the header lies or is 0),
+    us_per_frame, handler (the strh fccHandler, e.g. ``b'MJPG'``).
+    """
+    if payload[:4] != AVI_RIFF_SIG or payload[8:12] != AVI_FORM:
+        raise ValueError("not a RIFF/AVI payload")
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    end = min(len(payload), 8 + riff_size)
+
+    meta = {"width": None, "height": None, "n_frames": 0,
+            "us_per_frame": None, "handler": None}
+    frames: list[bytes] = []
+
+    def walk(start: int, stop: int) -> None:
+        for fourcc, body, size in _chunks(payload, start, stop):
+            if fourcc == b"LIST":
+                list_type = payload[body:body + 4]
+                if list_type in (b"hdrl", b"strl", b"movi", b"rec "):
+                    walk(body + 4, body + size)
+            elif fourcc == b"avih" and size >= 40:
+                (uspf, _, _, _, total, _, _, _, w, h) = struct.unpack_from(
+                    "<10I", payload, body)
+                meta.update(width=int(w), height=int(h),
+                            n_frames=int(total), us_per_frame=int(uspf))
+            elif fourcc == b"strh" and size >= 8:
+                if payload[body:body + 4] == b"vids":
+                    meta["handler"] = payload[body + 4:body + 8]
+            elif fourcc[2:4] in (b"dc", b"db") and size > 0:
+                frames.append(payload[body:body + size])
+
+    walk(12, end)
+    if meta["width"] is None:
+        raise ValueError("AVI without avih header")
+    if not frames:
+        raise ValueError("AVI with no video frame chunks")
+    if not meta["n_frames"]:
+        meta["n_frames"] = len(frames)
+    return frames, meta
+
+
+def avi_meta(payload: bytes) -> dict | None:
+    """Header-only dims probe (for ``parse_meta``): cheap avih scan,
+    no frame collection.  Returns None when not an AVI."""
+    if payload[:4] != AVI_RIFF_SIG or payload[8:12] != AVI_FORM:
+        return None
+    try:
+        # avih always lives in the first hdrl LIST near the file head —
+        # a bounded scan keeps this O(1) even for multi-GB payloads
+        head = payload[:4096]
+        idx = head.find(b"avih")
+        if idx < 0 or idx + 48 > len(head):
+            return None
+        (_, _, _, _, total, _, _, _, w, h) = struct.unpack_from(
+            "<10I", head, idx + 8)
+        return {"width": int(w), "height": int(h), "n_frames": int(total)}
+    except struct.error:
+        return None
+
+
+def encode_avi_mjpeg(jpeg_frames: list[bytes], width: int, height: int,
+                     fps: int = 10) -> bytes:
+    """JPEG frame payloads → a minimal, spec-shaped MJPEG AVI."""
+    if not jpeg_frames:
+        raise ValueError("cannot encode an AVI with zero frames")
+    n = len(jpeg_frames)
+    max_size = max(len(f) for f in jpeg_frames)
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, max_size * fps, 0, 0x10, n, 0, 1,
+        max_size, width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<I", 0)
+            + struct.pack("<HH", 0, 0)
+            + struct.pack("<8I", 0, 1, fps, 0, n, max_size, 0xFFFFFFFF, 0)
+            + struct.pack("<4H", 0, 0, width, height))
+    strf = struct.pack("<IiiHH4sI4i", 40, width, height, 1, 24, b"MJPG",
+                       width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    movi_body = b"movi"
+    index = []
+    for f in jpeg_frames:
+        index.append((len(movi_body) - 4, len(f)))
+        movi_body += chunk(b"00dc", f)
+    movi = chunk(b"LIST", movi_body)
+
+    idx1 = b"".join(
+        b"00dc" + struct.pack("<III", 0x10, off, size)
+        for off, size in index)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx1)
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -6,8 +6,13 @@ decode via the repo's stdlib codecs (``core/{png,gif,jpeg}.py``), with
 genuine pixel features (``image_pixel_features``) and pixel-level
 block-mean resize.  The AUDIO path is real for PCM WAV (stdlib
 ``wave``): ``decode_audio`` + ``wav_audio_features`` (duration, RMS,
-peak, zero crossings).  Compressed audio (mp3/ogg) and video need
-codecs the container doesn't ship — those stay honestly stubbed
+peak, zero crossings).  The VIDEO path is real for MJPEG-in-AVI
+(round 4): ``core/avi.py`` walks the RIFF container and each frame
+decodes through the stdlib JPEG codec — header meta (``parse_meta``),
+``decode_video`` and per-frame ``video_frame_features`` (dims, mean
+intensity, motion) with image-style quarantine.  Compressed audio
+(mp3/ogg/aac) and inter-frame video (mp4/webm/mkv) need codecs the
+container doesn't ship — those stay honestly stubbed
 (``NotImplementedError``), while everything Spark-side is real and
 tested: schemas, batch shapes, ``mapInPandas`` signatures,
 partitioning, and a codec-free byte-histogram embedding.
@@ -92,7 +97,7 @@ def parse_meta(payload: bytes) -> dict:
         w, h, f = struct.unpack(">HHH", payload[6:12])
         return {"kind": kind, "width": w, "height": h, "n_frames": f,
                 "valid": "ok"}
-    for probe in (_png_dims, _jpeg_dims, _gif_dims, _wav_meta):
+    for probe in (_png_dims, _jpeg_dims, _gif_dims, _avi_dims, _wav_meta):
         meta = probe(payload)
         if meta is not None:
             return meta
@@ -157,6 +162,19 @@ def _wav_meta(payload: bytes) -> dict | None:
     except Exception:
         return {"kind": "audio", "width": None, "height": None,
                 "n_frames": None, "valid": "corrupt"}
+
+
+def _avi_dims(payload: bytes) -> dict | None:
+    """AVI avih header → real video dims with no codec
+    (``core/avi.py`` bounded RIFF scan)."""
+    from ..core.avi import avi_meta
+
+    meta = avi_meta(payload)
+    if meta is None:
+        return None
+    return {"kind": "video", "width": meta["width"],
+            "height": meta["height"], "n_frames": meta["n_frames"],
+            "valid": "ok"}
 
 
 def _gif_dims(payload: bytes) -> dict | None:
@@ -422,6 +440,92 @@ def decode_image(payload: bytes) -> np.ndarray:
             "Image.open(...) in a full environment"
         ) from e
     raise NotImplementedError("non-PNG/GIF/JPEG decode stubbed")
+
+
+# --- REAL video pipeline: MJPEG-in-AVI (core/avi.py + core/jpeg.py) ----------
+
+
+def encode_video_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """Grayscale frame arrays → an MJPEG AVI (each frame through the
+    stdlib JPEG encoder, wrapped in the RIFF container)."""
+    from ..core.avi import encode_avi_mjpeg
+    from ..core.jpeg import encode_jpeg_gray
+
+    h, w = frames[0].shape
+    return encode_avi_mjpeg([encode_jpeg_gray(f) for f in frames],
+                            w, h, fps)
+
+
+def decode_video(payload: bytes) -> list[np.ndarray]:
+    """REAL video decode for MJPEG-in-AVI: RIFF walk (``core/avi.py``)
+    hands each ``00dc`` frame chunk to the stdlib JPEG decoder — no
+    video library.  Every other container (mp4/webm/mkv — inter-frame
+    codecs with no stdlib path) stays a fail-loud stub."""
+    from ..core.avi import decode_avi
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        frames, _ = decode_avi(payload)
+        return [decode_image(f) for f in frames]
+    raise NotImplementedError(
+        "only MJPEG-in-AVI decodes natively (core/avi.py + "
+        "core/jpeg.py); mp4/webm/mkv need real inter-frame codecs "
+        "absent from this environment — fail-loud by design")
+
+
+VIDEO_FRAME_FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_idx", IntegerType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("mean_intensity", FloatType(), True),
+    StructField("motion", FloatType(), True),
+    StructField("valid", StringType(), False),
+])
+
+
+def video_frame_features(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL per-frame features for MJPEG-in-AVI payloads
+    (Arrow-batched, no shuffle): every ``every_n``-th frame decodes to
+    pixels and reports dimensions, mean intensity, and motion (mean
+    |Δ| vs the previous DECODED frame, scaled to [0,1]).  Same
+    quarantine contract as images: a corrupt or non-AVI payload yields
+    one valid='corrupt' row, never a failed task."""
+    src = media.filter(F.col("kind") == "video").select(
+        "media_id", "payload")
+    cols = [f.name for f in VIDEO_FRAME_FEATURE_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = decode_video(bytes(payload))
+                    prev = None
+                    for idx in range(0, len(frames), max(1, every_n)):
+                        img = frames[idx].astype(np.float64)
+                        motion = (
+                            float(np.mean(np.abs(img - prev)) / 255.0)
+                            if prev is not None and prev.shape == img.shape
+                            else None)
+                        rows.append({
+                            "media_id": int(mid), "frame_idx": idx,
+                            "width": int(img.shape[1]),
+                            "height": int(img.shape[0]),
+                            "mean_intensity": float(np.mean(img)),
+                            "motion": motion, "valid": "ok",
+                        })
+                        prev = img
+                except Exception:
+                    rows.append({
+                        "media_id": int(mid), "frame_idx": None,
+                        "width": None, "height": None,
+                        "mean_intensity": None, "motion": None,
+                        "valid": "corrupt",
+                    })
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, VIDEO_FRAME_FEATURE_SCHEMA)
 
 
 # --- REAL image pipeline over PNG payloads (core/png.py codec) ---------------

@@ -487,6 +487,77 @@ def test_jpeg_codec_scales_linearly():
         "check the _BitReader accumulator masking")
 
 
+def _planted_video_frames(n=6, w=64, h=48):
+    import numpy as np
+
+    frames = []
+    for i in range(n):
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames.append(((xx + yy + i * 9) % 256).astype(np.uint8))
+    return frames
+
+
+def test_mjpeg_avi_round_trip():
+    """Round-4 ask: video is no longer a pure stub — MJPEG-in-AVI
+    decodes natively (RIFF walk in core/avi.py + the stdlib JPEG
+    codec).  Planted round-trip: encode → header meta → per-frame
+    pixel closeness; other containers stay fail-loud."""
+    import numpy as np
+    import pytest
+
+    from exam_pdf_parser_spark.operators.multimodal import (
+        decode_video, encode_video_avi, parse_meta,
+    )
+
+    frames = _planted_video_frames()
+    blob = encode_video_avi(frames, fps=5)
+
+    m = parse_meta(blob)
+    assert (m["kind"], m["width"], m["height"], m["n_frames"],
+            m["valid"]) == ("video", 64, 48, 6, "ok")
+
+    dec = decode_video(blob)
+    assert len(dec) == 6
+    for d, f in zip(dec, frames):
+        assert d.shape == f.shape
+        # JPEG is lossy; the content must still track closely
+        assert float(np.mean(np.abs(
+            d.astype(float) - f.astype(float)))) < 4.0
+
+    # non-AVI containers remain loud stubs (no silent wrong output)
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 64)
+    # structurally broken AVI raises ValueError (quarantined upstream)
+    with pytest.raises(ValueError):
+        decode_video(b"RIFF\x10\x00\x00\x00AVI " + b"\x00" * 16)
+
+
+def test_video_frame_features_spark(spark):
+    """The Spark stage decodes real AVI payloads per frame and
+    quarantines corrupt ones — nothing fails the task."""
+    from exam_pdf_parser_spark.operators.multimodal import (
+        MEDIA_SCHEMA, encode_video_avi, video_frame_features,
+    )
+
+    blob = encode_video_avi(_planted_video_frames(), fps=5)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(blob)),
+         (2, "video", bytearray(b"RIFF garbage that is not an avi")),
+         (3, "image", bytearray(b"not even video"))],
+        MEDIA_SCHEMA)
+    rows = video_frame_features(media, every_n=2).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert 3 not in by_id                      # kind filter
+    ok = sorted(by_id[1], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in ok] == [0, 2, 4]
+    assert all(r["valid"] == "ok" and r["width"] == 64 for r in ok)
+    assert ok[0]["motion"] is None             # no previous frame
+    assert ok[1]["motion"] is not None and ok[1]["motion"] > 0
+    assert [r["valid"] for r in by_id[2]] == ["corrupt"]
+
+
 def test_wav_audio_real_decode(spark):
     """Audio is no longer a pure stub: PCM WAV decodes natively
     (stdlib wave) — metadata, round trip, and Spark feature extraction
