@@ -231,8 +231,75 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_pairs_from_tokens(t)
 
 
+def block_grid_self_join(keys: DataFrame, id_col: str,
+                         key_cols: list[str], out_a: str, out_b: str,
+                         cap: int | None) -> DataFrame:
+    """Distinct candidate id pairs sharing a key, with bounded task
+    granularity (shared by the MinHash band join and the embedding
+    LSH bucket join — same hot-key failure mode).
+
+    ``cap=None``: plain self equi-join — a key shared by m rows
+    generates its m² joined rows inside ONE task.  Otherwise keys
+    above the cap are split into a g×g salted block grid
+    (g = ceil(m/cap)): side A fixes block _ba = xxhash64(id) % g and
+    replicates across the g values of _bb, side B symmetrically, so
+    every pair still meets in exactly one (_ba, _bb) block and
+    per-task join work is bounded by ~cap² regardless of key
+    frequency.  Output is identical either way (asserted in pytest).
+
+    The grid is co-partitioned with an explicit partition NUMBER on
+    the full block key: the join inputs are tiny id rows, so AQE's
+    size-based coalescing would otherwise fuse the grid back into one
+    partition (it cannot see the quadratic join output) — measured in
+    BENCH_SCALING.md §hot-bucket: max task 39.3 s → 8.1 s, balance
+    130× → 1.3× on a 30%-hot corpus.  The TOTAL candidate volume of a
+    hot key stays quadratic by definition; the guard bounds task
+    granularity so no straggler/OOM task forms.
+    """
+    a = keys.select(F.col(id_col).alias(out_a), *key_cols)
+    b = keys.select(F.col(id_col).alias(out_b), *key_cols)
+    if cap is None:
+        return (
+            a.join(b, list(key_cols))
+            .filter(F.col(out_a) < F.col(out_b))
+            .select(out_a, out_b)
+            .dropDuplicates([out_a, out_b])
+        )
+    hot = (
+        keys.groupBy(*key_cols).count()
+        .filter(F.col("count") > cap)
+        .select(*key_cols,
+                F.ceil(F.col("count") / cap).cast("int").alias("g"))
+    )
+    ga = (
+        a.join(F.broadcast(hot), list(key_cols), "left")
+        .withColumn("g", F.coalesce("g", F.lit(1)))
+        .withColumn("_ba", F.pmod(F.xxhash64(out_a), F.col("g"))
+                    .cast("int"))
+        .withColumn("_bb", F.explode(F.sequence(F.lit(0), F.col("g") - 1)))
+    )
+    gb = (
+        b.join(F.broadcast(hot), list(key_cols), "left")
+        .withColumn("g", F.coalesce("g", F.lit(1)))
+        .withColumn("_bb", F.pmod(F.xxhash64(out_b), F.col("g"))
+                    .cast("int"))
+        .withColumn("_ba", F.explode(F.sequence(F.lit(0), F.col("g") - 1)))
+    )
+    n_parts = keys.sparkSession.sparkContext.defaultParallelism * 4
+    grid_key = list(key_cols) + ["_ba", "_bb"]
+    ga = ga.repartition(n_parts, *grid_key)
+    gb = gb.repartition(n_parts, *grid_key)
+    return (
+        ga.join(gb, grid_key)
+        .filter(F.col(out_a) < F.col(out_b))
+        .select(out_a, out_b)
+        .dropDuplicates([out_a, out_b])
+    )
+
+
 def lsh_pairs_from_tokens(t: DataFrame,
-                          threshold: float = JACCARD_DUP) -> DataFrame:
+                          threshold: float = JACCARD_DUP,
+                          band_cap: int | None = 5000) -> DataFrame:
     """The MinHash→band→verify pipeline over any (doc_id, token)
     table — word tokens (``minhash_lsh_pairs``) or character shingles
     (``shingle_minhash_pairs``) plug in the tokenization.
@@ -262,19 +329,17 @@ def lsh_pairs_from_tokens(t: DataFrame,
     ).select("doc_id",
              F.col("b.band_idx").alias("band_idx"),
              F.col("b.band_key").alias("band_key"))
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_key")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_key")
     # the small candidate-pair set is consumed three times (pairs +
     # two semi-join sides); localCheckpoint materializes it once so
     # the band join isn't recomputed per consumer (lazy — computed on
-    # the query's first action)
-    cands = (
-        a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-        .localCheckpoint(eager=False)
-    )
+    # the query's first action).  A band key shared by m near-identical
+    # docs (duplicate-heavy crawl) is the same hot-key hazard as the
+    # embedding LSH buckets — the shared block-grid guard bounds that
+    # task at ~band_cap² join work.
+    cands = block_grid_self_join(
+        bands, "doc_id", ["band_idx", "band_key"],
+        "doc_a", "doc_b", band_cap,
+    ).localCheckpoint(eager=False)
     # token sets are aggregated ONLY for candidate docs (semi join
     # before collect_set): with sparse duplicates at corpus scale the
     # heavy token shuffle collapses to the candidate subset — exchange

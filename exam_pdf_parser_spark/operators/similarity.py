@@ -310,54 +310,10 @@ def _bucket_candidate_pairs(sigs: DataFrame,
     OOM task forms; when all-pairs output itself is the problem,
     dedup should consume clusters (``semantic_dedup``), not pairs.
     """
-    a = sigs.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
-    b = sigs.select(F.col("vec_id").alias("vec_b"), "table", "bucket")
-    if bucket_cap is None:
-        return (
-            a.join(b, ["table", "bucket"])
-            .filter(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b")
-            .dropDuplicates(["vec_a", "vec_b"])
-        )
-    hot = (
-        sigs.groupBy("table", "bucket").count()
-        .filter(F.col("count") > bucket_cap)
-        .select("table", "bucket",
-                F.ceil(F.col("count") / bucket_cap).cast("int").alias("g"))
-    )
-    ga = (
-        a.join(F.broadcast(hot), ["table", "bucket"], "left")
-        .withColumn("g", F.coalesce("g", F.lit(1)))
-        .withColumn("ba", F.pmod(F.xxhash64("vec_a"), F.col("g"))
-                    .cast("int"))
-        .withColumn("bb", F.explode(F.sequence(F.lit(0), F.col("g") - 1)))
-    )
-    gb = (
-        b.join(F.broadcast(hot), ["table", "bucket"], "left")
-        .withColumn("g", F.coalesce("g", F.lit(1)))
-        .withColumn("bb", F.pmod(F.xxhash64("vec_b"), F.col("g"))
-                    .cast("int"))
-        .withColumn("ba", F.explode(F.sequence(F.lit(0), F.col("g") - 1)))
-    )
-    # Explicit-NUMBER co-partitioning on the full block key: the join
-    # INPUTS are tiny id rows, so AQE's size-based coalescing would
-    # otherwise fuse the whole grid back into one or two partitions —
-    # it cannot see that the join OUTPUT explodes quadratically.  A
-    # numbered repartition is exempt from AQE coalescing, and matching
-    # (keys, numPartitions) on both sides satisfies the join's
-    # distribution requirement with no further exchange, so the
-    # per-block bound survives into the executed plan (A/B-measured in
-    # scripts/hot_bucket_bench.py).
-    n_parts = sigs.sparkSession.sparkContext.defaultParallelism * 4
-    key = ["table", "bucket", "ba", "bb"]
-    ga = ga.repartition(n_parts, *key)
-    gb = gb.repartition(n_parts, *key)
-    return (
-        ga.join(gb, key)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
+    from .dedupe import block_grid_self_join
+
+    return block_grid_self_join(
+        sigs, "vec_id", ["table", "bucket"], "vec_a", "vec_b", bucket_cap)
 
 
 def embedding_near_pairs_lsh(

@@ -135,6 +135,35 @@ def test_partition_stats(spark):
     assert len(stats) == 4
 
 
+def test_minhash_band_cap_drops_no_pairs(spark):
+    """Round-4 hardening: a duplicate-heavy corpus puts many docs in
+    one band bucket; the shared block-grid guard must change only
+    task placement — the verified pair set is identical to the
+    unguarded band join."""
+    from exam_pdf_parser_spark.operators.dedupe import (
+        _words, lsh_pairs_from_tokens,
+    )
+    from pyspark.sql import functions as F
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    # 40 exact copies (one hot band key per band) + distinct noise docs
+    rows = [(i, base) for i in range(40)] + [
+        (100 + i, f"unique text body number {i} with words w{i} v{i}")
+        for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    t = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_words(F.col("text")))).alias("token"))
+
+    capped = {(r["doc_a"], r["doc_b"]) for r in
+              lsh_pairs_from_tokens(t, band_cap=8).collect()}
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in
+                lsh_pairs_from_tokens(t, band_cap=None).collect()}
+    assert len(uncapped) >= 40 * 39 // 2    # the dup family is complete
+    assert capped == uncapped
+
+
 def test_shingle_minhash_order_sensitivity(spark):
     """Character shingles separate true near-copies from bag-of-words
     collisions: a word-permuted copy has token-Jaccard 1.0 but low
