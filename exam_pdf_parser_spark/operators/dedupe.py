@@ -233,7 +233,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def block_grid_self_join(keys: DataFrame, id_col: str,
                          key_cols: list[str], out_a: str, out_b: str,
-                         cap: int | None) -> DataFrame:
+                         cap: int | None,
+                         carry: tuple = ()) -> DataFrame:
     """Distinct candidate id pairs sharing a key, with bounded task
     granularity (shared by the MinHash band join and the embedding
     LSH bucket join — same hot-key failure mode).
@@ -255,14 +256,25 @@ def block_grid_self_join(keys: DataFrame, id_col: str,
     130× → 1.3× on a 30%-hot corpus.  The TOTAL candidate volume of a
     hot key stays quadratic by definition; the guard bounds task
     granularity so no straggler/OOM task forms.
+
+    ``carry``: (src_col, a_name, b_name) triples of per-id columns
+    that ride along both sides into the output (e.g. the simhash
+    value for in-join verification).  They must be functionally
+    dependent on the id so the pair-dedup pick is stable.
     """
-    a = keys.select(F.col(id_col).alias(out_a), *key_cols)
-    b = keys.select(F.col(id_col).alias(out_b), *key_cols)
+    a = keys.select(F.col(id_col).alias(out_a),
+                    *[F.col(s).alias(an) for s, an, _ in carry],
+                    *key_cols)
+    b = keys.select(F.col(id_col).alias(out_b),
+                    *[F.col(s).alias(bn) for s, _, bn in carry],
+                    *key_cols)
+    out_cols = ([out_a, out_b] + [an for _, an, _ in carry]
+                + [bn for _, _, bn in carry])
     if cap is None:
         return (
             a.join(b, list(key_cols))
             .filter(F.col(out_a) < F.col(out_b))
-            .select(out_a, out_b)
+            .select(*out_cols)
             .dropDuplicates([out_a, out_b])
         )
     hot = (
@@ -292,7 +304,7 @@ def block_grid_self_join(keys: DataFrame, id_col: str,
     return (
         ga.join(gb, grid_key)
         .filter(F.col(out_a) < F.col(out_b))
-        .select(out_a, out_b)
+        .select(*out_cols)
         .dropDuplicates([out_a, out_b])
     )
 
@@ -672,7 +684,17 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the number of chunk collisions (near-linear for sparse dup sets),
     never n²; each side carries only (doc_id, simhash) — 16 bytes.
     """
-    sh = simhash_docs(spark, sf_dir)
+    return simhash_pairs_from_hashes(simhash_docs(spark, sf_dir))
+
+
+def simhash_pairs_from_hashes(sh: DataFrame,
+                              chunk_cap: int | None = 5000) -> DataFrame:
+    """(doc_id, simhash) → hamming ≤ HAMMING_MAX pairs via the
+    pigeonhole chunk equi-join.  A duplicate-heavy corpus makes one
+    (chunk_idx, chunk_val) key hot — the shared block-grid guard
+    (``block_grid_self_join``) bounds that task at ~chunk_cap² join
+    work with an identical pair set; the 8-byte simhash rides along
+    both sides so verification stays in-join."""
     offsets, sizes = _SIMHASH_CHUNKS
     chunk_structs = [
         F.struct(
@@ -688,16 +710,10 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "simhash",
              F.col("c.chunk_idx").alias("chunk_idx"),
              F.col("c.chunk_val").alias("chunk_val"))
-    a = chunks.select(F.col("doc_id").alias("doc_a"),
-                      F.col("simhash").alias("sh_a"),
-                      "chunk_idx", "chunk_val")
-    b = chunks.select(F.col("doc_id").alias("doc_b"),
-                      F.col("simhash").alias("sh_b"),
-                      "chunk_idx", "chunk_val")
-    cands = (
-        a.join(b, ["chunk_idx", "chunk_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+    cands = block_grid_self_join(
+        chunks, "doc_id", ["chunk_idx", "chunk_val"],
+        "doc_a", "doc_b", chunk_cap,
+        carry=(("simhash", "sh_a", "sh_b"),),
     )
     return (
         cands.select(

@@ -164,6 +164,26 @@ def test_minhash_band_cap_drops_no_pairs(spark):
     assert capped == uncapped
 
 
+def test_simhash_chunk_cap_drops_no_pairs(spark):
+    """Same guard, SimHash path: identical docs share every chunk key;
+    capped and uncapped pigeonhole joins must emit the same pairs."""
+    from exam_pdf_parser_spark.operators.dedupe import (
+        simhash_pairs_from_hashes,
+    )
+
+    # 30 identical hashes (hot every chunk) + distinct tails
+    rows = [(i, 0x5A5A5A5A) for i in range(30)] + [
+        (100 + i, 0x5A5A5A5A ^ (1 << (i % 32)) ^ (0xFF << (i % 8)))
+        for i in range(20)]
+    sh = spark.createDataFrame(rows, "doc_id: long, simhash: long")
+    capped = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in
+              simhash_pairs_from_hashes(sh, chunk_cap=8).collect()}
+    uncapped = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in
+                simhash_pairs_from_hashes(sh, chunk_cap=None).collect()}
+    assert len(uncapped) >= 30 * 29 // 2
+    assert capped == uncapped
+
+
 def test_shingle_minhash_order_sensitivity(spark):
     """Character shingles separate true near-copies from bag-of-words
     collisions: a word-permuted copy has token-Jaccard 1.0 but low
