@@ -262,6 +262,13 @@ def block_grid_self_join(keys: DataFrame, id_col: str,
     value for in-join verification).  They must be functionally
     dependent on the id so the pair-dedup pick is stable.
     """
+    if cap is not None:
+        # three consumers read `keys` (hot counts + both join sides);
+        # without a pin each recomputes the whole upstream signature
+        # pipeline.  The checkpointed frame is ids+keys only — tiny
+        # relative to the corpus — and lazy (materialized on the
+        # query's first action).
+        keys = keys.localCheckpoint(eager=False)
     a = keys.select(F.col(id_col).alias(out_a),
                     *[F.col(s).alias(an) for s, an, _ in carry],
                     *key_cols)
@@ -297,7 +304,10 @@ def block_grid_self_join(keys: DataFrame, id_col: str,
                     .cast("int"))
         .withColumn("_ba", F.explode(F.sequence(F.lit(0), F.col("g") - 1)))
     )
-    n_parts = keys.sparkSession.sparkContext.defaultParallelism * 4
+    # one wave of tasks is enough: per-block work is already bounded
+    # by ~cap², so several blocks per task stay bounded too; more
+    # partitions would only add scheduling overhead
+    n_parts = keys.sparkSession.sparkContext.defaultParallelism
     grid_key = list(key_cols) + ["_ba", "_bb"]
     ga = ga.repartition(n_parts, *grid_key)
     gb = gb.repartition(n_parts, *grid_key)
