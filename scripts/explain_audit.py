@@ -40,10 +40,17 @@ NOTES = {
         "no corpus-sized token shuffle anywhere; sigs agg crosses the "
         "wire as partial min-hashes. Exchange count is higher than the "
         "naive plan but every added exchange is candidate-sized, not "
-        "corpus-sized.",
+        "corpus-sized. Round-4: band keys route through the "
+        "block_grid_self_join hot-key guard (ids-only checkpoint + "
+        "count + one defaultParallelism grid exchange) so a "
+        "duplicate-heavy band bucket is task-bounded at ~cap^2 — "
+        "A/B in BENCH_SCALING.md, straggler 40.5s->7.6s.",
     "simhash_near_pairs": "7-chunk pigeonhole banding: equi-join on "
         "(chunk_idx, chunk_val) generates every hamming<=6 pair; no "
-        "BroadcastNestedLoopJoin/CartesianProduct (pytest-asserted).",
+        "BroadcastNestedLoopJoin/CartesianProduct (pytest-asserted). "
+        "Round-4: the chunk join shares the block_grid_self_join "
+        "hot-key guard (identical pair set, task-bounded hot chunks); "
+        "the added exchanges are ids+simhash-sized, never corpus-sized.",
     "ann_topk_dot": "query side broadcast, corpus streams; per-query "
         "top-k window after the scored join.",
     "event_sessions": "applyInPandas over user_id partitions — one "
