@@ -227,7 +227,8 @@ ROUTED_SCHEMA = StructType(
 
 
 def extract_auto(documents: DataFrame, min_q: int = 1, max_q: int = 50,
-                 giant_bytes: int = GIANT_BYTES) -> DataFrame:
+                 giant_bytes: int = GIANT_BYTES,
+                 with_timing: bool = False) -> DataFrame:
     """Size-routed extraction in a SINGLE source scan: one
     ``mapInPandas`` router reads each document once — ordinary
     documents are extracted in place (the zero-shuffle whole-doc path,
@@ -247,32 +248,58 @@ def extract_auto(documents: DataFrame, min_q: int = 1, max_q: int = 50,
     ``spark.catalog.clearCache()`` between them.  Only the rare giant
     pages cross the wire in the spread shuffle, and AQE coalesces the
     exchange when no giants exist.
+
+    ``with_timing=True`` appends ``proc_us`` (matching
+    ``extract(with_timing=True)``, the manifest pipeline's per-bucket
+    metric source): measured per ordinary document in the router;
+    giant-routed documents report the router's explode time only
+    (their distributed page decode is not attributable to one task) —
+    a giant doc's ``proc_us`` therefore UNDERSTATES its true cost and
+    is NULL on the detect side, which the manifest sums treat as 0.
     """
+    import time
+
     from pyspark.sql import functions as F
     from pyspark.storagelevel import StorageLevel
 
     from .extract import extract_one_row
 
     docs = documents.select("url", "html")
-    cols = [f.name for f in ROUTED_SCHEMA.fields]
+    schema = ROUTED_SCHEMA
+    if with_timing:
+        from pyspark.sql.types import LongType
+        schema = StructType(
+            ROUTED_SCHEMA.fields + [StructField("proc_us", LongType())])
+    cols = [f.name for f in schema.fields]
 
     def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict] = []
             for url, blob in zip(pdf["url"], pdf["html"]):
                 size = len(blob) if blob is not None else 0
+                t0 = time.perf_counter_ns()
                 if size <= giant_bytes:
                     r = extract_one_row(url, blob, min_q, max_q)
                     r["page_idx"] = None
                     r["page_html"] = None
+                    if with_timing:
+                        r["proc_us"] = (time.perf_counter_ns() - t0) // 1000
                     rows.append(r)
                 else:
-                    for u, idx, payload in _page_rows_of(url, blob):
-                        rows.append({
+                    page_rows = _page_rows_of(url, blob)
+                    explode_us = (time.perf_counter_ns() - t0) // 1000
+                    for i, (u, idx, payload) in enumerate(page_rows):
+                        row = {
                             "url": u, "extracted_text": None, "spans": [],
                             "status": _PAGE_STATUS, "error": None,
                             "page_idx": idx, "page_html": payload,
-                        })
+                        }
+                        if with_timing:
+                            # stamp the explode cost on the FIRST page
+                            # row only, so the per-url sum stays the
+                            # router's actual time
+                            row["proc_us"] = explode_us if i == 0 else 0
+                        rows.append(row)
             if rows:
                 out = pd.DataFrame(rows, columns=cols)
                 # nullable Int32 so Arrow sees int32-with-nulls, not
@@ -280,13 +307,22 @@ def extract_auto(documents: DataFrame, min_q: int = 1, max_q: int = 50,
                 out["page_idx"] = pd.array(out["page_idx"], dtype="Int32")
                 yield out
 
-    routed = docs.mapInPandas(route, ROUTED_SCHEMA).persist(
+    routed = docs.mapInPandas(route, schema).persist(
         StorageLevel.MEMORY_AND_DISK)
-    done = routed.filter(F.col("status") != _PAGE_STATUS).select(
-        *[f.name for f in EXTRACT_SCHEMA.fields])
+    done_cols = [f.name for f in EXTRACT_SCHEMA.fields] + (
+        ["proc_us"] if with_timing else [])
+    done = routed.filter(F.col("status") != _PAGE_STATUS).select(*done_cols)
     # repartition AFTER the router: one giant doc's pages must spread
     # across tasks (the whole point of the route); the shuffle moves
     # only the rare giant payloads
     giant_pages = routed.filter(F.col("status") == _PAGE_STATUS).select(
         "url", "page_idx", "page_html").repartition("url", "page_idx")
-    return done.unionByName(extract_paged(giant_pages, min_q, max_q))
+    giant_done = extract_paged(giant_pages, min_q, max_q)
+    if with_timing:
+        # the giant docs' router explode time, re-attached per url;
+        # the distributed decode/detect cost is deliberately NOT
+        # folded in (it belongs to many tasks, docstring note)
+        giant_us = (routed.filter(F.col("status") == _PAGE_STATUS)
+                    .groupBy("url").agg(F.sum("proc_us").alias("proc_us")))
+        giant_done = giant_done.join(giant_us, "url", "left")
+    return done.unionByName(giant_done)

@@ -105,12 +105,20 @@ def run_extraction(
     n_buckets: int = 64,
     min_q: int = 1,
     max_q: int = 50,
+    route_giants: bool = False,
 ) -> dict:
     """Execute (or resume) a bucketed extraction run.
 
     Returns summary stats.  Idempotent per bucket: rerunning after a
     crash only processes buckets absent from the manifest, and dynamic
     partition overwrite replaces any half-written bucket dirs.
+
+    ``route_giants=True`` runs the size-routed ``extract_auto`` so a
+    pathological multi-thousand-page document takes the page-parallel
+    path instead of stalling one task; its ``proc_us`` then covers the
+    router's explode only (see ``extract_auto``), so giant-heavy
+    buckets UNDERSTATE cpu_ms — docs/sec and error metrics are exact
+    either way.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     docs = with_bucket(documents, n_buckets)
@@ -123,7 +131,12 @@ def run_extraction(
     # instead of joining back to the input (saves a full shuffle), then
     # co-locate each bucket in one task so partitionBy writes one file
     # per bucket dir instead of (tasks × buckets) small files.
-    out = extract(pending, min_q, max_q, with_timing=True).withColumn(
+    if route_giants:
+        from ..operators.extract_paged import extract_auto
+        extracted = extract_auto(pending, min_q, max_q, with_timing=True)
+    else:
+        extracted = extract(pending, min_q, max_q, with_timing=True)
+    out = extracted.withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
 
     ext_path = os.path.join(out_dir, "extracted")

@@ -145,6 +145,47 @@ def test_two_writer_manifest_consistency(spark, out_dir):
     assert s1["buckets_processed"] == len(done)
 
 
+def test_run_extraction_routes_giants(spark, out_dir):
+    """route_giants=True sends an over-threshold document through the
+    page-parallel path inside the durable pipeline: output is
+    byte-identical to the whole-doc run, errors still quarantine, and
+    every bucket lands in the manifest."""
+    from tests.test_extract_paged import _giant_doc
+
+    url_g, html_g = _giant_doc()
+    docs = corpus_df(spark, 20, partitions=2).select("url", "html") \
+        .unionByName(spark.createDataFrame(
+            [(url_g, html_g), ("https://bad.example/x", b"garbage")],
+            "url string, html binary"))
+
+    s = run_extraction(spark, docs, out_dir, "auto", n_buckets=N_BUCKETS,
+                       route_giants=True)
+    assert s["buckets_processed"] == N_BUCKETS
+    written = spark.read.parquet(f"{out_dir}/extracted")
+    got = {r["url"]: r for r in written.collect()}
+    assert got[url_g]["status"] == "ok" and len(got[url_g]["spans"]) > 0
+    assert got["https://bad.example/x"]["status"] == "error"
+
+    # byte parity with the plain whole-doc pipeline
+    import shutil
+    ref_dir = out_dir + "_ref"
+    try:
+        run_extraction(spark, docs, ref_dir, "ref", n_buckets=N_BUCKETS)
+        want = {r["url"]: r for r in
+                spark.read.parquet(f"{ref_dir}/extracted").collect()}
+        assert set(got) == set(want)
+        for url, w in want.items():
+            assert got[url]["extracted_text"] == w["extracted_text"], url
+            assert [s_.asDict() for s_ in got[url]["spans"]] == \
+                [s_.asDict() for s_ in w["spans"]], url
+    finally:
+        shutil.rmtree(ref_dir, ignore_errors=True)
+
+    # manifest cpu metrics exist for ordinary buckets (proc_us real)
+    mdf = spark.read.parquet(f"{out_dir}/manifest")
+    assert mdf.filter("cpu_ms > 0").count() > 0
+
+
 def test_bucketing_is_deterministic(spark):
     docs = corpus_df(spark, 20, partitions=2)
     a = {r["url"]: r["bucket"]
