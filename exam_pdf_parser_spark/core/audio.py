@@ -1,0 +1,331 @@
+"""Stdlib audio codecs beyond plain PCM WAV.
+
+The sandbox has no media libraries, but Python 3.11's stdlib still
+carries real telephony/audio codecs: ``audioop`` decodes G.711 μ-law
+and a-law and IMA/DVI ADPCM, ``aifc`` reads AIFF/AIFF-C, and the Sun
+AU header is eight big-endian words.  This module walks the WAV RIFF
+``fmt ``/``data`` chunks itself (the stdlib ``wave`` module refuses
+anything but format 1), so compressed-WAV payloads decode natively:
+
+  * WAV: PCM 8/16/24/32-bit (format 1), a-law (6), μ-law (7),
+    IMA ADPCM (17, per-block headers honored)
+  * AIFF / AIFF-C via ``aifc`` (big-endian PCM; ulaw/alaw handled by
+    the module)
+  * Sun AU (``.snd``): μ-law (1), 8-bit signed PCM (2), 16-bit PCM
+    (3), a-law (27)
+
+mp3/ogg/aac stay fail-loud ``NotImplementedError`` — they need real
+perceptual codecs with no stdlib path.  Everything returns
+(mono float64 samples in [-1, 1], sample rate); multi-channel input
+is averaged to mono.  Structural problems raise ``ValueError`` and
+unsupported codecs ``NotImplementedError`` — Spark stages quarantine
+either way.
+"""
+
+from __future__ import annotations
+
+import struct
+import warnings
+
+import numpy as np
+
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore", DeprecationWarning)
+    import audioop
+
+
+# --- WAV (RIFF) ---------------------------------------------------------------
+
+WAVE_PCM, WAVE_ALAW, WAVE_MULAW, WAVE_IMA_ADPCM = 1, 6, 7, 17
+_WAV_FMT_NAMES = {2: "MS-ADPCM", 3: "IEEE-float", 80: "MPEG",
+                  85: "MP3", 65534: "WAVE_FORMAT_EXTENSIBLE"}
+
+
+def wav_info(payload: bytes) -> dict | None:
+    """RIFF/WAVE ``fmt `` header → {format, channels, rate,
+    bits_per_sample, block_align, data_size, n_frames} without any
+    codec work; None when not a WAV."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    info: dict = {}
+    pos = 12
+    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    while pos + 8 <= end:
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        size = min(size, max(0, end - body))
+        if cid == b"fmt " and size >= 16:
+            fmt, nch, rate, _, balign, bits = struct.unpack_from(
+                "<HHIIHH", payload, body)
+            info.update(format=fmt, channels=nch, rate=rate,
+                        block_align=balign, bits_per_sample=bits)
+        elif cid == b"data":
+            info["data_size"] = size
+            info["data_off"] = body
+        pos = body + size + (size & 1)
+    if "format" not in info or "data_size" not in info:
+        return None
+    f, bits = info["format"], info["bits_per_sample"]
+    nch = max(1, info["channels"])
+    if f == WAVE_PCM:
+        frame = max(1, nch * max(1, bits // 8))
+        info["n_frames"] = info["data_size"] // frame
+    elif f in (WAVE_ALAW, WAVE_MULAW):
+        info["n_frames"] = info["data_size"] // nch
+    elif f == WAVE_IMA_ADPCM and info["block_align"]:
+        ba = info["block_align"]
+        per_block = (ba - 4 * nch) * 2 // nch + 1
+        info["n_frames"] = (info["data_size"] // ba) * per_block
+    else:
+        info["n_frames"] = None
+    return info
+
+
+def _to_mono(x: np.ndarray, nch: int) -> np.ndarray:
+    if nch > 1:
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    return x
+
+
+def _pcm_to_float(raw: bytes, bits: int, little: bool = True) -> np.ndarray:
+    if bits == 16:
+        return np.frombuffer(raw, "<i2" if little else ">i2") \
+            .astype(np.float64) / 32768.0
+    if bits == 8:
+        return (np.frombuffer(raw, np.uint8).astype(np.float64)
+                - 128.0) / 128.0
+    if bits == 32:
+        return np.frombuffer(raw, "<i4" if little else ">i4") \
+            .astype(np.float64) / 2147483648.0
+    if bits == 24:
+        b = np.frombuffer(raw, np.uint8)
+        b = b[: len(b) - len(b) % 3].reshape(-1, 3).astype(np.uint32)
+        if little:
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        else:
+            v = b[:, 2] | (b[:, 1] << 8) | (b[:, 0] << 16)
+        v = v.astype(np.int32)
+        v[v >= 1 << 23] -= 1 << 24
+        return v.astype(np.float64) / 8388608.0
+    raise NotImplementedError(f"{bits}-bit PCM not supported")
+
+
+def _decode_ima_blocks(data: bytes, nch: int, block_align: int) -> bytes:
+    """WAV IMA-ADPCM → 16-bit LE PCM.  Each block opens with a 4-byte
+    per-channel state header (predictor int16, step index u8, pad);
+    ``audioop.adpcm2lin`` implements the same IMA step tables, so
+    seeding its state from the block header reproduces the stream.
+    Mono only (stereo IMA interleaves nibbles per 4-byte group —
+    unsupported, raise loudly)."""
+    if nch != 1:
+        raise NotImplementedError("stereo IMA-ADPCM WAV not supported")
+    if block_align < 5:
+        raise ValueError(f"IMA-ADPCM block_align {block_align} too small")
+    out = bytearray()
+    for off in range(0, len(data) - 3, block_align):
+        block = data[off:off + block_align]
+        pred, idx = struct.unpack_from("<hB", block, 0)
+        idx = min(idx, 88)              # corrupt header index: clamp to
+        out += struct.pack("<h", pred)  # the IMA step-table range
+        lin, _ = audioop.adpcm2lin(block[4:], 2, (pred, idx))
+        out += lin
+    return bytes(out)
+
+
+# --- AIFF ---------------------------------------------------------------------
+
+def _decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
+    import io
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import aifc
+
+        with aifc.open(io.BytesIO(payload)) as af:
+            nch, width = af.getnchannels(), af.getsampwidth()
+            rate = int(af.getframerate())
+            raw = af.readframes(af.getnframes())
+    # aifc decompresses ulaw/alaw/G722 to linear frames itself;
+    # PCM frames are BIG-endian
+    x = _pcm_to_float(raw, width * 8, little=False)
+    return _to_mono(x, nch), rate
+
+
+def aiff_info(payload: bytes) -> dict | None:
+    if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF", b"AIFC"):
+        return None
+    import io
+
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            import aifc
+
+            with aifc.open(io.BytesIO(payload)) as af:
+                return {"rate": int(af.getframerate()),
+                        "channels": af.getnchannels(),
+                        "n_frames": af.getnframes()}
+    except Exception:
+        return {"rate": None, "channels": None, "n_frames": None}
+
+
+# --- Sun AU -------------------------------------------------------------------
+
+AU_MULAW, AU_PCM8, AU_PCM16, AU_ALAW = 1, 2, 3, 27
+
+
+def au_info(payload: bytes) -> dict | None:
+    if payload[:4] != b".snd" or len(payload) < 24:
+        return None
+    off, size, enc, rate, nch = struct.unpack_from(">5I", payload, 4)
+    if size == 0xFFFFFFFF:
+        size = max(0, len(payload) - off)
+    bytes_per = {AU_MULAW: 1, AU_PCM8: 1, AU_PCM16: 2, AU_ALAW: 1}.get(enc)
+    frames = (size // (bytes_per * max(1, nch))) if bytes_per else None
+    return {"encoding": enc, "rate": rate, "channels": nch,
+            "data_off": off, "data_size": size, "n_frames": frames}
+
+
+def _decode_au(payload: bytes) -> tuple[np.ndarray, int]:
+    info = au_info(payload)
+    if info is None:
+        raise ValueError("not an AU payload")
+    raw = payload[info["data_off"]:info["data_off"] + info["data_size"]]
+    enc, nch = info["encoding"], max(1, info["channels"])
+    if enc == AU_MULAW:
+        x = _pcm_to_float(audioop.ulaw2lin(raw, 2), 16)
+    elif enc == AU_ALAW:
+        x = _pcm_to_float(audioop.alaw2lin(raw, 2), 16)
+    elif enc == AU_PCM16:
+        x = _pcm_to_float(raw, 16, little=False)
+    elif enc == AU_PCM8:
+        x = np.frombuffer(raw, np.int8).astype(np.float64) / 128.0
+    else:
+        raise NotImplementedError(f"AU encoding {enc} not supported")
+    return _to_mono(x, nch), info["rate"]
+
+
+# --- dispatch -----------------------------------------------------------------
+
+def decode_audio_any(payload: bytes) -> tuple[np.ndarray, int]:
+    """Dispatch on container magic; see the module docstring for the
+    supported matrix."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        info = wav_info(payload)
+        if info is None:
+            raise ValueError("WAV without fmt/data chunks")
+        raw = payload[info["data_off"]:info["data_off"] + info["data_size"]]
+        fmt, nch, rate = info["format"], max(1, info["channels"]), info["rate"]
+        if fmt == WAVE_PCM:
+            x = _pcm_to_float(raw, info["bits_per_sample"])
+        elif fmt == WAVE_MULAW:
+            x = _pcm_to_float(audioop.ulaw2lin(raw, 2), 16)
+        elif fmt == WAVE_ALAW:
+            x = _pcm_to_float(audioop.alaw2lin(raw, 2), 16)
+        elif fmt == WAVE_IMA_ADPCM:
+            x = _pcm_to_float(
+                _decode_ima_blocks(raw, nch, info["block_align"]), 16)
+        else:
+            name = _WAV_FMT_NAMES.get(fmt, f"format {fmt}")
+            raise NotImplementedError(f"WAV codec {name} not supported")
+        return _to_mono(x, nch), rate
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        return _decode_aiff(payload)
+    if payload[:4] == b".snd":
+        return _decode_au(payload)
+    raise NotImplementedError(
+        "only WAV (PCM/µ-law/a-law/IMA-ADPCM), AIFF and AU decode "
+        "natively; mp3/ogg/aac need perceptual codecs with no stdlib "
+        "path — fail-loud by design")
+
+
+# --- encoders (self-contained round-trip tests) ------------------------------
+
+def _f64_to_pcm16(samples: np.ndarray) -> bytes:
+    return (np.clip(samples, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+
+
+def encode_wav(samples: np.ndarray, rate: int, codec: str = "pcm") -> bytes:
+    """Mono float samples → WAV in the requested codec
+    (pcm | ulaw | alaw | adpcm)."""
+    pcm = _f64_to_pcm16(samples)
+    if codec == "pcm":
+        fmt, bits, data = WAVE_PCM, 16, pcm
+        balign = 2
+    elif codec == "ulaw":
+        fmt, bits, data = WAVE_MULAW, 8, audioop.lin2ulaw(pcm, 2)
+        balign = 1
+    elif codec == "alaw":
+        fmt, bits, data = WAVE_ALAW, 8, audioop.lin2alaw(pcm, 2)
+        balign = 1
+    elif codec == "adpcm":
+        fmt, bits = WAVE_IMA_ADPCM, 4
+        balign = 1024
+        samples_per_block = (balign - 4) * 2 + 1
+        x = np.frombuffer(pcm, "<i2")
+        if len(x) % 2 == 0 and len(x):      # keep nibble pairs whole
+            x = x[:-1]
+        chunks = []
+        idx = 0                              # step index carries across
+        for off in range(0, len(x), samples_per_block):
+            blk = x[off:off + samples_per_block]
+            if len(blk) < 3:
+                break
+            pred = int(blk[0])
+            rest = blk[1:]
+            if len(rest) % 2:
+                rest = rest[:-1]
+            nib, st = audioop.lin2adpcm(
+                rest.astype("<i2").tobytes(), 2, (pred, idx))
+            body = struct.pack("<hBB", pred, idx, 0) + nib
+            idx = st[1]
+            chunks.append(body.ljust(balign, b"\x00"))
+        data = b"".join(chunks)
+    else:
+        raise ValueError(codec)
+    hdr = struct.pack("<HHIIHH", fmt, 1, rate,
+                      rate * balign if fmt != WAVE_PCM else rate * 2,
+                      balign, bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(hdr)) + hdr
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_aiff(samples: np.ndarray, rate: int) -> bytes:
+    import io
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import aifc
+
+        class _KeepOpen(io.BytesIO):
+            def close(self):      # aifc closes its file on close()
+                pass
+
+        buf = _KeepOpen()
+        af = aifc.open(buf, "wb")
+        af.setnchannels(1)
+        af.setsampwidth(2)
+        af.setframerate(rate)
+        af.writeframes(
+            (np.clip(samples, -1.0, 1.0) * 32767.0)
+            .astype(">i2").tobytes())
+        af.close()                # flushes header sizes
+        data = buf.getvalue()
+        io.BytesIO.close(buf)
+        return data
+
+
+def encode_au(samples: np.ndarray, rate: int, codec: str = "ulaw") -> bytes:
+    pcm = _f64_to_pcm16(samples)
+    if codec == "ulaw":
+        enc, data = AU_MULAW, audioop.lin2ulaw(pcm, 2)
+    elif codec == "pcm16":
+        enc = AU_PCM16
+        data = np.frombuffer(pcm, "<i2").astype(">i2").tobytes()
+    else:
+        raise ValueError(codec)
+    return (b".snd" + struct.pack(">5I", 24, len(data), enc, rate, 1)
+            + data)

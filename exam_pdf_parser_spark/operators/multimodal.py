@@ -97,7 +97,8 @@ def parse_meta(payload: bytes) -> dict:
         w, h, f = struct.unpack(">HHH", payload[6:12])
         return {"kind": kind, "width": w, "height": h, "n_frames": f,
                 "valid": "ok"}
-    for probe in (_png_dims, _jpeg_dims, _gif_dims, _avi_dims, _wav_meta):
+    for probe in (_png_dims, _jpeg_dims, _gif_dims, _avi_dims, _wav_meta,
+                  _aiff_au_meta):
         meta = probe(payload)
         if meta is not None:
             return meta
@@ -148,20 +149,40 @@ def _jpeg_dims(payload: bytes) -> dict | None:
 def _wav_meta(payload: bytes) -> dict | None:
     """RIFF/WAVE header → (kind=audio, width=sample rate, height=
     channels, n_frames=sample frames) — real audio metadata with no
-    codec (PCM WAV is stdlib-parseable)."""
+    codec work.  Walks the fmt chunk directly (``core/audio.py``), so
+    compressed WAVs (µ-law/a-law/ADPCM) report their headers too."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
-    try:
-        import io
-        import wave
+    from ..core.audio import wav_info
 
-        with wave.open(io.BytesIO(payload)) as wf:
-            return {"kind": "audio", "width": wf.getframerate(),
-                    "height": wf.getnchannels(),
-                    "n_frames": wf.getnframes(), "valid": "ok"}
+    try:
+        info = wav_info(payload)
     except Exception:
+        info = None
+    if info is None:
         return {"kind": "audio", "width": None, "height": None,
                 "n_frames": None, "valid": "corrupt"}
+    return {"kind": "audio", "width": info["rate"],
+            "height": info["channels"],
+            "n_frames": info["n_frames"], "valid": "ok"}
+
+
+def _aiff_au_meta(payload: bytes) -> dict | None:
+    """AIFF/AIFF-C and Sun AU headers → audio metadata."""
+    from ..core.audio import aiff_info, au_info
+
+    info = None
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        info = aiff_info(payload)
+    elif payload[:4] == b".snd":
+        info = au_info(payload)
+    if info is None:
+        return None
+    ok = info.get("rate") is not None
+    return {"kind": "audio", "width": info.get("rate"),
+            "height": info.get("channels"),
+            "n_frames": info.get("n_frames"),
+            "valid": "ok" if ok else "corrupt"}
 
 
 def _avi_dims(payload: bytes) -> dict | None:
@@ -340,30 +361,16 @@ def encode_audio_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
-    """REAL audio decode for PCM WAV (stdlib ``wave``): → (mono
-    float64 samples in [-1, 1], sample rate).  Multi-channel input is
-    averaged to mono.  Compressed formats (mp3/ogg/aac) have no
-    stdlib codec — they raise loudly."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise NotImplementedError(
-            "only PCM WAV decodes natively; mp3/ogg/aac need an "
-            "external codec")
-    import io
-    import wave
+    """REAL audio decode (``core/audio.py``, stdlib only): → (mono
+    float64 samples in [-1, 1], sample rate).  Supported: WAV with
+    PCM 8/16/24/32-bit, G.711 µ-law/a-law, and mono IMA-ADPCM (the
+    RIFF fmt chunk is walked directly — the stdlib ``wave`` module
+    refuses non-PCM); AIFF/AIFF-C; Sun AU (µ-law/a-law/PCM).
+    Multi-channel input is averaged to mono.  mp3/ogg/aac need
+    perceptual codecs with no stdlib path — they raise loudly."""
+    from ..core.audio import decode_audio_any
 
-    with wave.open(io.BytesIO(payload)) as wf:
-        nch, width = wf.getnchannels(), wf.getsampwidth()
-        raw = wf.readframes(wf.getnframes())
-        rate = wf.getframerate()
-    if width == 2:
-        x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
-    elif width == 1:
-        x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128) / 128.0
-    else:
-        raise NotImplementedError(f"{width * 8}-bit PCM not supported")
-    if nch > 1:
-        x = x.reshape(-1, nch).mean(axis=1)
-    return x, rate
+    return decode_audio_any(payload)
 
 
 AUDIO_FEATURE_SCHEMA = StructType([

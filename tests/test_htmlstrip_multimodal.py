@@ -558,6 +558,81 @@ def test_video_frame_features_spark(spark):
     assert [r["valid"] for r in by_id[2]] == ["corrupt"]
 
 
+def test_compressed_audio_codecs_decode():
+    """Round-4+ follow-on to the mp3/ogg gap: every audio codec the
+    stdlib genuinely carries now decodes — G.711 µ-law/a-law and mono
+    IMA-ADPCM WAV (audioop, RIFF fmt walked directly), AIFF (aifc),
+    Sun AU — with header metadata and fail-loud stubs for the rest."""
+    import numpy as np
+    import pytest
+
+    from exam_pdf_parser_spark.core.audio import (
+        decode_audio_any, encode_aiff, encode_au, encode_wav,
+    )
+    from exam_pdf_parser_spark.operators.multimodal import parse_meta
+
+    t = np.arange(8000) / 8000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    cases = [
+        ("wav-pcm", encode_wav(sine, 8000, "pcm"), 1e-3),
+        ("wav-ulaw", encode_wav(sine, 8000, "ulaw"), 0.02),
+        ("wav-alaw", encode_wav(sine, 8000, "alaw"), 0.02),
+        # skip the first block's inherent IMA step-index cold ramp
+        ("wav-adpcm", encode_wav(sine, 8000, "adpcm"), 0.05),
+        ("aiff", encode_aiff(sine, 8000), 1e-3),
+        ("au-ulaw", encode_au(sine, 8000, "ulaw"), 0.02),
+        ("au-pcm16", encode_au(sine, 8000, "pcm16"), 1e-3),
+    ]
+    for name, blob, tol in cases:
+        x, rate = decode_audio_any(blob)
+        assert rate == 8000, name
+        n = min(len(x), 6000)
+        err = float(np.max(np.abs(x[50:n] - sine[50:n])))
+        assert err < tol, (name, err)
+        m = parse_meta(blob)
+        assert (m["kind"], m["width"], m["valid"]) == \
+            ("audio", 8000, "ok"), name
+        assert m["n_frames"] and m["n_frames"] >= 7999, name
+
+    # perceptual codecs stay loud stubs
+    with pytest.raises(NotImplementedError):
+        decode_audio_any(b"\xff\xfb\x90\x00" + b"\x00" * 64)   # mp3
+    with pytest.raises(NotImplementedError):
+        decode_audio_any(b"OggS" + b"\x00" * 64)               # ogg
+    # an unsupported WAV codec names itself
+    with pytest.raises(NotImplementedError, match="MP3"):
+        import struct
+        hdr = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 0)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(hdr)) + hdr
+                + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+        decode_audio_any(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_audio_features_mixed_codecs(spark):
+    """wav_audio_features consumes every native codec and quarantines
+    the rest — nothing fails the task."""
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.audio import encode_au, encode_wav
+    from exam_pdf_parser_spark.operators.multimodal import (
+        MEDIA_SCHEMA, wav_audio_features,
+    )
+
+    t = np.arange(4000) / 8000.0
+    sine = 0.25 * np.sin(2 * np.pi * 220 * t)
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(encode_wav(sine, 8000, "ulaw"))),
+         (2, "audio", bytearray(encode_au(sine, 8000, "pcm16"))),
+         (3, "audio", bytearray(b"\xff\xfb\x90\x00 not decodable"))],
+        MEDIA_SCHEMA)
+    rows = {r["media_id"]: r for r in wav_audio_features(media).collect()}
+    for mid in (1, 2):
+        assert rows[mid]["valid"] == "ok"
+        assert rows[mid]["sample_rate"] == 8000
+        assert abs(rows[mid]["rms"] - 0.25 / np.sqrt(2)) < 0.01
+    assert rows[3]["valid"] == "corrupt"
+
+
 def test_wav_audio_real_decode(spark):
     """Audio is no longer a pure stub: PCM WAV decodes natively
     (stdlib wave) — metadata, round trip, and Spark feature extraction
