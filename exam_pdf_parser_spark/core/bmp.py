@@ -1,0 +1,100 @@
+"""Minimal BMP codec (stdlib only): uncompressed 8-bit-palette and
+24-bit Windows bitmaps (BITMAPINFOHEADER), bottom-up or top-down rows,
+4-byte row padding.  RLE/16/32-bit variants raise loudly.  Layout
+reference: the public BMP file-format description."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+BMP_SIG = b"BM"
+
+
+def bmp_dims(payload: bytes) -> tuple[int, int] | None:
+    """Header-only (w, |h|) probe; None when not a BMP."""
+    if payload[:2] != BMP_SIG or len(payload) < 26:
+        return None
+    w, h = struct.unpack_from("<ii", payload, 18)
+    return w, abs(h)
+
+
+def decode_bmp_gray(payload: bytes) -> np.ndarray:
+    """BMP → (h, w) uint8 gray (24-bit BGR averaged; 8-bit mapped
+    through its palette's channel mean)."""
+    if payload[:2] != BMP_SIG or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bits = struct.unpack_from("<HH", payload, 26)
+    (comp,) = struct.unpack_from("<I", payload, 30)
+    if comp not in (0, 3):               # 3 = BI_BITFIELDS (mask 32-bit)
+        raise NotImplementedError(f"BMP compression {comp} not supported")
+    if bits not in (8, 24, 32):
+        raise NotImplementedError(f"{bits}-bit BMP not supported")
+    if comp == 3 and bits != 32:
+        raise NotImplementedError("BI_BITFIELDS only supported for 32-bit")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * bits // 8 + 3) & ~3
+    need = row_bytes * h
+    if data_off + need > len(payload):
+        raise ValueError("BMP pixel data shorter than dimensions imply")
+    rows = np.frombuffer(
+        payload, np.uint8, count=need, offset=data_off).reshape(
+        h, row_bytes)
+    if bits == 24:
+        px = rows[:, : w * 3].reshape(h, w, 3)
+        img = px.mean(axis=2).astype(np.uint8)
+    elif bits == 32:
+        # BGRA (BI_RGB) or masked (BI_BITFIELDS); per-channel masks
+        # live right after the info header (or inside a V4+ header at
+        # the same offset) — shift each channel down by its mask
+        px = rows[:, : w * 4].reshape(h, w, 4)
+        words = (px[:, :, 0].astype(np.uint32)
+                 | (px[:, :, 1].astype(np.uint32) << 8)
+                 | (px[:, :, 2].astype(np.uint32) << 16)
+                 | (px[:, :, 3].astype(np.uint32) << 24))
+        if comp == 3 and len(payload) >= 66:
+            # masks sit at file offset 54 both for INFOHEADER+BI_BITFIELDS
+            # (appended) and V4/V5 headers (embedded at the same spot)
+            masks = struct.unpack_from("<III", payload, 54)
+        else:
+            masks = (0x00FF0000, 0x0000FF00, 0x000000FF)
+        chans = []
+        for m in masks:
+            if not m:
+                chans.append(np.zeros_like(words))
+                continue
+            shift = (m & -m).bit_length() - 1
+            chans.append((words & m) >> shift)
+        img = (sum(c.astype(np.float64) for c in chans) / 3.0) \
+            .astype(np.uint8)
+    else:
+        pal_off = 14 + hdr_size
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal = np.frombuffer(
+            payload, np.uint8, count=n_colors * 4,
+            offset=pal_off).reshape(n_colors, 4)[:, :3]
+        gray_lut = pal.mean(axis=1).astype(np.uint8)
+        img = gray_lut[rows[:, :w]]
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def encode_bmp_gray(img: np.ndarray) -> bytes:
+    """(h, w) uint8 → 8-bit grayscale-palette BMP (bottom-up)."""
+    h, w = img.shape
+    row_bytes = (w + 3) & ~3
+    pal = b"".join(struct.pack("<BBBB", i, i, i, 0) for i in range(256))
+    data_off = 14 + 40 + len(pal)
+    body = bytearray()
+    for row in img[::-1]:
+        body += row.astype(np.uint8).tobytes().ljust(row_bytes, b"\x00")
+    size = data_off + len(body)
+    return (b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                          len(body), 2835, 2835, 256, 0)
+            + pal + bytes(body))

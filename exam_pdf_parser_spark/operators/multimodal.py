@@ -97,8 +97,8 @@ def parse_meta(payload: bytes) -> dict:
         w, h, f = struct.unpack(">HHH", payload[6:12])
         return {"kind": kind, "width": w, "height": h, "n_frames": f,
                 "valid": "ok"}
-    for probe in (_png_dims, _jpeg_dims, _gif_dims, _avi_dims, _wav_meta,
-                  _aiff_au_meta):
+    for probe in (_png_dims, _jpeg_dims, _gif_dims, _tiff_bmp_dims,
+                  _avi_dims, _wav_meta, _aiff_au_meta):
         meta = probe(payload)
         if meta is not None:
             return meta
@@ -183,6 +183,18 @@ def _aiff_au_meta(payload: bytes) -> dict | None:
             "height": info.get("channels"),
             "n_frames": info.get("n_frames"),
             "valid": "ok" if ok else "corrupt"}
+
+
+def _tiff_bmp_dims(payload: bytes) -> dict | None:
+    """TIFF first-IFD / BMP header → real image dims, no pixel work."""
+    from ..core.bmp import bmp_dims
+    from ..core.tiff import tiff_dims
+
+    dims = tiff_dims(payload) or bmp_dims(payload)
+    if dims is None:
+        return None
+    return {"kind": "image", "width": dims[0], "height": dims[1],
+            "n_frames": 1, "valid": "ok"}
 
 
 def _avi_dims(payload: bytes) -> dict | None:
@@ -422,14 +434,18 @@ def wav_audio_features(media: DataFrame) -> DataFrame:
 def decode_image(payload: bytes) -> np.ndarray:
     """Image decode via the repo's stdlib codecs: grayscale PNG
     (``core/png.py``), single-frame GIF incl. interlace
-    (``core/gif.py``, full variable-width LZW), and baseline +
+    (``core/gif.py``, full variable-width LZW), baseline +
     progressive JPEG (``core/jpeg.py``, Huffman + successive
-    approximation + IDCT, luma plane) — all REAL, no raster library.
-    Remaining formats (WebP, TIFF, arithmetic JPEG…) fall back to
+    approximation + IDCT, luma plane), baseline TIFF
+    (``core/tiff.py``, none/PackBits strips) and uncompressed BMP
+    (``core/bmp.py``) — all REAL, no raster library.  Remaining
+    formats (WebP, LZW/JPEG TIFF, arithmetic JPEG…) fall back to
     Pillow when available, else raise loudly."""
+    from ..core.bmp import BMP_SIG, decode_bmp_gray
     from ..core.gif import GIF_SIGS, decode_gif_gray
     from ..core.jpeg import decode_jpeg_gray
     from ..core.png import PNG_SIG, decode_png_gray
+    from ..core.tiff import TIFF_SIGS, decode_tiff_gray
 
     if payload[:8] == PNG_SIG:
         return decode_png_gray(payload)
@@ -437,16 +453,20 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_gif_gray(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg_gray(payload)
+    if payload[:4] in TIFF_SIGS:
+        return decode_tiff_gray(payload)
+    if payload[:2] == BMP_SIG:
+        return decode_bmp_gray(payload)
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "WebP/TIFF decoding requires Pillow; PNG, GIF and "
-            "baseline/progressive JPEG decode natively via "
-            "core/{png,gif,jpeg}.py — swap this fallback for "
-            "Image.open(...) in a full environment"
+            "WebP decoding requires Pillow; PNG, GIF, "
+            "baseline/progressive JPEG, baseline TIFF and BMP decode "
+            "natively via core/{png,gif,jpeg,tiff,bmp}.py — swap this "
+            "fallback for Image.open(...) in a full environment"
         ) from e
-    raise NotImplementedError("non-PNG/GIF/JPEG decode stubbed")
+    raise NotImplementedError("unrecognized image container stubbed")
 
 
 # --- REAL video pipeline: MJPEG-in-AVI (core/avi.py + core/jpeg.py) ----------

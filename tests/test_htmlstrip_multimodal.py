@@ -558,6 +558,110 @@ def test_video_frame_features_spark(spark):
     assert [r["valid"] for r in by_id[2]] == ["corrupt"]
 
 
+def test_tiff_bmp_decode():
+    """Baseline TIFF (none/PackBits strips, II and MM byte orders,
+    gray + RGB) and uncompressed BMP (8-bit palette + 24-bit) decode
+    natively; unsupported variants stay loud."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from exam_pdf_parser_spark.core.bmp import encode_bmp_gray
+    from exam_pdf_parser_spark.core.tiff import (
+        encode_tiff_gray, packbits, unpackbits,
+    )
+    from exam_pdf_parser_spark.operators.multimodal import (
+        decode_image, parse_meta,
+    )
+
+    rng = np.random.default_rng(5)
+    img = ((np.arange(48 * 64).reshape(48, 64) % 256)
+           ^ rng.integers(0, 32, (48, 64))).astype(np.uint8)
+
+    for blob in (encode_tiff_gray(img),
+                 encode_tiff_gray(img, use_packbits=True),
+                 encode_bmp_gray(img)):
+        assert np.array_equal(decode_image(blob), img)
+        m = parse_meta(blob)
+        assert (m["kind"], m["width"], m["height"], m["valid"]) == \
+            ("image", 64, 48, "ok")
+
+    # PackBits round-trips arbitrary run-heavy data
+    for _ in range(40):
+        data = bytes(rng.integers(0, 4, int(rng.integers(0, 300)))
+                     .astype(np.uint8))
+        assert unpackbits(packbits(data)) == data
+
+    # big-endian RGB TIFF (inline SHORTs live in the FIRST two bytes
+    # of the value field) → luma mean
+    def be_tiff_rgb(img3):
+        h, w, _ = img3.shape
+        data = img3.astype(np.uint8).tobytes()
+        entries = [(256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8),
+                   (259, 3, 1, 1), (262, 3, 1, 2), (273, 4, 1, None),
+                   (277, 3, 1, 3), (278, 4, 1, h), (279, 4, 1, len(data))]
+        data_off = 8 + 2 + 12 * len(entries) + 4
+        out = bytearray(b"MM\x00*" + struct.pack(">I", 8)
+                        + struct.pack(">H", len(entries)))
+        for tag, typ, cnt, val in entries:
+            if tag == 273:
+                val = data_off
+            vf = (struct.pack(">HH", val, 0) if typ == 3
+                  else struct.pack(">I", val))
+            out += struct.pack(">HHI", tag, typ, cnt) + vf
+        return bytes(out + struct.pack(">I", 0) + data)
+
+    img3 = rng.integers(0, 256, (20, 30, 3)).astype(np.uint8)
+    assert np.array_equal(decode_image(be_tiff_rgb(img3)),
+                          img3.mean(axis=2).astype(np.uint8))
+
+    # 24-bit bottom-up BMP with row padding
+    h, w = 5, 3
+    px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    row_bytes = (w * 3 + 3) & ~3
+    body = b"".join(px[r].tobytes().ljust(row_bytes, b"\x00")
+                    for r in range(h - 1, -1, -1))
+    bmp24 = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+             + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                           len(body), 0, 0, 0, 0) + body)
+    assert np.array_equal(decode_image(bmp24),
+                          px.mean(axis=2).astype(np.uint8))
+
+    # LZW TIFF and RLE BMP stay loud
+    blob = bytearray(encode_tiff_gray(img))
+    struct.pack_into("<I", blob, 8 + 2 + 12 * 3 + 8, 5)   # comp tag → LZW
+    with pytest.raises(NotImplementedError, match="LZW"):
+        decode_image(bytes(blob))
+    blob = bytearray(encode_bmp_gray(img))
+    struct.pack_into("<I", blob, 30, 1)                    # BI_RLE8
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_image(bytes(blob))
+
+
+def test_tiff_bmp_real_system_files():
+    """Real-file pin: the Python stdlib test data ships the same logo
+    as a 32-bit BI_BITFIELDS BMP and an RGBA TIFF — both must decode,
+    and pixel-identically to each other (independent containers, one
+    source image: a strong cross-codec consistency check)."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    base = "/root/.pyenv/versions/3.13.0/lib/python3.13/test/test_email/data"
+    bmp_p, tif_p = f"{base}/python.bmp", f"{base}/python.tiff"
+    if not (os.path.exists(bmp_p) and os.path.exists(tif_p)):
+        pytest.skip("system test images not present")
+    from exam_pdf_parser_spark.operators.multimodal import decode_image
+
+    a = decode_image(open(bmp_p, "rb").read())
+    b = decode_image(open(tif_p, "rb").read())
+    assert a.shape == b.shape == (16, 16)
+    assert np.array_equal(a, b)
+    assert a.std() > 0          # real content, not a flat fill
+
+
 def test_compressed_audio_codecs_decode():
     """Round-4+ follow-on to the mp3/ogg gap: every audio codec the
     stdlib genuinely carries now decodes — G.711 µ-law/a-law and mono
