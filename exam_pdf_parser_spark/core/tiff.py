@@ -22,6 +22,7 @@ TIFF_SIGS = (b"II*\x00", b"MM\x00*")
 
 _W, _H, _BITS, _COMP, _PHOTO = 256, 257, 258, 259, 262
 _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
+_PREDICTOR = 317
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1, 8: 2, 9: 4, 11: 4}
 
@@ -91,6 +92,97 @@ def packbits(data: bytes) -> bytes:
     return bytes(out)
 
 
+def lzw_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first bit packing, codes
+    256=CLEAR / 257=EOI, initial width 9, and **early change** — the
+    width grows when the table reaches 2^width − 1 (one code earlier
+    than GIF's LSB-first variant in ``core/gif.py``)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = pos = 0
+
+    def reset() -> tuple[list[bytes], int]:
+        return [bytes([i]) for i in range(256)] + [b"", b""], 9
+
+    table, width = reset()
+    prev: bytes | None = None
+    while len(out) < max_out:
+        while nbits < width and pos < len(data):
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        if nbits < width:
+            break                        # stream end without EOI
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1          # keep the accumulator small
+        if code == CLEAR:
+            table, width = reset()
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if code < len(table) and (code < 256 or table[code]):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]      # the KwKwK case
+        else:
+            raise ValueError("corrupt TIFF LZW code")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        # early change, one-behind compensated: the decoder's table
+        # lags the encoder by one entry, so it must widen after entry
+        # 2^w−2 to read the encoder's first (2^w−1)-era code correctly
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out[:max_out])
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (round-trip twin of ``lzw_decode``)."""
+    CLEAR, EOI = 256, 257
+    bits = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            bits.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    def fresh() -> tuple[dict[bytes, int], int, int]:
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, next_code, width = fresh()
+    emit(CLEAR, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1                   # early change, encoder side
+        if next_code >= 4094:            # leave room, then reset
+            emit(CLEAR, width)
+            table, next_code, width = fresh()
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nbits:
+        bits.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(bits)
+
+
 def decode_tiff_gray(payload: bytes) -> np.ndarray:
     """Baseline TIFF → (h, w) uint8 gray (RGB averaged to luma mean)."""
     if payload[:4] not in TIFF_SIGS:
@@ -110,20 +202,33 @@ def decode_tiff_gray(payload: bytes) -> np.ndarray:
         raise NotImplementedError(f"{bits}-bit TIFF not supported")
     if spp not in (1, 3, 4):
         raise NotImplementedError(f"{spp} samples/pixel not supported")
-    if comp not in (1, 32773):
-        name = {5: "LZW", 6: "old-JPEG", 7: "JPEG", 8: "deflate"}.get(
-            comp, str(comp))
+    if comp not in (1, 5, 32773):
+        name = {6: "old-JPEG", 7: "JPEG", 8: "deflate"}.get(comp, str(comp))
         raise NotImplementedError(f"TIFF compression {name} not supported")
+    rows_per = tags.get(_ROWS_PER_STRIP, [h])[0] or h
     raw = bytearray()
-    for off, cnt in zip(offs, cnts):
+    for i, (off, cnt) in enumerate(zip(offs, cnts)):
         strip = payload[off:off + cnt]
         if len(strip) != cnt:
             raise ValueError("truncated TIFF strip")
-        raw += unpackbits(strip) if comp == 32773 else strip
+        if comp == 32773:
+            raw += unpackbits(strip)
+        elif comp == 5:
+            n_rows = min(rows_per, h - i * rows_per)
+            raw += lzw_decode(strip, n_rows * w * spp)
+        else:
+            raw += strip
     need = w * h * spp
     if len(raw) < need:
         raise ValueError("TIFF pixel data shorter than dimensions imply")
     img = np.frombuffer(bytes(raw[:need]), np.uint8).reshape(h, w * spp)
+    if tags.get(_PREDICTOR, [1])[0] == 2:
+        # horizontal differencing: undo with a per-row running sum,
+        # channel-interleaved (stride = samples per pixel)
+        px = img.reshape(h, w, spp) if spp > 1 else img.reshape(h, w, 1)
+        px = (np.cumsum(px, axis=1, dtype=np.uint32) & 0xFF) \
+            .astype(np.uint8)
+        img = px.reshape(h, w * spp)
     if spp in (3, 4):
         # RGBA: alpha (extra sample) ignored, RGB averaged to luma mean
         img = img.reshape(h, w, spp)[:, :, :3].mean(axis=2).astype(np.uint8)
@@ -144,19 +249,33 @@ def tiff_dims(payload: bytes) -> tuple[int, int] | None:
         return None
 
 
-def encode_tiff_gray(img: np.ndarray, use_packbits: bool = False) -> bytes:
-    """(h, w) uint8 → single-strip little-endian grayscale TIFF."""
+def encode_tiff_gray(img: np.ndarray, use_packbits: bool = False,
+                     codec: str | None = None,
+                     predictor: int = 1) -> bytes:
+    """(h, w) uint8 → single-strip little-endian grayscale TIFF.
+    ``codec``: none | packbits | lzw; ``predictor=2`` applies
+    horizontal differencing before compression (the libtiff default
+    pairing with LZW)."""
     h, w = img.shape
-    data = img.astype(np.uint8).tobytes()
-    comp = 1
-    if use_packbits:
-        data, comp = packbits(data), 32773
+    codec = codec or ("packbits" if use_packbits else "none")
+    px = img.astype(np.uint8)
+    if predictor == 2:
+        d = px.astype(np.int16)
+        d[:, 1:] -= px[:, :-1].astype(np.int16)
+        px = (d & 0xFF).astype(np.uint8)
+    data = px.tobytes()
+    comp = {"none": 1, "packbits": 32773, "lzw": 5}[codec]
+    if codec == "packbits":
+        data = packbits(data)
+    elif codec == "lzw":
+        data = lzw_encode(data)
     entries = [
         (_W, 4, 1, w), (_H, 4, 1, h), (_BITS, 3, 1, 8),
         (_COMP, 3, 1, comp), (_PHOTO, 3, 1, 1),
         (_STRIP_OFF, 4, 1, None),        # patched below
         (_SPP, 3, 1, 1), (_ROWS_PER_STRIP, 4, 1, h),
         (_STRIP_CNT, 4, 1, len(data)),
+        (_PREDICTOR, 3, 1, predictor),
     ]
     ifd_off = 8
     data_off = ifd_off + 2 + 12 * len(entries) + 4

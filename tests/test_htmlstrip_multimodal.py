@@ -628,15 +628,49 @@ def test_tiff_bmp_decode():
     assert np.array_equal(decode_image(bmp24),
                           px.mean(axis=2).astype(np.uint8))
 
-    # LZW TIFF and RLE BMP stay loud
+    # deflate TIFF and RLE BMP stay loud
     blob = bytearray(encode_tiff_gray(img))
-    struct.pack_into("<I", blob, 8 + 2 + 12 * 3 + 8, 5)   # comp tag → LZW
-    with pytest.raises(NotImplementedError, match="LZW"):
+    struct.pack_into("<I", blob, 8 + 2 + 12 * 3 + 8, 8)   # comp → deflate
+    with pytest.raises(NotImplementedError, match="deflate"):
         decode_image(bytes(blob))
     blob = bytearray(encode_bmp_gray(img))
     struct.pack_into("<I", blob, 30, 1)                    # BI_RLE8
     with pytest.raises(NotImplementedError, match="compression"):
         decode_image(bytes(blob))
+
+
+def test_tiff_lzw_predictor():
+    """TIFF-variant LZW (MSB-first, early change — the decoder widens
+    one entry before its natural fill because it lags the encoder by
+    one table entry) and the horizontal-differencing predictor, the
+    common libtiff scan pairing.  Property round-trips cross every
+    width boundary and the 4094 table reset."""
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.tiff import (
+        decode_tiff_gray, encode_tiff_gray, lzw_decode, lzw_encode,
+    )
+
+    rng = np.random.default_rng(9)
+    streams = [
+        b"", b"a", b"ab" * 5,
+        bytes(rng.integers(0, 256, 50_000).astype(np.uint8)),  # resets
+        bytes(rng.integers(0, 4, 120_000).astype(np.uint8)),
+        b"the quick brown fox " * 3000,
+    ]
+    for data in streams:
+        assert lzw_decode(lzw_encode(data), len(data)) == data
+
+    img = ((np.arange(120 * 200).reshape(120, 200) % 256)
+           ^ rng.integers(0, 16, (120, 200))).astype(np.uint8)
+    for codec in ("none", "packbits", "lzw"):
+        for pred in (1, 2):
+            blob = encode_tiff_gray(img, codec=codec, predictor=pred)
+            assert np.array_equal(decode_tiff_gray(blob), img), \
+                (codec, pred)
+    # the smooth gradient really compresses under lzw+predictor
+    assert len(encode_tiff_gray(img, codec="lzw", predictor=2)) \
+        < 120 * 200
 
 
 def test_tiff_bmp_real_system_files():
