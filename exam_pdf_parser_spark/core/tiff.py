@@ -1,12 +1,14 @@
 """Minimal baseline-TIFF codec (stdlib only).
 
 Decodes the TIFF shapes a crawl actually serves for scans: first IFD,
-8-bit grayscale or RGB, strip-based, compression **none (1)** or
+8-bit grayscale or RGB, strip-based, compression **none (1)**, **LZW (5)** incl. the
+horizontal-differencing predictor, **deflate (8/32946)** or
 **PackBits (32773)**, little- or big-endian, photometric 0/1/2.
-Tiled TIFF, LZW/JPEG/deflate compression, palettes and multi-page
+Tiled TIFF, JPEG-in-TIFF, palettes and multi-page
 files raise ``NotImplementedError`` loudly — Spark stages quarantine
-per payload.  The encoder writes uncompressed or PackBits grayscale
-for self-contained round trips.
+per payload.  The encoder writes grayscale in any supported codec
+(none/packbits/lzw/deflate, optional predictor) for self-contained
+round trips.
 
 Layout reference: the public TIFF 6.0 specification (header II*\\0 /
 MM\\0*, IFD tag walk, strip offsets/byte-counts).
@@ -202,8 +204,8 @@ def decode_tiff_gray(payload: bytes) -> np.ndarray:
         raise NotImplementedError(f"{bits}-bit TIFF not supported")
     if spp not in (1, 3, 4):
         raise NotImplementedError(f"{spp} samples/pixel not supported")
-    if comp not in (1, 5, 32773):
-        name = {6: "old-JPEG", 7: "JPEG", 8: "deflate"}.get(comp, str(comp))
+    if comp not in (1, 5, 8, 32946, 32773):
+        name = {6: "old-JPEG", 7: "JPEG"}.get(comp, str(comp))
         raise NotImplementedError(f"TIFF compression {name} not supported")
     rows_per = tags.get(_ROWS_PER_STRIP, [h])[0] or h
     raw = bytearray()
@@ -216,6 +218,10 @@ def decode_tiff_gray(payload: bytes) -> np.ndarray:
         elif comp == 5:
             n_rows = min(rows_per, h - i * rows_per)
             raw += lzw_decode(strip, n_rows * w * spp)
+        elif comp in (8, 32946):         # (Adobe-)deflate = zlib strips
+            import zlib
+
+            raw += zlib.decompress(strip)
         else:
             raw += strip
     need = w * h * spp
@@ -264,11 +270,15 @@ def encode_tiff_gray(img: np.ndarray, use_packbits: bool = False,
         d[:, 1:] -= px[:, :-1].astype(np.int16)
         px = (d & 0xFF).astype(np.uint8)
     data = px.tobytes()
-    comp = {"none": 1, "packbits": 32773, "lzw": 5}[codec]
+    comp = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}[codec]
     if codec == "packbits":
         data = packbits(data)
     elif codec == "lzw":
         data = lzw_encode(data)
+    elif codec == "deflate":
+        import zlib
+
+        data = zlib.compress(data)
     entries = [
         (_W, 4, 1, w), (_H, 4, 1, h), (_BITS, 3, 1, 8),
         (_COMP, 3, 1, comp), (_PHOTO, 3, 1, 1),

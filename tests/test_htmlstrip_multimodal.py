@@ -628,10 +628,10 @@ def test_tiff_bmp_decode():
     assert np.array_equal(decode_image(bmp24),
                           px.mean(axis=2).astype(np.uint8))
 
-    # deflate TIFF and RLE BMP stay loud
+    # JPEG-in-TIFF and RLE BMP stay loud
     blob = bytearray(encode_tiff_gray(img))
-    struct.pack_into("<I", blob, 8 + 2 + 12 * 3 + 8, 8)   # comp → deflate
-    with pytest.raises(NotImplementedError, match="deflate"):
+    struct.pack_into("<I", blob, 8 + 2 + 12 * 3 + 8, 7)   # comp → JPEG
+    with pytest.raises(NotImplementedError, match="JPEG"):
         decode_image(bytes(blob))
     blob = bytearray(encode_bmp_gray(img))
     struct.pack_into("<I", blob, 30, 1)                    # BI_RLE8
@@ -663,7 +663,7 @@ def test_tiff_lzw_predictor():
 
     img = ((np.arange(120 * 200).reshape(120, 200) % 256)
            ^ rng.integers(0, 16, (120, 200))).astype(np.uint8)
-    for codec in ("none", "packbits", "lzw"):
+    for codec in ("none", "packbits", "lzw", "deflate"):
         for pred in (1, 2):
             blob = encode_tiff_gray(img, codec=codec, predictor=pred)
             assert np.array_equal(decode_tiff_gray(blob), img), \
