@@ -47,14 +47,11 @@ def wav_info(payload: bytes) -> dict | None:
     codec work; None when not a WAV."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
+    from .avi import riff_chunks
+
     info: dict = {}
-    pos = 12
     end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
-    while pos + 8 <= end:
-        cid = payload[pos:pos + 4]
-        (size,) = struct.unpack_from("<I", payload, pos + 4)
-        body = pos + 8
-        size = min(size, max(0, end - body))
+    for cid, body, size in riff_chunks(payload, 12, end):
         if cid == b"fmt " and size >= 16:
             fmt, nch, rate, _, balign, bits = struct.unpack_from(
                 "<HHIIHH", payload, body)
@@ -63,7 +60,6 @@ def wav_info(payload: bytes) -> dict | None:
         elif cid == b"data":
             info["data_size"] = size
             info["data_off"] = body
-        pos = body + size + (size & 1)
     if "format" not in info or "data_size" not in info:
         return None
     f, bits = info["format"], info["bits_per_sample"]
@@ -111,13 +107,24 @@ def _pcm_to_float(raw: bytes, bits: int, little: bool = True) -> np.ndarray:
     raise NotImplementedError(f"{bits}-bit PCM not supported")
 
 
+_NIBBLE_SWAP = bytes(((b & 0x0F) << 4) | (b >> 4) for b in range(256))
+
+
+def _swap_nibbles(data: bytes) -> bytes:
+    """WAV IMA-ADPCM packs the FIRST sample of each byte into the LOW
+    nibble; ``audioop``'s Intel/DVI routines consume the HIGH nibble
+    first — swap per byte to translate between the two conventions."""
+    return bytes(data).translate(_NIBBLE_SWAP)
+
+
 def _decode_ima_blocks(data: bytes, nch: int, block_align: int) -> bytes:
     """WAV IMA-ADPCM → 16-bit LE PCM.  Each block opens with a 4-byte
     per-channel state header (predictor int16, step index u8, pad);
     ``audioop.adpcm2lin`` implements the same IMA step tables, so
-    seeding its state from the block header reproduces the stream.
-    Mono only (stereo IMA interleaves nibbles per 4-byte group —
-    unsupported, raise loudly)."""
+    seeding its state from the block header reproduces the stream —
+    after the per-byte nibble swap (WAV is low-nibble-first, audioop
+    high-nibble-first).  Mono only (stereo IMA interleaves nibbles per
+    4-byte group — unsupported, raise loudly)."""
     if nch != 1:
         raise NotImplementedError("stereo IMA-ADPCM WAV not supported")
     if block_align < 5:
@@ -128,7 +135,7 @@ def _decode_ima_blocks(data: bytes, nch: int, block_align: int) -> bytes:
         pred, idx = struct.unpack_from("<hB", block, 0)
         idx = min(idx, 88)              # corrupt header index: clamp to
         out += struct.pack("<h", pred)  # the IMA step-table range
-        lin, _ = audioop.adpcm2lin(block[4:], 2, (pred, idx))
+        lin, _ = audioop.adpcm2lin(_swap_nibbles(block[4:]), 2, (pred, idx))
         out += lin
     return bytes(out)
 
@@ -278,7 +285,7 @@ def encode_wav(samples: np.ndarray, rate: int, codec: str = "pcm") -> bytes:
                 rest = rest[:-1]
             nib, st = audioop.lin2adpcm(
                 rest.astype("<i2").tobytes(), 2, (pred, idx))
-            body = struct.pack("<hBB", pred, idx, 0) + nib
+            body = struct.pack("<hBB", pred, idx, 0) + _swap_nibbles(nib)
             idx = st[1]
             chunks.append(body.ljust(balign, b"\x00"))
         data = b"".join(chunks)

@@ -23,9 +23,10 @@ AVI_RIFF_SIG = b"RIFF"
 AVI_FORM = b"AVI "
 
 
-def _chunks(buf: bytes, start: int, end: int):
-    """Yield (fourcc, body_start, body_size) over a chunk run,
-    honoring word alignment."""
+def riff_chunks(buf: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_size) over a RIFF chunk run,
+    honoring word alignment and clamping corrupt lengths to the
+    enclosing scope.  Shared by the AVI and WAV walkers."""
     pos = start
     while pos + 8 <= end:
         fourcc = buf[pos:pos + 4]
@@ -56,7 +57,7 @@ def decode_avi(payload: bytes) -> tuple[list[bytes], dict]:
     frames: list[bytes] = []
 
     def walk(start: int, stop: int) -> None:
-        for fourcc, body, size in _chunks(payload, start, stop):
+        for fourcc, body, size in riff_chunks(payload, start, stop):
             if fourcc == b"LIST":
                 list_type = payload[body:body + 4]
                 if list_type in (b"hdrl", b"strl", b"movi", b"rec "):

@@ -13,8 +13,16 @@ BMP_SIG = b"BM"
 
 
 def bmp_dims(payload: bytes) -> tuple[int, int] | None:
-    """Header-only (w, |h|) probe; None when not a BMP."""
+    """Header-only (w, |h|) probe; None when not a BMP.  Handles both
+    BITMAPINFOHEADER-family (int32 dims at 18) and the OS/2
+    BITMAPCOREHEADER (uint16 dims at 18)."""
     if payload[:2] != BMP_SIG or len(payload) < 26:
+        return None
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size == 12:                   # BITMAPCOREHEADER
+        w, h = struct.unpack_from("<HH", payload, 18)
+        return w, h
+    if hdr_size < 40:                    # unknown header shape
         return None
     w, h = struct.unpack_from("<ii", payload, 18)
     return w, abs(h)
@@ -27,6 +35,11 @@ def decode_bmp_gray(payload: bytes) -> np.ndarray:
         raise ValueError("not a BMP payload")
     (data_off,) = struct.unpack_from("<I", payload, 10)
     hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    if hdr_size == 12:
+        raise NotImplementedError(
+            "OS/2 BITMAPCOREHEADER BMP not supported")
+    if hdr_size < 40:
+        raise ValueError(f"unknown BMP header size {hdr_size}")
     planes, bits = struct.unpack_from("<HH", payload, 26)
     (comp,) = struct.unpack_from("<I", payload, 30)
     if comp not in (0, 3):               # 3 = BI_BITFIELDS (mask 32-bit)

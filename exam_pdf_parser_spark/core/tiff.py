@@ -4,9 +4,10 @@ Decodes the TIFF shapes a crawl actually serves for scans: first IFD,
 8-bit grayscale or RGB, strip-based, compression **none (1)**, **LZW (5)** incl. the
 horizontal-differencing predictor, **deflate (8/32946)** or
 **PackBits (32773)**, little- or big-endian, photometric 0/1/2.
-Tiled TIFF, JPEG-in-TIFF, palettes and multi-page
-files raise ``NotImplementedError`` loudly — Spark stages quarantine
-per payload.  The encoder writes grayscale in any supported codec
+Tiled TIFF, JPEG-in-TIFF, palette/CMYK/YCbCr photometrics raise
+``NotImplementedError`` loudly — Spark stages quarantine per payload.
+Multi-page files decode their FIRST IFD (the Pillow/libtiff default),
+further pages are ignored.  The encoder writes grayscale in any supported codec
 (none/packbits/lzw/deflate, optional predictor) for self-contained
 round trips.
 
@@ -202,6 +203,12 @@ def decode_tiff_gray(payload: bytes) -> np.ndarray:
     photo = tags.get(_PHOTO, [1])[0]
     if bits != 8:
         raise NotImplementedError(f"{bits}-bit TIFF not supported")
+    if photo not in (0, 1, 2):
+        # palette (3) indices, CMYK (5) and YCbCr (6) would decode to
+        # plausible-but-wrong gray without their color transforms
+        name = {3: "palette", 5: "CMYK", 6: "YCbCr"}.get(photo, str(photo))
+        raise NotImplementedError(
+            f"TIFF photometric {name} not supported")
     if spp not in (1, 3, 4):
         raise NotImplementedError(f"{spp} samples/pixel not supported")
     if comp not in (1, 5, 8, 32946, 32773):

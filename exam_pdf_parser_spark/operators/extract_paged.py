@@ -325,4 +325,10 @@ def extract_auto(documents: DataFrame, min_q: int = 1, max_q: int = 50,
         giant_us = (routed.filter(F.col("status") == _PAGE_STATUS)
                     .groupBy("url").agg(F.sum("proc_us").alias("proc_us")))
         giant_done = giant_done.join(giant_us, "url", "left")
-    return done.unionByName(giant_done)
+    result = done.unionByName(giant_done)
+    # cache-lifetime handle: long-lived sessions should release the
+    # routed materialization once the result has been consumed —
+    # result._routed_cache.unpersist() (run_extraction does this after
+    # its durable write) — rather than clearCache()ing everything
+    result._routed_cache = routed
+    return result

@@ -436,11 +436,13 @@ def decode_image(payload: bytes) -> np.ndarray:
     (``core/png.py``), single-frame GIF incl. interlace
     (``core/gif.py``, full variable-width LZW), baseline +
     progressive JPEG (``core/jpeg.py``, Huffman + successive
-    approximation + IDCT, luma plane), baseline TIFF
-    (``core/tiff.py``, none/PackBits strips) and uncompressed BMP
-    (``core/bmp.py``) — all REAL, no raster library.  Remaining
-    formats (WebP, LZW/JPEG TIFF, arithmetic JPEG…) fall back to
-    Pillow when available, else raise loudly."""
+    approximation + IDCT, luma plane), baseline TIFF (``core/tiff.py``
+    — none/LZW+predictor/deflate/PackBits strips; palette/CMYK/YCbCr
+    and JPEG-in-TIFF raise from there, never falling through to
+    Pillow) and BMP (``core/bmp.py``, 8/24/32-bit incl. BI_BITFIELDS)
+    — all REAL, no raster library.  Only containers with no native
+    path (WebP, arithmetic JPEG…) fall back to Pillow when available,
+    else raise loudly."""
     from ..core.bmp import BMP_SIG, decode_bmp_gray
     from ..core.gif import GIF_SIGS, decode_gif_gray
     from ..core.jpeg import decode_jpeg_gray

@@ -443,6 +443,7 @@ def semantic_dedup(
 def lsh_bucketed_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 10,
     n_planes: int = 10, n_tables: int = 4, seed: int = 7,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Scale path: multi-table random-hyperplane LSH prunes the corpus
     before exact cosine scoring.  Each of ``n_tables`` independent
@@ -500,13 +501,17 @@ def lsh_bucketed_topk(
         )).alias("bucket"),
     )
     # Broadcast the PROBE side (queries ≪ corpus is the top-k search
-    # contract: queries × tables × (1 + n_planes) rows).  The corpus
-    # then never shuffles on the bucket key at all — a hot bucket
-    # (near-duplicate-heavy crawl) stays spread across whatever
+    # contract; the probe explode is queries × tables × (1 + n_planes)
+    # rows, 44× at the defaults — size the query set accordingly).
+    # The corpus then never shuffles on the bucket key at all — a hot
+    # bucket (near-duplicate-heavy crawl) stays spread across whatever
     # partitions already hold it, so bucket skew cannot create a
     # straggler task; candidate rows re-spread downstream on the
-    # (query, neighbor) hash of the groupBy.
-    joined = F.broadcast(probes).join(corpus_sig, ["table", "bucket"])
+    # (query, neighbor) hash of the groupBy.  For query sets too large
+    # to broadcast, pass broadcast_queries=False to let AQE choose the
+    # join (restores skew exposure but never OOMs the build side).
+    probe_side = F.broadcast(probes) if broadcast_queries else probes
+    joined = probe_side.join(corpus_sig, ["table", "bucket"])
 
     def _dot(a, b):
         return F.aggregate(

@@ -57,7 +57,8 @@ def completed_buckets(spark: SparkSession, out_dir: str) -> list[int]:
     ]
 
 
-def _commit_manifest(out_dir: str, run_id: str, rows: list[tuple]) -> None:
+def _commit_manifest(out_dir: str, run_id: str, rows: list[tuple],
+                     spark: SparkSession | None = None) -> None:
     """Atomic all-or-nothing manifest append: ONE parquet file per
     run, written under a dot-prefixed temp name (invisible to Spark /
     Hadoop readers) and ``os.rename``'d into place — atomic within a
@@ -68,14 +69,25 @@ def _commit_manifest(out_dir: str, run_id: str, rows: list[tuple]) -> None:
     their own uniquely-named file; duplicate done-rows for a bucket
     are harmless (``completed_buckets`` is a distinct filter).
 
-    Object-store note: S3-style stores lack atomic rename — there,
-    commit through a transactional table format instead (an Iceberg
-    append of the same rows is a single atomic snapshot).
+    Non-local ``out_dir`` (``hdfs://``, ``s3a://``…): the driver-local
+    rename cannot reach it, so the rows commit through Spark as ONE
+    coalesced file — the committer's task-file rename is atomic on
+    HDFS; on S3-style stores (no atomic rename) commit through a
+    transactional table format instead (an Iceberg append of the same
+    rows is a single atomic snapshot).
     """
     import uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    if "://" in out_dir:
+        if spark is None:
+            raise ValueError(
+                "remote out_dir needs the SparkSession to commit")
+        (spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1)
+         .write.mode("append").parquet(os.path.join(out_dir, "manifest")))
+        return
 
     mdir = os.path.join(out_dir, "manifest")
     os.makedirs(mdir, exist_ok=True)
@@ -145,6 +157,13 @@ def run_extraction(
         .repartition(n_buckets, F.col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(ext_path))
     wall_ms = int((time.perf_counter() - t0) * 1000)
+    if route_giants:
+        # the durable write above consumed the routed materialization;
+        # release it so repeated runs in one session don't accumulate
+        # cached extraction output (see extract_auto._routed_cache)
+        cache = getattr(extracted, "_routed_cache", None)
+        if cache is not None:
+            cache.unpersist()
 
     # per-bucket metrics from what was just written (read-back keeps the
     # numbers honest — they describe the durable output, not the plan).
@@ -189,7 +208,7 @@ def run_extraction(
 
     manifest_rows = [row(b) for b in pending_buckets]
     if manifest_rows:
-        _commit_manifest(out_dir, run_id, manifest_rows)
+        _commit_manifest(out_dir, run_id, manifest_rows, spark=spark)
 
     return {
         "run_id": run_id,
