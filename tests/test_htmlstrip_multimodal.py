@@ -746,6 +746,28 @@ def test_compressed_audio_codecs_decode():
         decode_audio_any(b"RIFF" + struct.pack("<I", len(body)) + body)
 
 
+def test_ima_adpcm_low_nibble_first():
+    """Interop pin (review finding): WAV IMA-ADPCM stores each byte's
+    FIRST sample in the LOW nibble; audioop consumes the high nibble
+    first, so the decoder must nibble-swap.  With pred=0, idx=0
+    (step 7), nibble 7 decodes to +11 and nibble 0 to +0 — the byte
+    0x07 (low=7, high=0) must therefore yield samples [11, …], while
+    0x70 yields [0, 11]."""
+    import struct
+
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.audio import _decode_ima_blocks
+
+    def block(byte):
+        return struct.pack("<hBB", 0, 0, 0) + bytes([byte])
+
+    s = np.frombuffer(_decode_ima_blocks(block(0x07), 1, 5), "<i2")
+    t = np.frombuffer(_decode_ima_blocks(block(0x70), 1, 5), "<i2")
+    assert list(s[:2]) == [0, 11]       # pred, then LOW nibble 7
+    assert list(t[:3]) == [0, 0, 11]    # pred, low nibble 0, then 7
+
+
 def test_audio_features_mixed_codecs(spark):
     """wav_audio_features consumes every native codec and quarantines
     the rest — nothing fails the task."""
