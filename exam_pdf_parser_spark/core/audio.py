@@ -55,6 +55,10 @@ def wav_info(payload: bytes) -> dict | None:
         if cid == b"fmt " and size >= 16:
             fmt, nch, rate, _, balign, bits = struct.unpack_from(
                 "<HHIIHH", payload, body)
+            if fmt == 0xFFFE and size >= 40:
+                # WAVE_FORMAT_EXTENSIBLE: the real codec is the first
+                # two GUID bytes of SubFormat (fmt chunk offset 24)
+                (fmt,) = struct.unpack_from("<H", payload, body + 24)
             info.update(format=fmt, channels=nch, rate=rate,
                         block_align=balign, bits_per_sample=bits)
         elif cid == b"data":

@@ -746,6 +746,38 @@ def test_compressed_audio_codecs_decode():
         decode_audio_any(b"RIFF" + struct.pack("<I", len(body)) + body)
 
 
+def test_wav_extensible_24bit_stereo():
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping PCM — the standard
+    container for 24-bit/multichannel WAV — resolves its real codec
+    from the SubFormat GUID and decodes bit-exactly (stereo averaged
+    to mono)."""
+    import struct
+
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.audio import decode_audio_any
+
+    rate, nch = 8000, 2
+    t = np.arange(2000) / rate
+    left = (0.5 * np.sin(2 * np.pi * 440 * t) * 8388607).astype(np.int32)
+    right = (0.25 * np.sin(2 * np.pi * 220 * t) * 8388607).astype(np.int32)
+    inter = np.empty(2 * len(t), np.int32)
+    inter[0::2], inter[1::2] = left, right
+    raw = b"".join(int(v).to_bytes(3, "little", signed=True)
+                   for v in inter)
+    guid_pcm = bytes.fromhex("0100000000001000800000AA00389B71")
+    fmt = (struct.pack("<HHIIHH", 0xFFFE, nch, rate, rate * nch * 3,
+                       nch * 3, 24)
+           + struct.pack("<HHI", 22, 24, 3) + guid_pcm)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(raw)) + raw)
+    x, got_rate = decode_audio_any(
+        b"RIFF" + struct.pack("<I", len(body)) + body)
+    want = (left / 8388608 + right / 8388608) / 2
+    assert got_rate == rate and len(x) == 2000
+    assert float(np.max(np.abs(x - want))) == 0.0
+
+
 def test_ima_adpcm_low_nibble_first():
     """Interop pin (review finding): WAV IMA-ADPCM stores each byte's
     FIRST sample in the LOW nibble; audioop consumes the high nibble
