@@ -28,6 +28,43 @@ def bmp_dims(payload: bytes) -> tuple[int, int] | None:
     return w, abs(h)
 
 
+def _decode_rle8(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 → (h, w) uint8 index rows (file row order, bottom-up
+    like the uncompressed layout).  Escapes: 0,0=end-of-line,
+    0,1=end-of-bitmap, 0,2=delta (skipped cells stay 0), 0,n≥3 =
+    absolute run of n literal bytes (word-aligned)."""
+    out = np.zeros((h, w), np.uint8)
+    row = col = 0
+    i, n = 0, len(data)
+    while i + 1 < n and row < h:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt:                          # encoded run
+            end = min(col + cnt, w)
+            out[row, col:end] = val
+            col = end
+            continue
+        if val == 0:                     # end of line
+            row += 1
+            col = 0
+        elif val == 1:                   # end of bitmap
+            break
+        elif val == 2:                   # delta jump
+            if i + 1 >= n:
+                break
+            col = min(col + data[i], w)
+            row += data[i + 1]
+            i += 2
+        else:                            # absolute mode
+            run = data[i:i + val]
+            end = min(col + len(run), w)
+            out[row, col:end] = np.frombuffer(
+                run[: end - col], np.uint8)
+            col = end
+            i += val + (val & 1)         # word-aligned
+    return out
+
+
 def decode_bmp_gray(payload: bytes) -> np.ndarray:
     """BMP → (h, w) uint8 gray (24-bit BGR averaged; 8-bit mapped
     through its palette's channel mean)."""
@@ -42,21 +79,27 @@ def decode_bmp_gray(payload: bytes) -> np.ndarray:
         raise ValueError(f"unknown BMP header size {hdr_size}")
     planes, bits = struct.unpack_from("<HH", payload, 26)
     (comp,) = struct.unpack_from("<I", payload, 30)
-    if comp not in (0, 3):               # 3 = BI_BITFIELDS (mask 32-bit)
+    if comp not in (0, 1, 3):            # 1 = BI_RLE8, 3 = BI_BITFIELDS
         raise NotImplementedError(f"BMP compression {comp} not supported")
     if bits not in (8, 24, 32):
         raise NotImplementedError(f"{bits}-bit BMP not supported")
     if comp == 3 and bits != 32:
         raise NotImplementedError("BI_BITFIELDS only supported for 32-bit")
+    if comp == 1 and bits != 8:
+        raise NotImplementedError("BI_RLE8 requires 8-bit pixels")
     top_down = h < 0
     h = abs(h)
     row_bytes = (w * bits // 8 + 3) & ~3
-    need = row_bytes * h
-    if data_off + need > len(payload):
-        raise ValueError("BMP pixel data shorter than dimensions imply")
-    rows = np.frombuffer(
-        payload, np.uint8, count=need, offset=data_off).reshape(
-        h, row_bytes)
+    if comp == 1:
+        rows = _decode_rle8(payload[data_off:], w, h)
+        row_bytes = w                    # RLE output is unpadded
+    else:
+        need = row_bytes * h
+        if data_off + need > len(payload):
+            raise ValueError("BMP pixel data shorter than dimensions imply")
+        rows = np.frombuffer(
+            payload, np.uint8, count=need, offset=data_off).reshape(
+            h, row_bytes)
     if bits == 24:
         px = rows[:, : w * 3].reshape(h, w, 3)
         img = px.mean(axis=2).astype(np.uint8)

@@ -141,6 +141,41 @@ def decode_gif_gray(payload: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image block")
 
 
+def gif_frame_count(payload: bytes) -> int | None:
+    """Count image descriptors by walking the block stream (local
+    color tables and LZW sub-blocks skipped, never decoded).  Returns
+    None for a truncated/blockless stream."""
+    try:
+        flags = payload[10]
+        pos = 13 + (3 * (2 << (flags & 7)) if flags & 0x80 else 0)
+        count = 0
+        while pos < len(payload):
+            block = payload[pos]
+            pos += 1
+            if block == 0x3B:            # trailer
+                break
+            if block == 0x21:            # extension
+                pos += 1
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif block == 0x2C:          # image descriptor
+                count += 1
+                lflags = payload[pos + 8]
+                pos += 9
+                if lflags & 0x80:
+                    pos += 3 * (2 << (lflags & 7))
+                pos += 1                 # LZW min code size
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            else:
+                break                    # desynchronized stream
+        return count or None
+    except IndexError:
+        return None
+
+
 def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> bytes:
     """Variable-width GIF LZW: dictionary growth 2^min_code+2 → 4096,
     CLEAR resets, END stops.  Returns exactly ``n_pixels`` bytes."""

@@ -25,7 +25,7 @@ TIFF_SIGS = (b"II*\x00", b"MM\x00*")
 
 _W, _H, _BITS, _COMP, _PHOTO = 256, 257, 258, 259, 262
 _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
-_PREDICTOR = 317
+_PREDICTOR, _COLORMAP = 317, 320
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1, 8: 2, 9: 4, 11: 4}
 
@@ -203,10 +203,12 @@ def decode_tiff_gray(payload: bytes) -> np.ndarray:
     photo = tags.get(_PHOTO, [1])[0]
     if bits != 8:
         raise NotImplementedError(f"{bits}-bit TIFF not supported")
-    if photo not in (0, 1, 2):
-        # palette (3) indices, CMYK (5) and YCbCr (6) would decode to
-        # plausible-but-wrong gray without their color transforms
-        name = {3: "palette", 5: "CMYK", 6: "YCbCr"}.get(photo, str(photo))
+    if photo == 3 and _COLORMAP not in tags:
+        raise ValueError("palette TIFF without a ColorMap tag")
+    if photo not in (0, 1, 2, 3):
+        # CMYK (5) and YCbCr (6) would decode to plausible-but-wrong
+        # gray without their color transforms
+        name = {5: "CMYK", 6: "YCbCr"}.get(photo, str(photo))
         raise NotImplementedError(
             f"TIFF photometric {name} not supported")
     if spp not in (1, 3, 4):
@@ -245,6 +247,16 @@ def decode_tiff_gray(payload: bytes) -> np.ndarray:
     if spp in (3, 4):
         # RGBA: alpha (extra sample) ignored, RGB averaged to luma mean
         img = img.reshape(h, w, spp)[:, :, :3].mean(axis=2).astype(np.uint8)
+    if photo == 3:
+        # palette: ColorMap holds 2^bits 16-bit reds, then greens,
+        # then blues — map indices through the channel-mean gray LUT
+        cmap = np.asarray(tags[_COLORMAP], np.uint32)
+        n = len(cmap) // 3
+        if n < 256:
+            raise ValueError("TIFF ColorMap shorter than index range")
+        lut = ((cmap[:n] + cmap[n:2 * n] + cmap[2 * n:3 * n]) // 3
+               >> 8).astype(np.uint8)
+        img = lut[img]
     if photo == 0:                       # white-is-zero bilevel/gray
         img = (255 - img).astype(np.uint8)
     return img

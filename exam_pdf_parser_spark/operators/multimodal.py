@@ -212,13 +212,16 @@ def _avi_dims(payload: bytes) -> dict | None:
 
 def _gif_dims(payload: bytes) -> dict | None:
     """GIF logical screen descriptor: width/height are LITTLE-endian
-    uint16 at bytes 6-10; frame count is unknown without walking the
-    image blocks, so n_frames stays NULL."""
+    uint16 at bytes 6-10; n_frames counts image descriptors via the
+    block walk (``core/gif.py``, no pixel decode) — NULL for a
+    truncated or descriptor-less stream."""
+    from ..core.gif import gif_frame_count
+
     if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 10:
         return None
     w, h = struct.unpack("<HH", payload[6:10])
-    return {"kind": "image", "width": w, "height": h, "n_frames": None,
-            "valid": "ok"}
+    return {"kind": "image", "width": w, "height": h,
+            "n_frames": gif_frame_count(payload), "valid": "ok"}
 
 
 def extract_metadata(media: DataFrame) -> DataFrame:

@@ -634,9 +634,93 @@ def test_tiff_bmp_decode():
     with pytest.raises(NotImplementedError, match="JPEG"):
         decode_image(bytes(blob))
     blob = bytearray(encode_bmp_gray(img))
-    struct.pack_into("<I", blob, 30, 1)                    # BI_RLE8
+    struct.pack_into("<I", blob, 30, 2)                    # BI_RLE4
     with pytest.raises(NotImplementedError, match="compression"):
         decode_image(bytes(blob))
+
+
+def test_palette_tiff_rle8_bmp_gif_frames():
+    """Round-4 follow-ons: palette TIFF maps through its ColorMap,
+    BI_RLE8 BMP decodes its run stream, GIF metadata counts frames."""
+    import struct
+
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.bmp import _decode_rle8
+    from exam_pdf_parser_spark.core.gif import (
+        encode_gif_gray, gif_frame_count,
+    )
+    from exam_pdf_parser_spark.operators.multimodal import (
+        decode_image, parse_meta,
+    )
+
+    # palette TIFF: hand-built photometric-3 file with an INVERTED
+    # colormap — decoded pixels must be 255 - index
+    rng = np.random.default_rng(6)
+    idx = rng.integers(0, 256, (10, 14)).astype(np.uint8)
+    cmap = np.zeros(768, "<u2")
+    ramp = ((255 - np.arange(256)).astype("<u2")
+            * np.uint16(257))            # 8-bit → full 16-bit range
+    cmap[:256] = cmap[256:512] = cmap[512:] = ramp
+
+    def palette_tiff(idx, cmap):
+        data = idx.tobytes()
+        entries = [(256, 4, 1, idx.shape[1]), (257, 4, 1, idx.shape[0]),
+                   (258, 3, 1, 8), (259, 3, 1, 1), (262, 3, 1, 3),
+                   (273, 4, 1, None), (277, 3, 1, 1),
+                   (279, 4, 1, len(data)), (320, 3, 768, None)]
+        ifd = 8
+        data_off = ifd + 2 + 12 * len(entries) + 4
+        cmap_off = data_off + len(data)
+        out = bytearray(b"II*\x00" + struct.pack("<I", ifd)
+                        + struct.pack("<H", len(entries)))
+        for tag, typ, cnt, val in entries:
+            if tag == 273:
+                val = data_off
+            if tag == 320:
+                val = cmap_off
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+        out += struct.pack("<I", 0) + data + cmap.tobytes()
+        return bytes(out)
+
+    got = decode_image(palette_tiff(idx, cmap))
+    assert np.array_equal(got, (255 - idx).astype(np.uint8))
+
+    # RLE8 stream: encoded run, absolute run, EOL, delta, EOB
+    rle = bytes([3, 7,            # 7 7 7
+                 0, 3, 1, 2, 3, 0,  # absolute 1 2 3 (+pad)
+                 0, 0,            # end of line
+                 0, 2, 2, 1,      # delta: skip 2 cols, 1 row
+                 2, 9,            # 9 9
+                 0, 1])           # end of bitmap
+    out = _decode_rle8(rle, 6, 4)
+    assert out.shape == (4, 6)
+    assert list(out[0]) == [7, 7, 7, 1, 2, 3]
+    assert list(out[2]) == [0, 0, 9, 9, 0, 0]
+
+    # GIF frame counting through parse_meta (encoder emits one frame)
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3)
+    m = parse_meta(encode_gif_gray(img))
+    assert m["n_frames"] == 1
+    assert gif_frame_count(b"GIF89a" + struct.pack("<HH", 3, 3)
+                           + b"\x00\x00\x00") is None
+
+
+def test_gif_real_multiframe_count():
+    """Real-file pin: idlelib ships real GIFs; the frame walk must
+    count their descriptors without decoding pixels."""
+    import glob
+
+    import pytest
+
+    from exam_pdf_parser_spark.core.gif import gif_frame_count
+
+    paths = sorted(glob.glob(
+        "/root/.pyenv/versions/3.11.7/lib/python3.11/idlelib/Icons/*.gif"))
+    if not paths:
+        pytest.skip("no system GIFs present")
+    counts = [gif_frame_count(open(p, "rb").read()) for p in paths[:6]]
+    assert all(c is not None and c >= 1 for c in counts), counts
 
 
 def test_tiff_lzw_predictor():
