@@ -25,7 +25,7 @@ TIFF_SIGS = (b"II*\x00", b"MM\x00*")
 
 _W, _H, _BITS, _COMP, _PHOTO = 256, 257, 258, 259, 262
 _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
-_PREDICTOR, _COLORMAP = 317, 320
+_PREDICTOR, _COLORMAP, _JPEGTABLES = 317, 320, 347
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1, 8: 2, 9: 4, 11: 4}
 
@@ -46,6 +46,11 @@ def _read_ifd(buf: bytes, order: str) -> dict[int, list[int]]:
             off = e + 8
         else:
             (off,) = struct.unpack_from(order + "I", buf, e + 8)
+        if typ in (2, 7):               # ASCII / UNDEFINED → raw bytes
+            if off + size > len(buf):
+                raise ValueError("truncated TIFF: tag value out of range")
+            tags[tag] = buf[off:off + size]
+            continue
         fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
         if fmt is None:
             continue                    # rationals etc. — not needed
@@ -201,6 +206,12 @@ def decode_tiff_gray(payload: bytes) -> np.ndarray:
     spp = tags.get(_SPP, [1])[0]
     bits = tags.get(_BITS, [8])[0]
     photo = tags.get(_PHOTO, [1])[0]
+    if comp == 7:
+        # new-style JPEG-in-TIFF: every strip is a JPEG bitstream
+        # (possibly abbreviated, sharing tables via tag 347) — the
+        # JPEG codec owns bit depth and colorspace, so none of the
+        # guards below apply
+        return _decode_jpeg_strips(payload, tags, w, h, offs, cnts)
     if bits != 8:
         raise NotImplementedError(f"{bits}-bit TIFF not supported")
     if photo == 3 and _COLORMAP not in tags:
@@ -214,7 +225,7 @@ def decode_tiff_gray(payload: bytes) -> np.ndarray:
     if spp not in (1, 3, 4):
         raise NotImplementedError(f"{spp} samples/pixel not supported")
     if comp not in (1, 5, 8, 32946, 32773):
-        name = {6: "old-JPEG", 7: "JPEG"}.get(comp, str(comp))
+        name = {6: "old-JPEG"}.get(comp, str(comp))
         raise NotImplementedError(f"TIFF compression {name} not supported")
     rows_per = tags.get(_ROWS_PER_STRIP, [h])[0] or h
     raw = bytearray()
@@ -260,6 +271,36 @@ def decode_tiff_gray(payload: bytes) -> np.ndarray:
     if photo == 0:                       # white-is-zero bilevel/gray
         img = (255 - img).astype(np.uint8)
     return img
+
+
+def _decode_jpeg_strips(payload: bytes, tags: dict, w: int, h: int,
+                        offs: list[int], cnts: list[int]) -> np.ndarray:
+    """Compression-7 strips → stacked luma plane via ``core/jpeg.py``.
+    Abbreviated strips get the shared JPEGTables (tag 347) spliced in
+    after their SOI; duplicate table definitions are legal (the later
+    one wins), so full streams pass through the splice unchanged."""
+    from .jpeg import decode_jpeg_gray
+
+    tables = tags.get(_JPEGTABLES)
+    if tables is not None and (
+            tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9"):
+        raise ValueError("JPEGTables without SOI/EOI framing")
+    strips = []
+    for off, cnt in zip(offs, cnts):
+        blob = payload[off:off + cnt]
+        if len(blob) != cnt:
+            raise ValueError("truncated TIFF strip")
+        if blob[:2] != b"\xff\xd8":
+            raise ValueError("JPEG strip without SOI")
+        if tables is not None and len(tables) > 4:
+            blob = tables[:-2] + blob[2:]
+        strips.append(decode_jpeg_gray(bytes(blob)))
+    if any(s.shape[1] < w for s in strips):
+        raise ValueError("JPEG strip narrower than the TIFF width")
+    img = np.vstack([s[:, :w] for s in strips])
+    if img.shape[0] < h:
+        raise ValueError("JPEG strips shorter than the TIFF height")
+    return np.ascontiguousarray(img[:h])
 
 
 def tiff_dims(payload: bytes) -> tuple[int, int] | None:

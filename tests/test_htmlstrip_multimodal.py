@@ -628,10 +628,10 @@ def test_tiff_bmp_decode():
     assert np.array_equal(decode_image(bmp24),
                           px.mean(axis=2).astype(np.uint8))
 
-    # JPEG-in-TIFF and RLE BMP stay loud
+    # old-style JPEG TIFF and RLE4 BMP stay loud
     blob = bytearray(encode_tiff_gray(img))
-    struct.pack_into("<I", blob, 8 + 2 + 12 * 3 + 8, 7)   # comp → JPEG
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    struct.pack_into("<I", blob, 8 + 2 + 12 * 3 + 8, 6)   # comp → old-JPEG
+    with pytest.raises(NotImplementedError, match="old-JPEG"):
         decode_image(bytes(blob))
     blob = bytearray(encode_bmp_gray(img))
     struct.pack_into("<I", blob, 30, 2)                    # BI_RLE4
@@ -704,6 +704,97 @@ def test_palette_tiff_rle8_bmp_gif_frames():
     assert m["n_frames"] == 1
     assert gif_frame_count(b"GIF89a" + struct.pack("<HH", 3, 3)
                            + b"\x00\x00\x00") is None
+
+
+def test_jpeg_in_tiff_strips():
+    """Compression-7 TIFF: every strip is a JPEG stream decoded by
+    core/jpeg.py — both self-contained strips and abbreviated strips
+    sharing their tables through tag 347."""
+    import struct
+
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.jpeg import encode_jpeg_gray
+    from exam_pdf_parser_spark.core.tiff import decode_tiff_gray
+
+    def jpeg_segments(blob):
+        """Split a JPEG stream into (marker, whole_segment) pieces."""
+        segs, i = [], 2
+        while i + 4 <= len(blob):
+            assert blob[i] == 0xFF
+            marker = blob[i + 1]
+            if marker == 0xDA:           # SOS: rest of stream
+                segs.append((marker, blob[i:]))
+                break
+            ln = struct.unpack(">H", blob[i + 2:i + 4])[0]
+            segs.append((marker, blob[i:i + 2 + ln]))
+            i += 2 + ln
+        return segs
+
+    rng = np.random.default_rng(8)
+    img = ((np.arange(48 * 64).reshape(48, 64) * 5) % 256).astype(np.uint8)
+    rows_per = 16
+    strips = [encode_jpeg_gray(img[r:r + rows_per])
+              for r in range(0, 48, rows_per)]
+
+    def jpeg_tiff(strip_blobs, tables=None):
+        entries = [(256, 4, 1, 64), (257, 4, 1, 48), (258, 3, 1, 8),
+                   (259, 3, 1, 7), (262, 3, 1, 1),
+                   (273, 4, len(strip_blobs), None),
+                   (277, 3, 1, 1), (278, 4, 1, rows_per),
+                   (279, 4, len(strip_blobs), None)]
+        if tables is not None:
+            entries.append((347, 7, len(tables), None))
+        ifd = 8
+        arr_off = ifd + 2 + 12 * len(entries) + 4
+        off_arr = arr_off
+        cnt_arr = off_arr + 4 * len(strip_blobs)
+        tab_off = cnt_arr + 4 * len(strip_blobs)
+        data_off = tab_off + (len(tables) if tables is not None else 0)
+        offs, pos = [], data_off
+        for s in strip_blobs:
+            offs.append(pos)
+            pos += len(s)
+        out = bytearray(b"II*\x00" + struct.pack("<I", ifd)
+                        + struct.pack("<H", len(entries)))
+        for tag, typ, cnt, val in entries:
+            if tag == 273:
+                val = off_arr
+            elif tag == 279:
+                val = cnt_arr
+            elif tag == 347:
+                val = tab_off
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+        out += struct.pack("<I", 0)
+        out += b"".join(struct.pack("<I", o) for o in offs)
+        out += b"".join(struct.pack("<I", len(s)) for s in strip_blobs)
+        if tables is not None:
+            out += tables
+        return bytes(out + b"".join(strip_blobs))
+
+    # self-contained strips: the TIFF plumbing must reproduce exactly
+    # the stacked per-strip JPEG decodes (codec loss is the codec's)
+    from exam_pdf_parser_spark.core.jpeg import decode_jpeg_gray
+
+    dec = decode_tiff_gray(jpeg_tiff(strips))
+    assert dec.shape == (48, 64)
+    want = np.vstack([decode_jpeg_gray(s) for s in strips])
+    assert np.array_equal(dec, want)
+    assert float(np.mean(np.abs(dec.astype(float) - img))) < 16.0
+
+    # abbreviated strips: DQT/DHT hoisted into JPEGTables (tag 347)
+    segs0 = jpeg_segments(strips[0])
+    tables = (b"\xff\xd8"
+              + b"".join(s for m, s in segs0 if m in (0xDB, 0xC4))
+              + b"\xff\xd9")
+    abbreviated = [
+        b"\xff\xd8" + b"".join(
+            s for m, s in jpeg_segments(blob) if m not in (0xDB, 0xC4))
+        for blob in strips
+    ]
+    assert all(len(a) < len(s) for a, s in zip(abbreviated, strips))
+    dec2 = decode_tiff_gray(jpeg_tiff(abbreviated, tables=tables))
+    assert np.array_equal(dec2, dec)     # same pixels, shared tables
 
 
 def test_gif_real_multiframe_count():
