@@ -98,7 +98,8 @@ def parse_meta(payload: bytes) -> dict:
         return {"kind": kind, "width": w, "height": h, "n_frames": f,
                 "valid": "ok"}
     for probe in (_png_dims, _jpeg_dims, _gif_dims, _tiff_bmp_dims,
-                  _avi_dims, _wav_meta, _aiff_au_meta):
+                  _webp_dims, _avi_dims, _wav_meta, _aiff_au_meta,
+                  _mp3_meta, _ogg_meta):
         meta = probe(payload)
         if meta is not None:
             return meta
@@ -195,6 +196,90 @@ def _tiff_bmp_dims(payload: bytes) -> dict | None:
         return None
     return {"kind": "image", "width": dims[0], "height": dims[1],
             "n_frames": 1, "valid": "ok"}
+
+
+def _webp_dims(payload: bytes) -> dict | None:
+    """WebP header dims without any VP8 decode: RIFF/WEBP container
+    with VP8 (lossy frame header), VP8L (lossless signature word) or
+    VP8X (extended canvas) payloads."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP" \
+            or len(payload) < 30:
+        return None
+    four = payload[12:16]
+    try:
+        if four == b"VP8 ":
+            # lossy: 3-byte frame tag, then 0x9D012A sync, then dims
+            if payload[23:26] != b"\x9d\x01\x2a":
+                raise ValueError
+            w, h = struct.unpack("<HH", payload[26:30])
+            return {"kind": "image", "width": w & 0x3FFF,
+                    "height": h & 0x3FFF, "n_frames": 1, "valid": "ok"}
+        if four == b"VP8L":
+            if payload[20] != 0x2F:      # lossless signature byte
+                raise ValueError
+            (bits,) = struct.unpack("<I", payload[21:25])
+            return {"kind": "image", "width": (bits & 0x3FFF) + 1,
+                    "height": ((bits >> 14) & 0x3FFF) + 1,
+                    "n_frames": 1, "valid": "ok"}
+        if four == b"VP8X":
+            w = int.from_bytes(payload[24:27], "little") + 1
+            h = int.from_bytes(payload[27:30], "little") + 1
+            return {"kind": "image", "width": w, "height": h,
+                    "n_frames": None, "valid": "ok"}
+    except Exception:
+        pass
+    return {"kind": "image", "width": None, "height": None,
+            "n_frames": None, "valid": "corrupt"}
+
+
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                 224, 256, 320, 0)              # MPEG-1 Layer III, kbps
+_MP3_RATES = (44100, 48000, 32000, 0)
+
+
+def _mp3_meta(payload: bytes) -> dict | None:
+    """MPEG audio frame-header metadata (no decode): sample rate,
+    channels, and a duration-derived frame estimate from the first
+    MPEG-1 Layer III sync found near the head (ID3v2 tags skipped)."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14) \
+            | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
+        pos = 10 + size
+    sync = payload.find(b"\xff", pos, pos + 4096)
+    if sync < 0 or sync + 4 > len(payload):
+        return None
+    h = payload[sync:sync + 4]
+    if (h[1] & 0xE0) != 0xE0:
+        return None
+    version = (h[1] >> 3) & 0x03         # 3 = MPEG-1
+    layer = (h[1] >> 1) & 0x03           # 1 = Layer III
+    if version != 3 or layer != 1:
+        return None
+    bitrate = _MP3_BITRATES[(h[2] >> 4) & 0x0F] * 1000
+    rate = _MP3_RATES[(h[2] >> 2) & 0x03]
+    if not bitrate or not rate:
+        return None
+    channels = 1 if ((h[3] >> 6) & 0x03) == 3 else 2
+    # 1152 samples per MPEG-1 Layer III frame
+    frame_bytes = 144 * bitrate // rate
+    n_frames = (len(payload) - sync) // max(1, frame_bytes) * 1152
+    return {"kind": "audio", "width": rate, "height": channels,
+            "n_frames": n_frames, "valid": "ok"}
+
+
+def _ogg_meta(payload: bytes) -> dict | None:
+    """Ogg/Vorbis identification header → rate/channels (no decode)."""
+    if payload[:4] != b"OggS":
+        return None
+    idx = payload.find(b"\x01vorbis", 0, 512)
+    if idx < 0 or idx + 16 > len(payload):
+        return {"kind": "audio", "width": None, "height": None,
+                "n_frames": None, "valid": "corrupt"}
+    channels = payload[idx + 11]
+    (rate,) = struct.unpack_from("<I", payload, idx + 12)
+    return {"kind": "audio", "width": rate, "height": channels,
+            "n_frames": None, "valid": "ok"}
 
 
 def _avi_dims(payload: bytes) -> dict | None:

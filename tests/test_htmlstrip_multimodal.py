@@ -871,6 +871,59 @@ def test_tiff_bmp_real_system_files():
     assert a.std() > 0          # real content, not a flat fill
 
 
+def test_header_meta_for_undecodable_formats():
+    """WebP / MP3 / Ogg payloads can't pixel/sample-decode here (no
+    stdlib codec), but parse_meta reads their REAL headers: dims from
+    VP8/VP8L/VP8X, rate+channels+frame estimate from the MPEG frame
+    header (ID3 skipped), rate+channels from the Vorbis ident."""
+    import os
+    import struct
+
+    from exam_pdf_parser_spark.operators.multimodal import parse_meta
+
+    # real-file pin: same stdlib logo as the BMP/TIFF pins, as VP8X
+    p = ("/root/.pyenv/versions/3.13.0/lib/python3.13/test/"
+         "test_email/data/python.webp")
+    if os.path.exists(p):
+        m = parse_meta(open(p, "rb").read())
+        assert (m["kind"], m["width"], m["height"], m["valid"]) == \
+            ("image", 16, 16, "ok")
+
+    # synthetic lossy VP8 header
+    vp8 = (b"RIFF" + struct.pack("<I", 40) + b"WEBP" + b"VP8 "
+           + struct.pack("<I", 20) + b"\x00" * 3 + b"\x9d\x01\x2a"
+           + struct.pack("<HH", 320, 240) + b"\x00" * 8)
+    m = parse_meta(vp8)
+    assert (m["kind"], m["width"], m["height"]) == ("image", 320, 240)
+
+    # synthetic VP8L signature word: (w-1) in 14 bits, (h-1) next 14
+    bits = (127 - 1) | ((63 - 1) << 14)
+    vp8l = (b"RIFF" + struct.pack("<I", 30) + b"WEBP" + b"VP8L"
+            + struct.pack("<I", 10) + b"\x2f" + struct.pack("<I", bits)
+            + b"\x00" * 8)
+    m = parse_meta(vp8l)
+    assert (m["width"], m["height"]) == (127, 63)
+
+    # MPEG-1 Layer III header: 128 kbps, 44100 Hz, stereo
+    mp3 = b"\xff\xfb\x90\x00" + b"\x00" * 2000
+    m = parse_meta(mp3)
+    assert (m["kind"], m["width"], m["height"], m["valid"]) == \
+        ("audio", 44100, 2, "ok")
+    assert m["n_frames"] > 0
+
+    # ID3v2-prefixed variant still finds the frame
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 + mp3
+    assert parse_meta(id3)["width"] == 44100
+
+    # Ogg/Vorbis identification header
+    ident = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([1])
+             + struct.pack("<I", 22050) + b"\x00" * 16)
+    ogg = b"OggS" + b"\x00" * 22 + b"\x01\x1e" + ident
+    m = parse_meta(ogg)
+    assert (m["kind"], m["width"], m["height"], m["valid"]) == \
+        ("audio", 22050, 1, "ok")
+
+
 def test_compressed_audio_codecs_decode():
     """Round-4+ follow-on to the mp3/ogg gap: every audio codec the
     stdlib genuinely carries now decodes — G.711 µ-law/a-law and mono
