@@ -1,13 +1,14 @@
 """Minimal baseline-TIFF codec (stdlib only).
 
-Decodes the TIFF shapes a crawl actually serves for scans: first IFD,
-8-bit grayscale or RGB, strip-based, compression **none (1)**, **LZW (5)** incl. the
-horizontal-differencing predictor, **deflate (8/32946)** or
-**PackBits (32773)**, little- or big-endian, photometric 0/1/2.
-Tiled TIFF, JPEG-in-TIFF, palette/CMYK/YCbCr photometrics raise
-``NotImplementedError`` loudly — Spark stages quarantine per payload.
-Multi-page files decode their FIRST IFD (the Pillow/libtiff default),
-further pages are ignored.  The encoder writes grayscale in any supported codec
+Decodes the TIFF shapes a crawl actually serves for scans: first
+IFD, 8-bit grayscale/RGB/RGBA/palette, strip-based, compression
+**none (1)**, **LZW (5)** incl. the horizontal-differencing
+predictor, **new-style JPEG (7)** (strips through ``core/jpeg.py``,
+shared tag-347 tables spliced), **deflate (8/32946)** or **PackBits
+(32773)**, little- or big-endian.  Tiled TIFF, old-style JPEG and
+CMYK/YCbCr photometrics raise ``NotImplementedError`` loudly — Spark
+stages quarantine per payload.  Multi-page files decode their FIRST
+IFD (the Pillow/libtiff default), further pages are ignored.  The encoder writes grayscale in any supported codec
 (none/packbits/lzw/deflate, optional predictor) for self-contained
 round trips.
 

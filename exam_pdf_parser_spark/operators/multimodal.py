@@ -524,10 +524,11 @@ def decode_image(payload: bytes) -> np.ndarray:
     (``core/png.py``), single-frame GIF incl. interlace
     (``core/gif.py``, full variable-width LZW), baseline +
     progressive JPEG (``core/jpeg.py``, Huffman + successive
-    approximation + IDCT, luma plane), baseline TIFF (``core/tiff.py``
-    — none/LZW+predictor/deflate/PackBits strips; palette/CMYK/YCbCr
-    and JPEG-in-TIFF raise from there, never falling through to
-    Pillow) and BMP (``core/bmp.py``, 8/24/32-bit incl. BI_BITFIELDS)
+    approximation + IDCT, luma plane), TIFF (``core/tiff.py`` —
+    none/LZW+predictor/JPEG-strips/deflate/PackBits, gray/RGB/RGBA/
+    palette; CMYK/YCbCr raise from there, never falling through to
+    Pillow) and BMP (``core/bmp.py``, 8/24/32-bit incl. BI_BITFIELDS
+    and RLE8)
     — all REAL, no raster library.  Only containers with no native
     path (WebP, arithmetic JPEG…) fall back to Pillow when available,
     else raise loudly."""
