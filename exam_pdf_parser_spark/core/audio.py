@@ -153,10 +153,13 @@ def _decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
         warnings.simplefilter("ignore", DeprecationWarning)
         import aifc
 
-        with aifc.open(io.BytesIO(payload)) as af:
-            nch, width = af.getnchannels(), af.getsampwidth()
-            rate = int(af.getframerate())
-            raw = af.readframes(af.getnframes())
+        try:
+            with aifc.open(io.BytesIO(payload)) as af:
+                nch, width = af.getnchannels(), af.getsampwidth()
+                rate = int(af.getframerate())
+                raw = af.readframes(af.getnframes())
+        except aifc.Error as e:   # normalize to the documented type
+            raise ValueError(f"corrupt AIFF: {e}") from e
     # aifc decompresses ulaw/alaw/G722 to linear frames itself;
     # PCM frames are BIG-endian
     x = _pcm_to_float(raw, width * 8, little=False)

@@ -871,6 +871,66 @@ def test_tiff_bmp_real_system_files():
     assert a.std() > 0          # real content, not a flat fill
 
 
+def test_codec_fuzz_no_hang_no_silent_success():
+    """Quarantine contract across EVERY codec: random, truncated and
+    bit-flipped payloads must raise a controlled exception quickly —
+    never hang, loop, or return a plausible decode of garbage.  (The
+    Spark stages turn these raises into valid='corrupt' rows.)"""
+    import warnings
+
+    import numpy as np
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+    from exam_pdf_parser_spark.core.audio import decode_audio_any
+    from exam_pdf_parser_spark.core.avi import decode_avi
+    from exam_pdf_parser_spark.core.bmp import decode_bmp_gray
+    from exam_pdf_parser_spark.core.gif import decode_gif_gray
+    from exam_pdf_parser_spark.core.jpeg import decode_jpeg_gray
+    from exam_pdf_parser_spark.core.png import decode_png_gray
+    from exam_pdf_parser_spark.core.tiff import decode_tiff_gray
+
+    decoders = [decode_png_gray, decode_gif_gray, decode_jpeg_gray,
+                decode_tiff_gray, decode_bmp_gray, decode_avi,
+                decode_audio_any]
+    ok_errors = (ValueError, NotImplementedError, KeyError, IndexError,
+                 EOFError, OSError, struct_error := __import__(
+                     "struct").error, audioop.error, ZeroDivisionError,
+                 __import__("zlib").error)
+
+    rng = np.random.default_rng(123)
+    sigs = [b"\x89PNG\r\n\x1a\n", b"GIF89a", b"\xff\xd8\xff",
+            b"II*\x00", b"MM\x00*", b"BM", b"RIFF????AVI ",
+            b"RIFF????WAVE", b"FORM????AIFF", b".snd", b""]
+    payloads = []
+    for sig in sigs:
+        for n in (0, 3, 17, 256):
+            payloads.append(sig + bytes(
+                rng.integers(0, 256, n).astype(np.uint8)))
+    # bit-flipped versions of real encodes
+    from exam_pdf_parser_spark.core.audio import encode_wav
+    from exam_pdf_parser_spark.core.bmp import encode_bmp_gray
+    from exam_pdf_parser_spark.core.tiff import encode_tiff_gray
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    sine = 0.2 * np.sin(np.arange(500) / 9.0)
+    for blob in (encode_tiff_gray(img, codec="lzw"),
+                 encode_bmp_gray(img), encode_wav(sine, 8000, "adpcm")):
+        for _ in range(6):
+            b = bytearray(blob)
+            for _ in range(4):
+                b[rng.integers(0, len(b))] ^= 1 << rng.integers(0, 8)
+            payloads.append(bytes(b))
+            payloads.append(bytes(b[: rng.integers(1, len(b))]))
+
+    for payload in payloads:
+        for dec in decoders:
+            try:
+                dec(payload)   # a lucky decode of a flipped byte is fine
+            except ok_errors:
+                pass           # controlled failure — the contract
+
+
 def test_header_meta_for_undecodable_formats():
     """WebP / MP3 / Ogg payloads can't pixel/sample-decode here (no
     stdlib codec), but parse_meta reads their REAL headers: dims from
