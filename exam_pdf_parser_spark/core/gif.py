@@ -81,33 +81,55 @@ def _lzw_uncompressed(data: bytes) -> bytes:
 
 # --- decoder -------------------------------------------------------------------
 
-def decode_gif_gray(payload: bytes) -> np.ndarray:
-    """First frame of a GIF → (h, w) uint8 grayscale (BT.601 luma)."""
+def _pal_luma(table: bytes) -> np.ndarray:
+    pal = np.frombuffer(table, dtype=np.uint8).reshape(-1, 3)
+    return ((pal[:, 0].astype(np.uint32) * 299
+             + pal[:, 1].astype(np.uint32) * 587
+             + pal[:, 2].astype(np.uint32) * 114) // 1000
+            ).astype(np.uint8)
+
+
+def _iter_gif_frames(payload: bytes):
+    """Yield every image descriptor as
+    (left, top, luma_subrect, transparent_mask_or_None, disposal) plus
+    the screen header first: the generator's first yield is
+    ('screen', sw, sh, bg_luma_or_None)."""
     if payload[:6] not in GIF_SIGS:
         raise ValueError("not a GIF payload")
     pos = 6
-    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[pos:pos + 7])
+    sw, sh, flags, bg, _ar = struct.unpack("<HHBBB", payload[pos:pos + 7])
     pos += 7
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
         gct = payload[pos:pos + 3 * n]
         pos += 3 * n
+    bg_luma = None
+    if gct is not None and bg < len(gct) // 3:
+        bg_luma = int(_pal_luma(gct)[bg])
+    yield ("screen", sw, sh, bg_luma)
 
+    disposal, transparent = 0, None
     while pos < len(payload):
         block = payload[pos]
         pos += 1
         if block == 0x3B:               # trailer
             break
         if block == 0x21:               # extension: label + sub-blocks
+            label = payload[pos]
             pos += 1
+            if label == 0xF9 and payload[pos] >= 4:
+                gflags = payload[pos + 1]
+                disposal = (gflags >> 2) & 0x07
+                transparent = payload[pos + 4] if gflags & 1 else None
             while payload[pos] != 0:
                 pos += 1 + payload[pos]
             pos += 1
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
-        _l, _t, w, h, iflags = struct.unpack("<HHHHB", payload[pos:pos + 9])
+        left, top, w, h, iflags = struct.unpack(
+            "<HHHHB", payload[pos:pos + 9])
         pos += 9
         table = gct
         if iflags & 0x80:               # local color table
@@ -124,21 +146,68 @@ def decode_gif_gray(payload: bytes) -> np.ndarray:
             stream += payload[pos + 1:pos + 1 + ln]
             pos += 1 + ln
         pos += 1
-        idx = _lzw_decode(bytes(stream), min_code, w * h)
-        pal = np.frombuffer(table, dtype=np.uint8).reshape(-1, 3)
-        luma = ((pal[:, 0].astype(np.uint32) * 299
-                 + pal[:, 1].astype(np.uint32) * 587
-                 + pal[:, 2].astype(np.uint32) * 114) // 1000
-                ).astype(np.uint8)
-        img = luma[np.frombuffer(idx, dtype=np.uint8)].reshape(h, w)
+        idx = np.frombuffer(
+            _lzw_decode(bytes(stream), min_code, w * h),
+            dtype=np.uint8)
+        img = _pal_luma(table)[idx].reshape(h, w)
+        mask = (idx.reshape(h, w) == transparent) \
+            if transparent is not None else None
         if iflags & 0x40:               # 4-pass interlace row order
             order = ([*range(0, h, 8)] + [*range(4, h, 8)]
                      + [*range(2, h, 4)] + [*range(1, h, 2)])
             out = np.empty_like(img)
             out[order] = img
-            return out
+            img = out
+            if mask is not None:
+                m2 = np.empty_like(mask)
+                m2[order] = mask
+                mask = m2
+        yield (left, top, img, mask, disposal)
+        disposal, transparent = 0, None   # GCE applies to ONE image
+
+
+def decode_gif_gray(payload: bytes) -> np.ndarray:
+    """First frame of a GIF → (h, w) uint8 grayscale (BT.601 luma),
+    the frame's own subrectangle (no canvas compositing)."""
+    it = _iter_gif_frames(payload)
+    next(it)                             # screen header
+    for _left, _top, img, _mask, _disp in it:
         return img
     raise ValueError("GIF contains no image block")
+
+
+def decode_gif_frames(payload: bytes,
+                      max_frames: int | None = None) -> list[np.ndarray]:
+    """Animated GIF → full-canvas luma frames with compositing:
+    subrectangles paste at their offsets, transparent pixels keep the
+    previous canvas, disposal 2 restores the background in the frame
+    rect and disposal 3 restores the pre-frame canvas.  The canvas
+    starts at the background color (0 when the header names none)."""
+    it = _iter_gif_frames(payload)
+    _tag, sw, sh, bg_luma = next(it)
+    canvas = np.full((sh, sw), bg_luma or 0, dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    for left, top, img, mask, disposal in it:
+        h, w = img.shape
+        b, r = min(top + h, sh), min(left + w, sw)
+        sub = img[: b - top, : r - left]
+        prev = canvas.copy() if disposal == 3 else None
+        region = canvas[top:b, left:r]
+        if mask is not None:
+            m = mask[: b - top, : r - left]
+            region[~m] = sub[~m]
+        else:
+            region[:] = sub
+        frames.append(canvas.copy())
+        if disposal == 2:
+            canvas[top:b, left:r] = bg_luma or 0
+        elif disposal == 3 and prev is not None:
+            canvas = prev
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ValueError("GIF contains no image block")
+    return frames
 
 
 def gif_frame_count(payload: bytes) -> int | None:

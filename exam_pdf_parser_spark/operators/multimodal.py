@@ -580,14 +580,19 @@ def decode_video(payload: bytes) -> list[np.ndarray]:
     video library.  Every other container (mp4/webm/mkv — inter-frame
     codecs with no stdlib path) stays a fail-loud stub."""
     from ..core.avi import decode_avi
+    from ..core.gif import GIF_SIGS, decode_gif_frames
 
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         frames, _ = decode_avi(payload)
         return [decode_image(f) for f in frames]
+    if payload[:6] in GIF_SIGS:
+        # animated GIF: canvas-composited frames (transparency and
+        # disposal honored) — a single-frame GIF yields one frame
+        return decode_gif_frames(payload)
     raise NotImplementedError(
-        "only MJPEG-in-AVI decodes natively (core/avi.py + "
-        "core/jpeg.py); mp4/webm/mkv need real inter-frame codecs "
-        "absent from this environment — fail-loud by design")
+        "only MJPEG-in-AVI and animated GIF decode natively "
+        "(core/{avi,gif,jpeg}.py); mp4/webm/mkv need real inter-frame "
+        "codecs absent from this environment — fail-loud by design")
 
 
 VIDEO_FRAME_FEATURE_SCHEMA = StructType([

@@ -797,6 +797,66 @@ def test_jpeg_in_tiff_strips():
     assert np.array_equal(dec2, dec)     # same pixels, shared tables
 
 
+def test_animated_gif_frames_composite():
+    """decode_gif_frames composits subrectangles, transparency and
+    disposal onto the canvas; decode_video treats animated GIFs as a
+    native video container."""
+    import struct
+
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.gif import (
+        _lzw_uncompressed, decode_gif_frames, decode_gif_gray,
+    )
+    from exam_pdf_parser_spark.operators.multimodal import decode_video
+
+    gct = bytes(v for i in range(256) for v in (i, i, i))  # luma == idx
+    header = (b"GIF89a" + struct.pack("<HHBBB", 10, 10, 0x80 | 7, 0, 0)
+              + gct)
+
+    def img_block(left, top, w, h, indices):
+        return (b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+                + bytes([8]) + _lzw_uncompressed(bytes(indices)))
+
+    def gce(disposal=0, transparent=None):
+        flags = ((disposal & 7) << 2) | (1 if transparent is not None
+                                         else 0)
+        return (b"\x21\xf9\x04" + bytes([flags]) + b"\x00\x00"
+                + bytes([transparent or 0]) + b"\x00")
+
+    f1 = img_block(0, 0, 10, 10, [100] * 100)
+    f2 = gce(disposal=1) + img_block(2, 3, 4, 4, [200] * 16)
+    f3_idx = [7, 50, 7, 50, 7, 50, 7, 50, 7]     # 3×3, 7 = transparent
+    f3 = gce(transparent=7) + img_block(0, 0, 3, 3, f3_idx)
+    payload = header + f1 + f2 + f3 + b"\x3b"
+
+    frames = decode_gif_frames(payload)
+    assert len(frames) == 3
+    assert (frames[0] == 100).all()
+    assert (frames[1][3:7, 2:6] == 200).all()
+    assert frames[1][0, 0] == 100                 # disposal 1 kept f1
+    got3 = frames[2][:3, :3]
+    want3 = np.array([[100, 50, 100], [50, 100, 50], [100, 50, 100]])
+    assert np.array_equal(got3, want3)            # transparency holes
+    assert (frames[2][3:7, 2:6] == 200).all()     # rest untouched
+
+    # disposal 2 restores background after the frame is emitted
+    f2d = gce(disposal=2) + img_block(2, 3, 4, 4, [200] * 16)
+    frames_d = decode_gif_frames(header + f1 + f2d + f2 + b"\x3b")
+    assert (frames_d[1][3:7, 2:6] == 200).all()   # visible in its frame
+    # the NEXT frame pastes over a background-restored region; outside
+    # the repasted rect the background (index 0) shows through
+    assert frames_d[2][3, 1] == 100               # untouched column
+
+    # decode_video dispatches GIF animations
+    vid = decode_video(payload)
+    assert len(vid) == 3 and np.array_equal(vid[0], frames[0])
+
+    # single-frame equivalence with the first-frame decoder
+    assert np.array_equal(decode_gif_gray(payload),
+                          decode_gif_frames(payload, max_frames=1)[0])
+
+
 def test_gif_real_multiframe_count():
     """Real-file pin: idlelib ships real GIFs; the frame walk must
     count their descriptors without decoding pixels."""

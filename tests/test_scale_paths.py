@@ -164,6 +164,23 @@ def test_minhash_band_cap_drops_no_pairs(spark):
     assert capped == uncapped
 
 
+def test_block_grid_exchanges_resist_aqe_coalescing(spark):
+    """The guard's whole point dies if AQE fuses the tiny-input grid
+    join back into one partition (measured WORSE than unguarded in
+    BENCH_SCALING.md) — both grid sides must shuffle with the
+    numbered-repartition origin, which AQE never coalesces."""
+    from exam_pdf_parser_spark.operators.dedupe import block_grid_self_join
+
+    sigs = spark.createDataFrame(
+        [(i, 0, i % 3) for i in range(50)],
+        "doc_id: long, table: int, bucket: long")
+    plan = block_grid_self_join(
+        sigs, "doc_id", ["table", "bucket"], "a", "b", 5,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("REPARTITION_BY_NUM") == 2
+    assert "REPARTITION_BY_COL" not in plan
+
+
 def test_simhash_chunk_cap_drops_no_pairs(spark):
     """Same guard, SimHash path: identical docs share every chunk key;
     capped and uncapped pigeonhole joins must emit the same pairs."""
