@@ -218,3 +218,66 @@ def test_png_roundtrip_any_shape(w, h, seed):
     img = np.random.default_rng(seed).integers(
         0, 256, size=(h, w), dtype=np.uint8)
     assert (decode_png_gray(encode_png_gray(img)) == img).all()
+
+
+@given(st.binary(max_size=4000))
+@settings(max_examples=150, deadline=None)
+def test_packbits_roundtrip_any_bytes(data):
+    from exam_pdf_parser_spark.core.tiff import packbits, unpackbits
+
+    assert unpackbits(packbits(data)) == data
+
+
+@given(st.binary(max_size=6000))
+@settings(max_examples=100, deadline=None)
+def test_tiff_lzw_roundtrip_any_bytes(data):
+    from exam_pdf_parser_spark.core.tiff import lzw_decode, lzw_encode
+
+    assert lzw_decode(lzw_encode(data), len(data)) == data
+
+
+@given(st.integers(1, 48), st.integers(1, 48), st.integers(0, 2**32 - 1),
+       st.sampled_from(["none", "packbits", "lzw", "deflate"]),
+       st.sampled_from([1, 2]))
+@settings(max_examples=40, deadline=None)
+def test_tiff_roundtrip_any_shape_codec(w, h, seed, codec, predictor):
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.tiff import (
+        decode_tiff_gray, encode_tiff_gray,
+    )
+
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w), dtype=np.uint8)
+    blob = encode_tiff_gray(img, codec=codec, predictor=predictor)
+    assert (decode_tiff_gray(blob) == img).all()
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_any_shape(w, h, seed):
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.bmp import (
+        decode_bmp_gray, encode_bmp_gray,
+    )
+
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w), dtype=np.uint8)
+    assert (decode_bmp_gray(encode_bmp_gray(img)) == img).all()
+
+
+@given(st.integers(100, 3000), st.integers(0, 2**32 - 1),
+       st.sampled_from(["pcm", "ulaw", "alaw"]))
+@settings(max_examples=40, deadline=None)
+def test_wav_codec_roundtrip_any_signal(n, seed, codec):
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.audio import decode_audio_any, encode_wav
+
+    rng = np.random.default_rng(seed)
+    x = np.clip(rng.normal(0, 0.25, n), -0.999, 0.999)
+    dec, rate = decode_audio_any(encode_wav(x, 8000, codec))
+    assert rate == 8000 and len(dec) == n
+    tol = 1e-3 if codec == "pcm" else 0.06   # G.711 quantization
+    assert float(np.max(np.abs(dec - x))) < tol
