@@ -122,25 +122,42 @@ def _swap_nibbles(data: bytes) -> bytes:
 
 
 def _decode_ima_blocks(data: bytes, nch: int, block_align: int) -> bytes:
-    """WAV IMA-ADPCM → 16-bit LE PCM.  Each block opens with a 4-byte
-    per-channel state header (predictor int16, step index u8, pad);
-    ``audioop.adpcm2lin`` implements the same IMA step tables, so
-    seeding its state from the block header reproduces the stream —
-    after the per-byte nibble swap (WAV is low-nibble-first, audioop
-    high-nibble-first).  Mono only (stereo IMA interleaves nibbles per
-    4-byte group — unsupported, raise loudly)."""
-    if nch != 1:
-        raise NotImplementedError("stereo IMA-ADPCM WAV not supported")
-    if block_align < 5:
+    """WAV IMA-ADPCM → 16-bit LE interleaved PCM.  Each block opens
+    with a 4-byte state header per channel (predictor int16, step
+    index u8, pad); ``audioop.adpcm2lin`` implements the same IMA step
+    tables, so seeding its state from the block header reproduces the
+    stream — after the per-byte nibble swap (WAV is low-nibble-first,
+    audioop high-nibble-first).  Stereo blocks interleave the channels
+    in 4-byte (8-nibble) groups after the headers."""
+    if nch not in (1, 2):
+        raise NotImplementedError(f"{nch}-channel IMA-ADPCM not supported")
+    if block_align < 4 * nch + 1:
         raise ValueError(f"IMA-ADPCM block_align {block_align} too small")
     out = bytearray()
-    for off in range(0, len(data) - 3, block_align):
+    for off in range(0, len(data) - 4 * nch + 1, block_align):
         block = data[off:off + block_align]
-        pred, idx = struct.unpack_from("<hB", block, 0)
-        idx = min(idx, 88)              # corrupt header index: clamp to
-        out += struct.pack("<h", pred)  # the IMA step-table range
-        lin, _ = audioop.adpcm2lin(_swap_nibbles(block[4:]), 2, (pred, idx))
-        out += lin
+        states = []
+        for c in range(nch):
+            pred, idx = struct.unpack_from("<hB", block, 4 * c)
+            states.append((pred, min(idx, 88)))   # clamp corrupt index
+        body = block[4 * nch:]
+        if nch == 1:
+            out += struct.pack("<h", states[0][0])
+            lin, _ = audioop.adpcm2lin(_swap_nibbles(body), 2, states[0])
+            out += lin
+            continue
+        groups = len(body) // 8
+        arr = np.frombuffer(body[: groups * 8], np.uint8) \
+            .reshape(groups, 2, 4)
+        chans = []
+        for c, st in enumerate(states):
+            lin, _ = audioop.adpcm2lin(
+                _swap_nibbles(arr[:, c, :].tobytes()), 2, st)
+            chans.append(np.concatenate(
+                [np.array([st[0]], "<i2"), np.frombuffer(lin, "<i2")]))
+        inter = np.empty(2 * len(chans[0]), "<i2")
+        inter[0::2], inter[1::2] = chans[0], chans[1]
+        out += inter.tobytes()
     return bytes(out)
 
 

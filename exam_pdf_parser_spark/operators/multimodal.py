@@ -463,7 +463,7 @@ def encode_audio_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     """REAL audio decode (``core/audio.py``, stdlib only): → (mono
     float64 samples in [-1, 1], sample rate).  Supported: WAV with
-    PCM 8/16/24/32-bit, G.711 µ-law/a-law, and mono IMA-ADPCM (the
+    PCM 8/16/24/32-bit, G.711 µ-law/a-law, and IMA-ADPCM (the
     RIFF fmt chunk is walked directly — the stdlib ``wave`` module
     refuses non-PCM); AIFF/AIFF-C; Sun AU (µ-law/a-law/PCM).
     Multi-channel input is averaged to mono.  mp3/ogg/aac need

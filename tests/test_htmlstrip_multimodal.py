@@ -1126,6 +1126,66 @@ def test_wav_extensible_24bit_stereo():
     assert float(np.max(np.abs(x - want))) == 0.0
 
 
+def test_stereo_ima_adpcm_wav():
+    """Stereo IMA-ADPCM interleaves channels in 4-byte nibble groups
+    after two state headers; the decoder must de-interleave, decode
+    each channel with its own state, and re-interleave."""
+    import struct
+    import warnings
+
+    import numpy as np
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+    from exam_pdf_parser_spark.core.audio import (
+        _swap_nibbles, decode_audio_any,
+    )
+
+    rate, n = 8000, 2041                 # one full block + partial
+    t = np.arange(n) / rate
+    left = (0.5 * np.sin(2 * np.pi * 330 * t) * 32767).astype("<i2")
+    right = (0.25 * np.sin(2 * np.pi * 550 * t) * 32767).astype("<i2")
+
+    # build the stereo blocks the way a standard muxer does
+    balign = 2048
+    samples_per_block = (balign - 8) // 8 * 8 + 1
+    blocks = []
+    states = [None, None]
+    for off in range(0, n, samples_per_block):
+        hdr = b""
+        chan_nibs = []
+        for c, chan in enumerate((left, right)):
+            blk = chan[off:off + samples_per_block]
+            pred = int(blk[0])
+            idx = states[c][1] if states[c] else 0
+            hdr += struct.pack("<hBB", pred, idx, 0)
+            rest = blk[1:]
+            if len(rest) % 8:
+                rest = rest[: len(rest) - len(rest) % 8]
+            nib, st = audioop.lin2adpcm(
+                rest.astype("<i2").tobytes(), 2, (pred, idx))
+            states[c] = st
+            chan_nibs.append(_swap_nibbles(nib))
+        groups = min(len(x) // 4 for x in chan_nibs)
+        body = b"".join(chan_nibs[0][g * 4:g * 4 + 4]
+                        + chan_nibs[1][g * 4:g * 4 + 4]
+                        for g in range(groups))
+        blocks.append((hdr + body).ljust(balign, b"\x00"))
+    data = b"".join(blocks)
+    fmt = struct.pack("<HHIIHH", 17, 2, rate, rate, balign, 4)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    x, got_rate = decode_audio_any(blob)
+    assert got_rate == rate
+    want = (left.astype(float) + right.astype(float)) / 2 / 32768
+    m = min(len(x), n) - 100
+    err = float(np.max(np.abs(x[100:m] - want[100:m])))
+    assert err < 0.06, err               # ADPCM quantization only
+
+
 def test_ima_adpcm_low_nibble_first():
     """Interop pin (review finding): WAV IMA-ADPCM stores each byte's
     FIRST sample in the LOW nibble; audioop consumes the high nibble
