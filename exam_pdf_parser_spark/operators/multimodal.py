@@ -1,21 +1,26 @@
 """Multimodal column handling: image/audio/video as opaque ``binary``
 columns with typed metadata, processed in Arrow batches.
 
-The IMAGE path is fully real: PNG, GIF and baseline/progressive JPEG
-decode via the repo's stdlib codecs (``core/{png,gif,jpeg}.py``), with
-genuine pixel features (``image_pixel_features``) and pixel-level
-block-mean resize.  The AUDIO path is real for PCM WAV (stdlib
-``wave``): ``decode_audio`` + ``wav_audio_features`` (duration, RMS,
-peak, zero crossings).  The VIDEO path is real for MJPEG-in-AVI
-(round 4): ``core/avi.py`` walks the RIFF container and each frame
-decodes through the stdlib JPEG codec — header meta (``parse_meta``),
-``decode_video`` and per-frame ``video_frame_features`` (dims, mean
-intensity, motion) with image-style quarantine.  Compressed audio
-(mp3/ogg/aac) and inter-frame video (mp4/webm/mkv) need codecs the
-container doesn't ship — those stay honestly stubbed
-(``NotImplementedError``), while everything Spark-side is real and
-tested: schemas, batch shapes, ``mapInPandas`` signatures,
-partitioning, and a codec-free byte-histogram embedding.
+The IMAGE path is fully real: PNG, GIF (incl. animation
+compositing), baseline/progressive JPEG, TIFF (none/LZW+predictor/
+JPEG-strips/deflate/PackBits, gray/RGB/RGBA/palette) and BMP
+(8/24/32-bit, BI_BITFIELDS, RLE8) decode via the repo's stdlib codecs
+(``core/{png,gif,jpeg,tiff,bmp}.py``), with genuine pixel features
+(``image_pixel_features``) and pixel-level block-mean resize.  The
+AUDIO path (``core/audio.py``): WAV PCM 8/16/24/32 +
+WAVE_FORMAT_EXTENSIBLE, G.711 µ-law/a-law, mono+stereo IMA-ADPCM,
+AIFF/AIFF-C, Sun AU — ``decode_audio`` + ``wav_audio_features``
+(duration, RMS, peak, zero crossings).  The VIDEO path: MJPEG-in-AVI
+(``core/avi.py`` RIFF walk + per-frame JPEG) and animated GIF —
+``decode_video`` + per-frame ``video_frame_features`` (dims, mean
+intensity, motion) with image-style quarantine.  ``parse_meta`` also
+reads real headers for formats whose PAYLOAD cannot decode here:
+WebP dims, MP3 frame header, Ogg/Vorbis ident.  Perceptual codecs
+(mp3/ogg/aac samples, mp4/webm/mkv, WebP pixels) have no stdlib path
+— those stay honestly stubbed (``NotImplementedError``), while
+everything Spark-side is real and tested: schemas, batch shapes,
+``mapInPandas`` signatures, partitioning, and a codec-free
+byte-histogram embedding.
 
 XMED1 payload format (synthetic): b"XMED1" + kind(1B: I/A/V) +
 width(2B) + height(2B) + n_frames(2B) + body bytes (seeded).
