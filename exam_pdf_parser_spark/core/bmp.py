@@ -1,6 +1,8 @@
-"""Minimal BMP codec (stdlib only): uncompressed 8-bit-palette and
-24-bit Windows bitmaps (BITMAPINFOHEADER), bottom-up or top-down rows,
-4-byte row padding.  RLE/16/32-bit variants raise loudly.  Layout
+"""Minimal BMP codec (stdlib only): 8-bit-palette (uncompressed or
+BI_RLE8), 24-bit, and 32-bit (BI_RGB or BI_BITFIELDS channel masks)
+Windows bitmaps with BITMAPINFOHEADER-family headers, bottom-up or
+top-down rows, 4-byte row padding.  RLE4, 16-bit, and OS/2
+BITMAPCOREHEADER files raise loudly (dims still probe).  Layout
 reference: the public BMP file-format description."""
 
 from __future__ import annotations
@@ -91,7 +93,10 @@ def decode_bmp_gray(payload: bytes) -> np.ndarray:
     h = abs(h)
     row_bytes = (w * bits // 8 + 3) & ~3
     if comp == 1:
-        rows = _decode_rle8(payload[data_off:], w, h)
+        rle = payload[data_off:]
+        if len(rle) < 2:
+            raise ValueError("BMP RLE8 stream missing or empty")
+        rows = _decode_rle8(rle, w, h)
         row_bytes = w                    # RLE output is unpadded
     else:
         need = row_bytes * h

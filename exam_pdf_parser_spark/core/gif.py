@@ -189,15 +189,19 @@ def decode_gif_frames(payload: bytes,
     frames: list[np.ndarray] = []
     for left, top, img, mask, disposal in it:
         h, w = img.shape
-        b, r = min(top + h, sh), min(left + w, sw)
-        sub = img[: b - top, : r - left]
+        # clamp to the logical screen: a frame placed partly or fully
+        # outside it contributes only its intersection (a fully-off
+        # frame still emits the unchanged canvas)
+        b, r = max(top, min(top + h, sh)), max(left, min(left + w, sw))
         prev = canvas.copy() if disposal == 3 else None
-        region = canvas[top:b, left:r]
-        if mask is not None:
-            m = mask[: b - top, : r - left]
-            region[~m] = sub[~m]
-        else:
-            region[:] = sub
+        if b > top and r > left:
+            sub = img[: b - top, : r - left]
+            region = canvas[top:b, left:r]
+            if mask is not None:
+                m = mask[: b - top, : r - left]
+                region[~m] = sub[~m]
+            else:
+                region[:] = sub
         frames.append(canvas.copy())
         if disposal == 2:
             canvas[top:b, left:r] = bg_luma or 0

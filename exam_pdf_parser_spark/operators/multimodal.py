@@ -93,10 +93,13 @@ def media_corpus(spark: SparkSession, n: int, seed: int = 42,
 
 def parse_meta(payload: bytes) -> dict:
     """Decode the typed header: the synthetic container, plus REAL
-    header-only metadata for PNG (IHDR), JPEG (SOF0/SOF2 frame
-    header), and GIF (logical screen descriptor).  Dimensions need no
-    pixel codec — only the decode of non-PNG pixel DATA remains
-    stubbed (``decode_image``)."""
+    header-only metadata for every recognized format — PNG IHDR, JPEG
+    SOF, GIF screen descriptor + frame count, TIFF first IFD, BMP,
+    WebP (VP8/VP8L/VP8X), AVI avih, WAV fmt (incl. compressed
+    codecs), AIFF, AU, MP3 frame header, Ogg first packet.  Header
+    probes never need a pixel/sample codec; see ``decode_image`` /
+    ``decode_audio`` / ``decode_video`` for what PAYLOAD decode
+    covers."""
     if payload[:5] == MAGIC and len(payload) >= 12:
         kind = KINDS.get(chr(payload[5]))
         w, h, f = struct.unpack(">HHH", payload[6:12])
@@ -208,25 +211,25 @@ def _webp_dims(payload: bytes) -> dict | None:
     with VP8 (lossy frame header), VP8L (lossless signature word) or
     VP8X (extended canvas) payloads."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP" \
-            or len(payload) < 30:
+            or len(payload) < 16:
         return None
     four = payload[12:16]
     try:
-        if four == b"VP8 ":
+        if four == b"VP8 " and len(payload) >= 30:
             # lossy: 3-byte frame tag, then 0x9D012A sync, then dims
             if payload[23:26] != b"\x9d\x01\x2a":
                 raise ValueError
             w, h = struct.unpack("<HH", payload[26:30])
             return {"kind": "image", "width": w & 0x3FFF,
                     "height": h & 0x3FFF, "n_frames": 1, "valid": "ok"}
-        if four == b"VP8L":
+        if four == b"VP8L" and len(payload) >= 25:
             if payload[20] != 0x2F:      # lossless signature byte
                 raise ValueError
             (bits,) = struct.unpack("<I", payload[21:25])
             return {"kind": "image", "width": (bits & 0x3FFF) + 1,
                     "height": ((bits >> 14) & 0x3FFF) + 1,
                     "n_frames": 1, "valid": "ok"}
-        if four == b"VP8X":
+        if four == b"VP8X" and len(payload) >= 30:
             w = int.from_bytes(payload[24:27], "little") + 1
             h = int.from_bytes(payload[27:30], "little") + 1
             return {"kind": "image", "width": w, "height": h,
@@ -251,20 +254,25 @@ def _mp3_meta(payload: bytes) -> dict | None:
         size = ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14) \
             | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
         pos = 10 + size
-    sync = payload.find(b"\xff", pos, pos + 4096)
-    if sync < 0 or sync + 4 > len(payload):
-        return None
-    h = payload[sync:sync + 4]
-    if (h[1] & 0xE0) != 0xE0:
-        return None
-    version = (h[1] >> 3) & 0x03         # 3 = MPEG-1
-    layer = (h[1] >> 1) & 0x03           # 1 = Layer III
-    if version != 3 or layer != 1:
-        return None
+    # scan FORWARD through the window: stray 0xFF bytes in leading
+    # junk must not end the probe before the real frame sync
+    h = None
+    search = pos
+    while True:
+        sync = payload.find(b"\xff", search, pos + 4096)
+        if sync < 0 or sync + 4 > len(payload):
+            return None
+        cand = payload[sync:sync + 4]
+        if (cand[1] & 0xE0) == 0xE0 \
+                and ((cand[1] >> 3) & 0x03) == 3 \
+                and ((cand[1] >> 1) & 0x03) == 1 \
+                and _MP3_BITRATES[(cand[2] >> 4) & 0x0F] \
+                and _MP3_RATES[(cand[2] >> 2) & 0x03]:
+            h = cand
+            break
+        search = sync + 1
     bitrate = _MP3_BITRATES[(h[2] >> 4) & 0x0F] * 1000
     rate = _MP3_RATES[(h[2] >> 2) & 0x03]
-    if not bitrate or not rate:
-        return None
     channels = 1 if ((h[3] >> 6) & 0x03) == 3 else 2
     # 1152 samples per MPEG-1 Layer III frame
     frame_bytes = 144 * bitrate // rate
@@ -274,17 +282,32 @@ def _mp3_meta(payload: bytes) -> dict | None:
 
 
 def _ogg_meta(payload: bytes) -> dict | None:
-    """Ogg/Vorbis identification header → rate/channels (no decode)."""
+    """Ogg container: codec-aware first-packet probe — Vorbis and
+    Opus report rate/channels, FLAC/Speex report as audio and Theora
+    as video with null parameters; unknown codecs stay corrupt."""
     if payload[:4] != b"OggS":
         return None
-    idx = payload.find(b"\x01vorbis", 0, 512)
-    if idx < 0 or idx + 16 > len(payload):
+    head = payload[:512]
+    idx = head.find(b"\x01vorbis")
+    if idx >= 0 and idx + 16 <= len(payload):
+        channels = payload[idx + 11]
+        (rate,) = struct.unpack_from("<I", payload, idx + 12)
+        return {"kind": "audio", "width": rate, "height": channels,
+                "n_frames": None, "valid": "ok"}
+    idx = head.find(b"OpusHead")
+    if idx >= 0 and idx + 16 <= len(payload):
+        channels = payload[idx + 9]
+        (rate,) = struct.unpack_from("<I", payload, idx + 12)
+        return {"kind": "audio", "width": rate, "height": channels,
+                "n_frames": None, "valid": "ok"}
+    if head.find(b"\x7fFLAC") >= 0 or head.find(b"Speex   ") >= 0:
         return {"kind": "audio", "width": None, "height": None,
-                "n_frames": None, "valid": "corrupt"}
-    channels = payload[idx + 11]
-    (rate,) = struct.unpack_from("<I", payload, idx + 12)
-    return {"kind": "audio", "width": rate, "height": channels,
-            "n_frames": None, "valid": "ok"}
+                "n_frames": None, "valid": "ok"}
+    if head.find(b"\x80theora") >= 0:
+        return {"kind": "video", "width": None, "height": None,
+                "n_frames": None, "valid": "ok"}
+    return {"kind": None, "width": None, "height": None,
+            "n_frames": None, "valid": "corrupt"}
 
 
 def _avi_dims(payload: bytes) -> dict | None:
@@ -369,6 +392,10 @@ def byte_histogram_features(media: DataFrame, bins: int = 16) -> DataFrame:
     return src.mapInPandas(run, FEATURE_SCHEMA)
 
 
+class _PassThrough(Exception):
+    """Internal: route a resize_media row through unchanged."""
+
+
 def resize_media(media: DataFrame, scale_num: int = 1,
                  scale_den: int = 2) -> DataFrame:
     """Resize stage: emits payloads with scaled dimensions and a
@@ -386,27 +413,32 @@ def resize_media(media: DataFrame, scale_num: int = 1,
             for mid, kind, payload in zip(
                     pdf["media_id"], pdf["kind"], pdf["payload"]):
                 payload = bytes(payload)
-                meta = parse_meta(payload)
-                if meta["valid"] != "ok":
-                    # corrupt payloads pass through untouched (nothing
-                    # is silently dropped; metadata stage flags them)
-                    rows["media_id"].append(int(mid))
-                    rows["kind"].append(kind)
-                    rows["payload"].append(payload)
-                    continue
-                # header fields are uint16 — clamp upscales
-                w = min(65535, max(1, meta["width"] * scale_num // scale_den))
-                h = min(65535, max(1, meta["height"] * scale_num // scale_den))
-                body = payload[12:]
-                stride = max(1, scale_den // max(1, scale_num))
-                new_body = body[::stride]
-                k = {v: kk for kk, v in KINDS.items()}[meta["kind"]]
+                try:
+                    meta = parse_meta(payload)
+                    # only the synthetic XMED container is re-headered
+                    # here (real formats resize via resize_images);
+                    # everything else — including corrupt payloads —
+                    # passes through untouched, nothing is dropped
+                    if payload[:5] != MAGIC or meta["valid"] != "ok":
+                        raise _PassThrough
+                    # header fields are uint16 — clamp upscales
+                    w = min(65535, max(
+                        1, meta["width"] * scale_num // scale_den))
+                    h = min(65535, max(
+                        1, meta["height"] * scale_num // scale_den))
+                    body = payload[12:]
+                    stride = max(1, scale_den // max(1, scale_num))
+                    k = {v: kk for kk, v in KINDS.items()}[meta["kind"]]
+                    out_payload = (
+                        MAGIC + k.encode()
+                        + struct.pack(">HHH", w, h,
+                                      min(65535, meta["n_frames"] or 0))
+                        + body[::stride])
+                except Exception:   # quarantine contract: never fail
+                    out_payload = payload
                 rows["media_id"].append(int(mid))
                 rows["kind"].append(kind)
-                rows["payload"].append(
-                    MAGIC + k.encode()
-                    + struct.pack(">HHH", w, h, meta["n_frames"])
-                    + new_body)
+                rows["payload"].append(out_payload)
             if rows["media_id"]:
                 yield pd.DataFrame(rows)
 

@@ -931,6 +931,65 @@ def test_tiff_bmp_real_system_files():
     assert a.std() > 0          # real content, not a flat fill
 
 
+def test_review_regressions_round4b(spark):
+    """Second review pass pins: resize_media never crashes on real-
+    format payloads (quarantine contract), empty RLE8 raises instead
+    of fabricating black pixels, off-screen GIF frames clamp, Opus
+    probes as audio, and a stray 0xFF before the MP3 sync is skipped."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from exam_pdf_parser_spark.core.bmp import (
+        decode_bmp_gray, encode_bmp_gray,
+    )
+    from exam_pdf_parser_spark.core.gif import (
+        _lzw_uncompressed, decode_gif_frames,
+    )
+    from exam_pdf_parser_spark.operators.multimodal import (
+        MEDIA_SCHEMA, parse_meta, resize_media,
+    )
+
+    # resize_media passes real-format and weird-meta payloads through
+    mp3 = b"\xff\xfb\x90\x00" + b"\x00" * 4000       # n_frames huge
+    ogg = b"OggS" + b"\x00" * 22 + b"\x01\x13" + b"OpusHead" \
+        + bytes([1, 2]) + b"\x00\x00" + struct.pack("<I", 48000) + b"\x00"
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(mp3)), (2, "audio", bytearray(ogg))],
+        MEDIA_SCHEMA)
+    out = {r["media_id"]: bytes(r["payload"])
+           for r in resize_media(media).collect()}
+    assert out[1] == mp3 and out[2] == ogg           # untouched, no crash
+
+    # Opus identifies as playable audio
+    m = parse_meta(ogg)
+    assert (m["kind"], m["width"], m["height"], m["valid"]) == \
+        ("audio", 48000, 2, "ok")
+    # stray 0xFF before the real sync is skipped
+    assert parse_meta(b"\xff\x00junk" + mp3)["width"] == 44100
+
+    # empty RLE8 stream raises (no fabricated black image)
+    blob = bytearray(encode_bmp_gray(
+        np.zeros((4, 4), np.uint8)))
+    struct.pack_into("<I", blob, 30, 1)              # comp → RLE8
+    struct.pack_into("<I", blob, 10, len(blob))      # data_off → EOF
+    with pytest.raises(ValueError, match="RLE8"):
+        decode_bmp_gray(bytes(blob))
+
+    # GIF frame fully below the screen: canvas emitted unchanged
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    header = (b"GIF89a" + struct.pack("<HHBBB", 6, 6, 0x80 | 7, 0, 0)
+              + gct)
+    inside = (b"\x2c" + struct.pack("<HHHHB", 0, 0, 6, 6, 0)
+              + bytes([8]) + _lzw_uncompressed(bytes([9] * 36)))
+    below = (b"\x2c" + struct.pack("<HHHHB", 0, 12, 3, 3, 0)
+             + bytes([8]) + _lzw_uncompressed(bytes([1] * 9)))
+    frames = decode_gif_frames(header + inside + below + b"\x3b")
+    assert len(frames) == 2
+    assert np.array_equal(frames[0], frames[1])      # no-op paste
+
+
 def test_codec_fuzz_no_hang_no_silent_success():
     """Quarantine contract across EVERY codec: random, truncated and
     bit-flipped payloads must raise a controlled exception quickly —
