@@ -101,6 +101,10 @@ def _dispatch(spark, args) -> int:
         quarantine_table(ext).write.mode("overwrite").parquet(
             f"{args.output}/quarantine")
         stats = ext.groupBy("status").count().collect()
+        if giant:
+            from .operators.extract_paged import release_routed_cache
+            release_routed_cache(ext)
+        ext.unpersist()
         print(json.dumps({"command": "extract",
                           "status": {r["status"]: r["count"] for r in stats}}))
         return 0

@@ -244,10 +244,19 @@ def extract_auto(documents: DataFrame, min_q: int = 1, max_q: int = 50,
     share ONE materialization instead of re-scanning the source: the
     cache holds extraction RESULTS plus the rare giant pages (a few
     percent of input size at web scale), never the raw input table.
-    Spark evicts it LRU; callers running many jobs in one session can
-    ``spark.catalog.clearCache()`` between them.  Only the rare giant
-    pages cross the wire in the spread shuffle, and AQE coalesces the
-    exchange when no giants exist.
+    Only the rare giant pages cross the wire in the spread shuffle,
+    and AQE coalesces the exchange when no giants exist.
+
+    **Cache lifetime (long-lived sessions)**: the persist is
+    MEMORY_AND_DISK, and LRU eviction reclaims the memory tier only —
+    disk blocks stay until unpersisted.  The returned DataFrame
+    carries the handle as ``result._routed_cache``; once the result
+    has been fully consumed (written, collected), release it with
+    :func:`release_routed_cache` (or
+    ``result._routed_cache.unpersist()``).  ``run_extraction`` and the
+    CLI do this after their durable writes; any other caller that runs
+    many extractions in one session must do the same or accumulate
+    disk-backed cache blocks.
 
     ``with_timing=True`` appends ``proc_us`` (matching
     ``extract(with_timing=True)``, the manifest pipeline's per-bucket
@@ -332,3 +341,14 @@ def extract_auto(documents: DataFrame, min_q: int = 1, max_q: int = 50,
     # its durable write) — rather than clearCache()ing everything
     result._routed_cache = routed
     return result
+
+
+def release_routed_cache(result: DataFrame) -> None:
+    """Unpersist the routed materialization attached to an
+    :func:`extract_auto` result (no-op for plain ``extract`` output,
+    or if already released).  Call once the result has been consumed;
+    see the cache-lifetime note in :func:`extract_auto`."""
+    cache = getattr(result, "_routed_cache", None)
+    if cache is not None:
+        cache.unpersist()
+        result._routed_cache = None

@@ -105,9 +105,12 @@ def parse_meta(payload: bytes) -> dict:
         w, h, f = struct.unpack(">HHH", payload[6:12])
         return {"kind": kind, "width": w, "height": h, "n_frames": f,
                 "valid": "ok"}
+    # _mp3_meta runs LAST: its sync word is only 11 bits, so it is the
+    # weakest magic of the set — any container with an early 0xFF Ex
+    # byte pair must get claimed by its real probe first.
     for probe in (_png_dims, _jpeg_dims, _gif_dims, _tiff_bmp_dims,
                   _webp_dims, _avi_dims, _wav_meta, _aiff_au_meta,
-                  _mp3_meta, _ogg_meta):
+                  _ogg_meta, _mp3_meta):
         meta = probe(payload)
         if meta is not None:
             return meta
@@ -245,10 +248,32 @@ _MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
 _MP3_RATES = (44100, 48000, 32000, 0)
 
 
+def _mp3_frame_len(payload: bytes, pos: int) -> int | None:
+    """Frame length in bytes iff a valid MPEG-1 Layer III frame header
+    starts at POS (incl. the padding bit), else None."""
+    if pos + 4 > len(payload):
+        return None
+    h = payload[pos:pos + 4]
+    if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0 \
+            or ((h[1] >> 3) & 0x03) != 3 or ((h[1] >> 1) & 0x03) != 1:
+        return None
+    bitrate = _MP3_BITRATES[(h[2] >> 4) & 0x0F]
+    rate = _MP3_RATES[(h[2] >> 2) & 0x03]
+    if not bitrate or not rate:
+        return None
+    return 144 * bitrate * 1000 // rate + ((h[2] >> 1) & 0x01)
+
+
 def _mp3_meta(payload: bytes) -> dict | None:
     """MPEG audio frame-header metadata (no decode): sample rate,
     channels, and a duration-derived frame estimate from the first
-    MPEG-1 Layer III sync found near the head (ID3v2 tags skipped)."""
+    MPEG-1 Layer III sync found near the head (ID3v2 tags skipped).
+
+    The 11-bit sync is weak — ~1-in-8 random blobs carry one 0xFF
+    Ex pair somewhere in a 4 KB window — so a lone header is NOT
+    accepted: a second consecutive valid frame header must sit exactly
+    at ``sync + frame_len`` (the defining self-consistency of an MPEG
+    frame stream) before the payload is reported as audio."""
     pos = 0
     if payload[:3] == b"ID3" and len(payload) >= 10:
         size = ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14) \
@@ -256,26 +281,22 @@ def _mp3_meta(payload: bytes) -> dict | None:
         pos = 10 + size
     # scan FORWARD through the window: stray 0xFF bytes in leading
     # junk must not end the probe before the real frame sync
-    h = None
+    sync = None
     search = pos
     while True:
-        sync = payload.find(b"\xff", search, pos + 4096)
-        if sync < 0 or sync + 4 > len(payload):
+        cand = payload.find(b"\xff", search, pos + 4096)
+        if cand < 0:
             return None
-        cand = payload[sync:sync + 4]
-        if (cand[1] & 0xE0) == 0xE0 \
-                and ((cand[1] >> 3) & 0x03) == 3 \
-                and ((cand[1] >> 1) & 0x03) == 1 \
-                and _MP3_BITRATES[(cand[2] >> 4) & 0x0F] \
-                and _MP3_RATES[(cand[2] >> 2) & 0x03]:
-            h = cand
+        frame_bytes = _mp3_frame_len(payload, cand)
+        if frame_bytes is not None \
+                and _mp3_frame_len(payload, cand + frame_bytes) is not None:
+            sync = cand
             break
-        search = sync + 1
-    bitrate = _MP3_BITRATES[(h[2] >> 4) & 0x0F] * 1000
+        search = cand + 1
+    h = payload[sync:sync + 4]
     rate = _MP3_RATES[(h[2] >> 2) & 0x03]
     channels = 1 if ((h[3] >> 6) & 0x03) == 3 else 2
     # 1152 samples per MPEG-1 Layer III frame
-    frame_bytes = 144 * bitrate // rate
     n_frames = (len(payload) - sync) // max(1, frame_bytes) * 1152
     return {"kind": "audio", "width": rate, "height": channels,
             "n_frames": n_frames, "valid": "ok"}

@@ -15,6 +15,7 @@ Two tiers:
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Iterator
 
 import numpy as np
@@ -32,6 +33,9 @@ N_QUERY_VECS = 25      # vec_id bound for the top-k demo
 TOP_K = 5
 NEAR_DUP_SCOPE = 300   # vec_id bound for pairwise near-dup
 QUANT = 1000
+# lsh_bucketed_topk: max estimated size of the exploded probe set we
+# will force-broadcast; larger query frames fall back to a shuffle join
+_BROADCAST_PROBE_CAP_BYTES = 128 << 20
 
 
 def register(name: str, sql: str | None):
@@ -510,6 +514,22 @@ def lsh_bucketed_topk(
     # (query, neighbor) hash of the groupBy.  For query sets too large
     # to broadcast, pass broadcast_queries=False to let AQE choose the
     # join (restores skew exposure but never OOMs the build side).
+    # Safety valve: the explode factor makes an innocent-looking query
+    # frame balloon 44× before the join, so an oversized query set must
+    # not ride the forced broadcast into an executor OOM.  The query
+    # count is known exactly (one cheap count job over a frame that is
+    # small by contract) → estimate the exploded build size and fall
+    # back to the shuffle join past the cap.
+    if broadcast_queries:
+        n_q = queries.count()
+        est_bytes = n_q * n_tables * (1 + n_planes) * (dim * 4 + 48)
+        if est_bytes > _BROADCAST_PROBE_CAP_BYTES:
+            warnings.warn(
+                f"lsh_bucketed_topk: exploded probe set ≈{est_bytes >> 20} "
+                f"MiB exceeds the {_BROADCAST_PROBE_CAP_BYTES >> 20} MiB "
+                "broadcast cap; falling back to the shuffle join "
+                "(slower but OOM-safe)", stacklevel=2)
+            broadcast_queries = False
     probe_side = F.broadcast(probes) if broadcast_queries else probes
     joined = probe_side.join(corpus_sig, ["table", "bucket"])
 

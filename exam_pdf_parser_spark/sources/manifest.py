@@ -31,11 +31,26 @@ from pyspark.sql import functions as F
 
 from ..operators.extract import extract
 
-MANIFEST_SCHEMA = (
-    "run_id string, bucket int, status string, rows_out long, "
-    "docs_in long, errors long, wall_ms long, cpu_ms long, "
-    "docs_per_cpu_sec double"
-)
+# Single source of truth for the manifest shape: the Spark DDL string
+# and the pyarrow schema used by the atomic local commit are BOTH
+# derived from this list, so a column added to one side cannot silently
+# produce mixed-schema parquet files in the manifest dir.
+_MANIFEST_FIELDS = [
+    ("run_id", "string"), ("bucket", "int"), ("status", "string"),
+    ("rows_out", "long"), ("docs_in", "long"), ("errors", "long"),
+    ("wall_ms", "long"), ("cpu_ms", "long"),
+    ("docs_per_cpu_sec", "double"),
+]
+MANIFEST_SCHEMA = ", ".join(f"{n} {t}" for n, t in _MANIFEST_FIELDS)
+_DDL_TO_ARROW = {"string": "string", "int": "int32", "long": "int64",
+                 "double": "float64"}
+
+
+def _arrow_manifest_schema():
+    import pyarrow as pa
+
+    return pa.schema([(n, pa.type_for_alias(_DDL_TO_ARROW[t]))
+                      for n, t in _MANIFEST_FIELDS])
 
 
 def with_bucket(documents: DataFrame, n_buckets: int) -> DataFrame:
@@ -91,13 +106,7 @@ def _commit_manifest(out_dir: str, run_id: str, rows: list[tuple],
 
     mdir = os.path.join(out_dir, "manifest")
     os.makedirs(mdir, exist_ok=True)
-    schema = pa.schema([
-        ("run_id", pa.string()), ("bucket", pa.int32()),
-        ("status", pa.string()), ("rows_out", pa.int64()),
-        ("docs_in", pa.int64()), ("errors", pa.int64()),
-        ("wall_ms", pa.int64()), ("cpu_ms", pa.int64()),
-        ("docs_per_cpu_sec", pa.float64()),
-    ])
+    schema = _arrow_manifest_schema()
     table = pa.table(
         {f.name: [r[i] for r in rows]
          for i, f in enumerate(schema)}, schema=schema)
@@ -160,10 +169,9 @@ def run_extraction(
     if route_giants:
         # the durable write above consumed the routed materialization;
         # release it so repeated runs in one session don't accumulate
-        # cached extraction output (see extract_auto._routed_cache)
-        cache = getattr(extracted, "_routed_cache", None)
-        if cache is not None:
-            cache.unpersist()
+        # cached extraction output (see extract_auto cache-lifetime note)
+        from ..operators.extract_paged import release_routed_cache
+        release_routed_cache(extracted)
 
     # per-bucket metrics from what was just written (read-back keeps the
     # numbers honest — they describe the durable output, not the plan).

@@ -952,7 +952,9 @@ def test_review_regressions_round4b(spark):
     )
 
     # resize_media passes real-format and weird-meta payloads through
-    mp3 = b"\xff\xfb\x90\x00" + b"\x00" * 4000       # n_frames huge
+    # (128 kbps 44.1 kHz Layer III → 417-byte frames; the probe demands
+    # two CONSECUTIVE headers, so plant a proper frame train)
+    mp3 = (b"\xff\xfb\x90\x00" + b"\x00" * 413) * 10
     ogg = b"OggS" + b"\x00" * 22 + b"\x01\x13" + b"OpusHead" \
         + bytes([1, 2]) + b"\x00\x00" + struct.pack("<I", 48000) + b"\x00"
     media = spark.createDataFrame(
@@ -1083,8 +1085,9 @@ def test_header_meta_for_undecodable_formats():
     m = parse_meta(vp8l)
     assert (m["width"], m["height"]) == (127, 63)
 
-    # MPEG-1 Layer III header: 128 kbps, 44100 Hz, stereo
-    mp3 = b"\xff\xfb\x90\x00" + b"\x00" * 2000
+    # MPEG-1 Layer III frame train: 128 kbps, 44100 Hz, stereo
+    # (417-byte frames; two consecutive headers required)
+    mp3 = (b"\xff\xfb\x90\x00" + b"\x00" * 413) * 5
     m = parse_meta(mp3)
     assert (m["kind"], m["width"], m["height"], m["valid"]) == \
         ("audio", 44100, 2, "ok")
@@ -1093,6 +1096,18 @@ def test_header_meta_for_undecodable_formats():
     # ID3v2-prefixed variant still finds the frame
     id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 + mp3
     assert parse_meta(id3)["width"] == 44100
+
+    # a LONE pseudo-sync is no longer enough: random-ish blobs with a
+    # single FF FB pair report corrupt, not fabricated audio (the
+    # round-4 advice's 1-in-8 false-positive class)
+    lone = b"\xff\xfb\x90\x00" + bytes(range(256)) * 8
+    assert parse_meta(lone)["valid"] == "corrupt"
+    # an Ogg payload carrying an early pseudo-sync stays Ogg (probe
+    # order: container magics before the weak MPEG sync)
+    oggish = b"OggS" + b"\x00" * 22 + b"\x01\x13" + b"OpusHead" \
+        + bytes([1, 2]) + b"\x00\x00" + struct.pack("<I", 48000) \
+        + b"\xff\xfb\x90\x00" * 2
+    assert parse_meta(oggish)["width"] == 48000
 
     # Ogg/Vorbis identification header
     ident = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([1])

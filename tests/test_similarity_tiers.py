@@ -143,6 +143,33 @@ def test_lsh_topk_broadcasts_probes_no_corpus_bucket_shuffle(spark):
     assert "Exchange hashpartitioning(table" not in plan
 
 
+def test_lsh_topk_broadcast_cap_falls_back_same_results(spark):
+    """Round-4 advice: the forced probe broadcast explodes the query
+    frame ~44×, so an oversized query set must trip the size guard and
+    take the OOM-safe shuffle join instead — with identical output."""
+    import warnings as _w
+
+    import exam_pdf_parser_spark.operators.similarity as sim
+
+    emb = load(spark, SF, "embeddings").persist()
+    queries = emb.filter("vec_id < 5")
+    want = sorted(map(tuple, lsh_bucketed_topk(
+        emb, queries, k=3, broadcast_queries=False).collect()))
+
+    cap0 = sim._BROADCAST_PROBE_CAP_BYTES
+    try:
+        sim._BROADCAST_PROBE_CAP_BYTES = 1          # force the guard
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            got = sorted(map(tuple, lsh_bucketed_topk(
+                emb, queries, k=3, broadcast_queries=True).collect()))
+        assert any("broadcast cap" in str(c.message) for c in caught)
+    finally:
+        sim._BROADCAST_PROBE_CAP_BYTES = cap0
+    emb.unpersist()
+    assert got == want
+
+
 def test_ivf_recall_against_brute_force(spark):
     from exam_pdf_parser_spark.operators.similarity import ivf_topk
 
