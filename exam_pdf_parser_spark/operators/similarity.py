@@ -104,6 +104,17 @@ def ann_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- embedding near-duplicate pairs (quantized cosine threshold) -------------
+# The synthetic embeddings are near-orthogonal (max pairwise cosine
+# ≈ 0.51 at sf0.01), so a production-style 0.9+ near-dup threshold
+# returns the empty set and the oracle hash proves nothing (round-4
+# verdict: vacuous row).  The DEMO threshold sits in the distribution's
+# upper tail instead — ~100 pairs at sf0.01 and sf0.1 — so the gate
+# hash covers real values; semantics (thresholded quantized cosine) are
+# unchanged, and the realistic-threshold behavior is covered by the LSH
+# twin's planted-cluster tests.
+NEAR_DUP_COS = 0.35
+
+
 @register("embedding_near_dups", f"""
     WITH v AS (SELECT vec_id, {_DUCK_QUANT} AS qv FROM embeddings
                WHERE vec_id < {NEAR_DUP_SCOPE}),
@@ -115,7 +126,7 @@ def ann_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT)
           / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)))
-          >= 0.55
+          >= {NEAR_DUP_COS}
 """)
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT (demo/oracle) tier: all-pairs quantized cosine over a
@@ -146,7 +157,7 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = F.col("dot_q") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
-    return pairs.filter(cos >= 0.55).select("vec_a", "vec_b", "dot_q")
+    return pairs.filter(cos >= NEAR_DUP_COS).select("vec_a", "vec_b", "dot_q")
 
 
 # --- IVF (inverted-file) ANN: coarse k-means quantizer + probed clusters -----
