@@ -15,9 +15,12 @@ AIFF/AIFF-C, Sun AU — ``decode_audio`` + ``wav_audio_features``
 ``decode_video`` + per-frame ``video_frame_features`` (dims, mean
 intensity, motion) with image-style quarantine.  ``parse_meta`` also
 reads real headers for formats whose PAYLOAD cannot decode here:
-WebP dims, MP3 frame header, Ogg/Vorbis ident.  Perceptual codecs
-(mp3/ogg/aac samples, mp4/webm/mkv, WebP pixels) have no stdlib path
-— those stay honestly stubbed (``NotImplementedError``), while
+WebP dims, MP3 frame header, Ogg/Vorbis ident, ISO BMFF mp4/m4a
+(``core/mp4.py``: mvhd duration, tkhd dims, hdlr kinds) and
+Matroska/WebM (``core/ebml.py``: Info duration, Tracks dims).
+Perceptual codecs (mp3/ogg/aac samples, mp4/webm/mkv SAMPLES, WebP
+pixels) have no stdlib path — those stay honestly stubbed
+(``NotImplementedError``), while
 everything Spark-side is real and tested: schemas, batch shapes,
 ``mapInPandas`` signatures, partitioning, and a codec-free
 byte-histogram embedding.
@@ -95,11 +98,13 @@ def parse_meta(payload: bytes) -> dict:
     """Decode the typed header: the synthetic container, plus REAL
     header-only metadata for every recognized format — PNG IHDR, JPEG
     SOF, GIF screen descriptor + frame count, TIFF first IFD, BMP,
-    WebP (VP8/VP8L/VP8X), AVI avih, WAV fmt (incl. compressed
-    codecs), AIFF, AU, MP3 frame header, Ogg first packet.  Header
-    probes never need a pixel/sample codec; see ``decode_image`` /
-    ``decode_audio`` / ``decode_video`` for what PAYLOAD decode
-    covers."""
+    WebP (VP8/VP8L/VP8X), AVI avih, ISO BMFF mp4/mov/m4a (moov/mvhd
+    duration, tkhd dims, hdlr kinds), Matroska/WebM EBML (Segment/Info
+    duration, Tracks dims), WAV fmt (incl. compressed codecs), AIFF,
+    AU, MP3 frame header, Ogg first packet.  Header probes never need
+    a pixel/sample codec; see ``decode_image`` / ``decode_audio`` /
+    ``decode_video`` for what PAYLOAD decode covers.  BMFF/EBML
+    results carry an extra ``duration_ms`` key for Python callers."""
     if payload[:5] == MAGIC and len(payload) >= 12:
         kind = KINDS.get(chr(payload[5]))
         w, h, f = struct.unpack(">HHH", payload[6:12])
@@ -109,8 +114,8 @@ def parse_meta(payload: bytes) -> dict:
     # weakest magic of the set — any container with an early 0xFF Ex
     # byte pair must get claimed by its real probe first.
     for probe in (_png_dims, _jpeg_dims, _gif_dims, _tiff_bmp_dims,
-                  _webp_dims, _avi_dims, _wav_meta, _aiff_au_meta,
-                  _ogg_meta, _mp3_meta):
+                  _webp_dims, _avi_dims, _bmff_meta, _ebml_probe,
+                  _wav_meta, _aiff_au_meta, _ogg_meta, _mp3_meta):
         meta = probe(payload)
         if meta is not None:
             return meta
@@ -342,6 +347,37 @@ def _avi_dims(payload: bytes) -> dict | None:
     return {"kind": "video", "width": meta["width"],
             "height": meta["height"], "n_frames": meta["n_frames"],
             "valid": "ok"}
+
+
+def _bmff_meta(payload: bytes) -> dict | None:
+    """ISO BMFF (mp4/mov/m4a) header metadata via ``core/mp4.py``:
+    dims from tkhd, duration from mvhd, kind from the hdlr track
+    handlers.  ``duration_ms`` rides along as an extra key for Python
+    callers (the Spark META_SCHEMA keeps its stable five columns).  A
+    moov-less payload (init segment / truncated progressive file) is
+    reported corrupt rather than fabricating dims."""
+    from ..core.mp4 import mp4_meta
+
+    m = mp4_meta(payload)
+    if m is None:
+        return None
+    return {"kind": m["kind"], "width": m["width"], "height": m["height"],
+            "n_frames": None, "duration_ms": m["duration_ms"],
+            "valid": "ok" if m["complete"] else "corrupt"}
+
+
+def _ebml_probe(payload: bytes) -> dict | None:
+    """Matroska/WebM header metadata via ``core/ebml.py``: dims from
+    Tracks/Video, duration from Segment/Info, kind from TrackType."""
+    from ..core.ebml import ebml_meta
+
+    m = ebml_meta(payload)
+    if m is None:
+        return None
+    ok = m["doctype"] is not None and m["n_tracks"] > 0
+    return {"kind": m["kind"], "width": m["width"], "height": m["height"],
+            "n_frames": None, "duration_ms": m["duration_ms"],
+            "valid": "ok" if ok else "corrupt"}
 
 
 def _gif_dims(payload: bytes) -> dict | None:
@@ -636,7 +672,9 @@ def decode_video(payload: bytes) -> list[np.ndarray]:
     """REAL video decode for MJPEG-in-AVI: RIFF walk (``core/avi.py``)
     hands each ``00dc`` frame chunk to the stdlib JPEG decoder — no
     video library.  Every other container (mp4/webm/mkv — inter-frame
-    codecs with no stdlib path) stays a fail-loud stub."""
+    codecs with no stdlib path) stays a fail-loud stub for SAMPLE
+    decode; their header metadata (dims, duration, track kinds) parses
+    via ``parse_meta`` (``core/mp4.py``, ``core/ebml.py``)."""
     from ..core.avi import decode_avi
     from ..core.gif import GIF_SIGS, decode_gif_frames
 

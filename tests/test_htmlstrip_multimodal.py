@@ -1085,6 +1085,77 @@ def test_header_meta_for_undecodable_formats():
     m = parse_meta(vp8l)
     assert (m["width"], m["height"]) == (127, 63)
 
+    # --- ISO BMFF (mp4/m4a) and Matroska/WebM header metadata --------
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    def el(eid, body):
+        eb = eid.to_bytes(max(1, (eid.bit_length() + 7) // 8), "big")
+        n = len(body)
+        size = bytes([0x80 | n]) if n < 127 else struct.pack(
+            ">H", 0x4000 | n)
+        return eb + size + body
+
+    mvhd = box(b"mvhd", b"\x00" * 4 + struct.pack(">II", 0, 0)
+               + struct.pack(">II", 1000, 42000) + b"\x00" * 80)
+    tkhd = box(b"tkhd", b"\x00" * 4 + b"\x00" * 20 + b"\x00" * 52
+               + struct.pack(">II", 640 << 16, 360 << 16))
+    hdlr_v = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 13)
+    trak = box(b"trak", tkhd + box(b"mdia", hdlr_v))
+    mp4 = (box(b"ftyp", b"isom" + b"\x00\x00\x02\x00" + b"isomiso2")
+           + box(b"moov", mvhd + trak) + box(b"mdat", b"\x00" * 32))
+    m = parse_meta(mp4)
+    assert (m["kind"], m["width"], m["height"], m["valid"]) == \
+        ("video", 640, 360, "ok")
+    assert m["duration_ms"] == 42000
+
+    # audio-only BMFF (hdlr soun, 0x0 tkhd dims) → kind audio
+    hdlr_s = box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 13)
+    tkhd0 = box(b"tkhd", b"\x00" * 4 + b"\x00" * 20 + b"\x00" * 52
+                + struct.pack(">II", 0, 0))
+    m4a = (box(b"ftyp", b"M4A " + b"\x00" * 8)
+           + box(b"moov", mvhd + box(
+               b"trak", tkhd0 + box(b"mdia", hdlr_s))))
+    m = parse_meta(m4a)
+    assert (m["kind"], m["width"], m["valid"]) == ("audio", None, "ok")
+
+    # moov-less init segment → corrupt, never fabricated dims
+    assert parse_meta(box(b"ftyp", b"isom" + b"\x00" * 8))["valid"] \
+        == "corrupt"
+
+    # WebM: EBML header (DocType) + Segment(Info(scale, dur), Tracks)
+    ebml_hdr = el(0x1A45DFA3, el(0x4282, b"webm"))
+    info = el(0x1549A966,
+              el(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+              + el(0x4489, struct.pack(">d", 33000.0)))
+    video = el(0xE0, el(0xB0, (1280).to_bytes(2, "big"))
+               + el(0xBA, (720).to_bytes(2, "big")))
+    track = el(0xAE, el(0x83, b"\x01") + video)
+    tracks = el(0x1654AE6B, track)
+    webm = ebml_hdr + el(0x18538067, info + tracks)
+    m = parse_meta(webm)
+    assert (m["kind"], m["width"], m["height"], m["valid"]) == \
+        ("video", 1280, 720, "ok")
+    assert m["duration_ms"] == 33000
+
+    # streamed Matroska: unknown-size Segment (all-ones vint) clamps
+    # to the buffer and still yields dims
+    streamed = ebml_hdr + b"\x18\x53\x80\x67\xff" + info + tracks
+    m = parse_meta(streamed)
+    assert (m["width"], m["height"], m["duration_ms"]) == \
+        (1280, 720, 33000)
+
+    # fuzz gate: byte-flipped and truncated BMFF/EBML never raise
+    import numpy as _np
+    _rng = _np.random.default_rng(5)
+    for blob in (mp4, m4a, webm, streamed):
+        for _ in range(8):
+            b = bytearray(blob)
+            for _ in range(4):
+                b[_rng.integers(0, len(b))] ^= 1 << _rng.integers(0, 8)
+            parse_meta(bytes(b))
+            parse_meta(bytes(b[: _rng.integers(1, len(b))]))
+
     # MPEG-1 Layer III frame train: 128 kbps, 44100 Hz, stereo
     # (417-byte frames; two consecutive headers required)
     mp3 = (b"\xff\xfb\x90\x00" + b"\x00" * 413) * 5
