@@ -59,17 +59,26 @@ def with_bucket(documents: DataFrame, n_buckets: int) -> DataFrame:
         F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
 
 
-def completed_buckets(spark: SparkSession, out_dir: str) -> list[int]:
+def completed_buckets(spark: SparkSession, out_dir: str,
+                      attempts: int = 3) -> list[int]:
     path = os.path.join(out_dir, "manifest")
-    try:
-        mdf = spark.read.parquet(path)
-    except Exception:
-        return []
-    return [
-        r["bucket"]
-        for r in mdf.filter(F.col("status") == "done")
-        .select("bucket").distinct().collect()
-    ]
+    # a reader racing compact_manifest's unlink step can list a file
+    # that vanishes before the scan — retry (the compacted file carries
+    # the same rows), and fall back to "no manifest" (resume everything;
+    # idempotent overwrite makes that correct, just not free)
+    for i in range(attempts):
+        try:
+            mdf = spark.read.parquet(path)
+            return [
+                r["bucket"]
+                for r in mdf.filter(F.col("status") == "done")
+                .select("bucket").distinct().collect()
+            ]
+        except Exception:
+            if not os.path.isdir(path) and "://" not in out_dir:
+                return []
+            time.sleep(0.05 * (i + 1))
+    return []
 
 
 def _commit_manifest(out_dir: str, run_id: str, rows: list[tuple],
@@ -116,6 +125,67 @@ def _commit_manifest(out_dir: str, run_id: str, rows: list[tuple],
     final = os.path.join(mdir, f"part-{safe_run}-{token}.parquet")
     pq.write_table(table, tmp)
     os.rename(tmp, final)
+
+
+def compact_manifest(out_dir: str, _race_hook=None) -> dict:
+    """Opt-in retention maintenance: rewrite the manifest directory's
+    accumulated one-file-per-run commits into a SINGLE parquet file.
+    A long-lived pipeline accretes one manifest file per run and the
+    resume read degrades with the file count; compaction bounds it.
+
+    Crash/race safety, same discipline as :func:`_commit_manifest`:
+
+    * the merged file is written under a dot-temp name and
+      ``os.rename``'d into place — a compactor killed mid-write leaves
+      only an invisible temp, losing nothing;
+    * only the files snapshotted BEFORE the merge are removed, so a
+      writer committing concurrently keeps its new file;
+    * between the rename and the removals, readers see old + compacted
+      rows — duplicate done-rows are harmless (``completed_buckets``
+      is distinct), and a compactor killed mid-removal just leaves
+      some duplicates for the next compaction;
+    * a reader that lists an old file right before its unlink retries
+      (``completed_buckets``).
+
+    Local-FS only: on object stores, commit through a transactional
+    table format and use its compaction service (an Iceberg
+    rewrite_data_files is the same operation as one atomic snapshot).
+    ``_race_hook`` is test-only: called after the rename, before the
+    removals, to plant concurrent-writer races deterministically.
+    Returns ``{files_before, files_after, rows}``.
+    """
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    if "://" in out_dir:
+        raise ValueError(
+            "compact_manifest is local-FS only; on object stores use a "
+            "transactional table format's compaction instead")
+    mdir = os.path.join(out_dir, "manifest")
+    old = sorted(
+        f for f in os.listdir(mdir)
+        if f.endswith(".parquet") and not f.startswith("."))
+    if len(old) <= 1:
+        return {"files_before": len(old), "files_after": len(old),
+                "rows": None}
+    import pyarrow as pa
+
+    merged = pa.concat_tables(
+        [pq.read_table(os.path.join(mdir, f)) for f in old])
+    token = uuid.uuid4().hex[:12]
+    tmp = os.path.join(mdir, f".tmp-compact-{token}.parquet")
+    final = os.path.join(mdir, f"part-compact-{token}.parquet")
+    pq.write_table(merged, tmp)
+    os.rename(tmp, final)
+    if _race_hook is not None:
+        _race_hook()
+    for f in old:
+        os.remove(os.path.join(mdir, f))
+    remaining = [f for f in os.listdir(mdir)
+                 if f.endswith(".parquet") and not f.startswith(".")]
+    return {"files_before": len(old), "files_after": len(remaining),
+            "rows": merged.num_rows}
 
 
 def run_extraction(

@@ -145,6 +145,126 @@ def test_two_writer_manifest_consistency(spark, out_dir):
     assert s1["buckets_processed"] == len(done)
 
 
+def test_manifest_compaction_bounds_files_and_preserves_resume(
+        spark, out_dir):
+    """Round-4 ask #7: one-file-per-run commits accrete without bound;
+    opt-in compaction rewrites them to ONE file, after which
+    completed_buckets and a resume behave exactly as before."""
+    import os
+
+    from exam_pdf_parser_spark.sources.manifest import (
+        _commit_manifest, compact_manifest,
+    )
+
+    docs = corpus_df(spark, N_DOCS, partitions=4)
+    run_extraction(spark, docs, out_dir, "run1", n_buckets=N_BUCKETS)
+    # two later runs each committed their own manifest file
+    _commit_manifest(out_dir, "run2",
+                     [("run2", 98, "done", 0, 0, 0, 1, 0, 0.0)])
+    _commit_manifest(out_dir, "run3",
+                     [("run3", 99, "done", 0, 0, 0, 1, 0, 0.0)])
+    mdir = f"{out_dir}/manifest"
+
+    def visible():
+        return sorted(f for f in os.listdir(mdir)
+                      if f.endswith(".parquet") and not f.startswith("."))
+
+    assert len(visible()) == 3
+    before = sorted(completed_buckets(spark, out_dir))
+    rows_before = spark.read.parquet(mdir).count()
+
+    stats = compact_manifest(out_dir)
+    assert stats["files_before"] == 3 and stats["files_after"] == 1
+    assert len(visible()) == 1
+    assert spark.read.parquet(mdir).count() == rows_before
+    assert sorted(completed_buckets(spark, out_dir)) == before
+
+    # resume after compaction: nothing reprocessed
+    s = run_extraction(spark, docs, out_dir, "resume", n_buckets=N_BUCKETS)
+    assert s["buckets_processed"] == 0
+    # idempotent: a second compaction is a no-op
+    assert compact_manifest(out_dir)["files_after"] == 1
+
+
+def test_two_writer_consistency_across_compaction(spark, out_dir):
+    """A writer committing DURING compaction (after the merged file's
+    rename, before the old files' removal — the race window) must keep
+    its rows: compaction removes only the files it snapshotted."""
+    from exam_pdf_parser_spark.sources.manifest import (
+        _commit_manifest, compact_manifest,
+    )
+
+    docs = corpus_df(spark, N_DOCS, partitions=4)
+    run_extraction(spark, docs, out_dir, "writerA", n_buckets=N_BUCKETS)
+    _commit_manifest(out_dir, "stale",
+                     [("stale", 97, "done", 0, 0, 0, 1, 0, 0.0)])
+    done_before = sorted(completed_buckets(spark, out_dir))
+
+    def race():
+        _commit_manifest(out_dir, "writerB",
+                         [("writerB", 96, "done", 0, 0, 0, 1, 0, 0.0)])
+
+    stats = compact_manifest(out_dir, _race_hook=race)
+    # writer B's file landed mid-compaction and survived
+    assert stats["files_after"] == 2
+    got = sorted(completed_buckets(spark, out_dir))
+    assert got == sorted(done_before + [96])
+
+    s = run_extraction(spark, docs, out_dir, "resume", n_buckets=N_BUCKETS)
+    assert s["buckets_processed"] == 0
+    # the NEXT compaction folds writer B in
+    assert compact_manifest(out_dir)["files_after"] == 1
+    assert sorted(completed_buckets(spark, out_dir)) == got
+
+
+def test_killed_compaction_loses_nothing(spark, out_dir, monkeypatch):
+    """Compactor killed mid-write leaves only a dot-temp (old files
+    intact); killed mid-removal leaves duplicates that stay
+    distinct-correct and fold away on the next compaction."""
+    import os
+
+    import exam_pdf_parser_spark.sources.manifest as mf
+
+    docs = corpus_df(spark, N_DOCS, partitions=4)
+    run_extraction(spark, docs, out_dir, "runA", n_buckets=N_BUCKETS)
+    mf._commit_manifest(out_dir, "runB",
+                        [("runB", 95, "done", 0, 0, 0, 1, 0, 0.0)])
+    done = sorted(completed_buckets(spark, out_dir))
+
+    # kill before the rename → nothing visible changed
+    real_rename = os.rename
+
+    def die_rename(src, dst):
+        if "part-compact" in str(dst):
+            raise OSError("killed before compaction rename")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(mf.os, "rename", die_rename)
+    with pytest.raises(OSError, match="killed before"):
+        mf.compact_manifest(out_dir)
+    monkeypatch.undo()
+    assert sorted(completed_buckets(spark, out_dir)) == done
+
+    # kill mid-removal → duplicates, still distinct-correct
+    real_remove = os.remove
+    state = {"n": 0}
+
+    def die_remove(path):
+        state["n"] += 1
+        if state["n"] >= 2:
+            raise OSError("killed mid removal")
+        return real_remove(path)
+
+    monkeypatch.setattr(mf.os, "remove", die_remove)
+    with pytest.raises(OSError, match="mid removal"):
+        mf.compact_manifest(out_dir)
+    monkeypatch.undo()
+    assert sorted(completed_buckets(spark, out_dir)) == done
+    # next compaction completes and converges to one file
+    assert mf.compact_manifest(out_dir)["files_after"] == 1
+    assert sorted(completed_buckets(spark, out_dir)) == done
+
+
 def test_run_extraction_routes_giants(spark, out_dir):
     """route_giants=True sends an over-threshold document through the
     page-parallel path inside the durable pipeline: output is
