@@ -277,3 +277,130 @@ def test_streaming_neardup_candidates_match_batch(spark, tmp_path):
     static.unpersist()
     keys.unpersist()
     assert got == batch_pairs                 # stream == batch, same rows
+
+
+def _drain_stage1(spark, q, adm_dir, expect_rows, timeout_s=120):
+    """Poll the stage-1 parquet sink until the expected row count
+    lands (availableNow + processing-time state timeouts can keep
+    empty batches running — run_to_memory caveat), then stop."""
+    import time as _t
+
+    deadline = _t.time() + timeout_s
+    n = -1
+    while _t.time() < deadline:
+        if q.awaitTermination(2):
+            break
+        try:
+            n = spark.read.parquet(adm_dir).count()
+        except Exception:
+            n = -1
+        if n >= expect_rows:
+            break
+    q.stop()
+
+
+def test_bounded_neardup_hot_band_state_capped(spark, tmp_path):
+    """Round-4 ask #8: one viral band key must not concentrate
+    unbounded join state.  The two-stage bounded tier admits band_cap
+    rows per band — the rest flow as overflow MARKERS naming the band
+    for batch reconciliation — so stage-2 join state and per-band pair
+    output are capped regardless of how hot the band runs."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from exam_pdf_parser_spark.operators.dedupe import (
+        BAND_ROWS, MINHASH_SEEDS,
+    )
+    from exam_pdf_parser_spark.streaming.dedup import (
+        DOCS_STREAM_SCHEMA, read_document_stream,
+    )
+    from exam_pdf_parser_spark.streaming.neardup import (
+        BOUNDED_KEYS_SCHEMA, bounded_neardup_candidates,
+        run_bounded_band_stage,
+    )
+
+    n_bands = MINHASH_SEEDS // BAND_ROWS
+    base = datetime.datetime(2025, 3, 1)
+    n_hot, cap, n_solo = 40, 5, 5
+    rows = [(f"https://hot{i:03d}.example/d",
+             base + datetime.timedelta(seconds=i), b"p",
+             "the same viral boilerplate text body", "en")
+            for i in range(n_hot)]
+    rows += [(f"https://solo{i}.example/d",
+              base + datetime.timedelta(seconds=100 + i), b"p",
+              " ".join(f"tok{i}x{j}" for j in range(8)), "en")
+             for i in range(n_solo)]
+    d = str(tmp_path / "docs")
+    adm_dir = str(tmp_path / "admitted")
+    spark.createDataFrame(rows, DOCS_STREAM_SCHEMA).repartition(4) \
+        .write.parquet(d)
+
+    total_keys = (n_hot + n_solo) * n_bands
+    q1 = run_bounded_band_stage(
+        read_document_stream(spark, d, 2), adm_dir,
+        str(tmp_path / "ck1"), band_cap=cap, available_now=True)
+    _drain_stage1(spark, q1, adm_dir, total_keys)
+
+    handoff = spark.read.schema(BOUNDED_KEYS_SCHEMA).parquet(adm_dir)
+    assert handoff.count() == total_keys      # nothing silently dropped
+    hot = handoff.filter(F.col("url").startswith("https://hot"))
+    assert hot.filter("not overflow").count() == cap * n_bands
+    assert hot.filter("overflow").count() == (n_hot - cap) * n_bands
+    # the markers name exactly the hot band keys, none of the solos
+    marked = handoff.filter("overflow")
+    assert marked.select("band_idx", "band_key").distinct().count() \
+        == n_bands
+    assert marked.filter(
+        F.col("url").startswith("https://solo")).count() == 0
+
+    # stage 2: join state bounded by the cap, not by the hot band size
+    q2 = run_to_memory(
+        bounded_neardup_candidates(spark, adm_dir), "bounded_pairs",
+        mode="append",
+        until_rows=n_bands * cap * (cap - 1) // 2)
+    pairs = spark.sql("select * from bounded_pairs").collect()
+    progress = [p for p in (q2.recentProgress or [])
+                if p.get("stateOperators")]
+    state_rows = max(
+        (op.get("numRowsTotal", 0)
+         for p in progress for op in p["stateOperators"]), default=0)
+    q2.stop()
+
+    # exactly C(cap,2) pairs per band from the hot cluster, no solos
+    per_band: dict[int, int] = {}
+    for r in pairs:
+        assert r["url_a"].startswith("https://hot")
+        per_band[r["band_idx"]] = per_band.get(r["band_idx"], 0) + 1
+    assert per_band == {b: cap * (cap - 1) // 2 for b in range(n_bands)}
+    # state holds at most both sides of every ADMITTED row — and far
+    # below what the unguarded tier would hold for this hot band
+    admitted_total = (cap + n_solo) * n_bands
+    assert 0 < state_rows <= 2 * admitted_total
+    assert state_rows < 2 * n_hot * n_bands
+
+    # generous cap ≡ unbounded tier on the same rows (bounding changes
+    # nothing when no band overflows)
+    from exam_pdf_parser_spark.streaming.neardup import (
+        streaming_neardup_candidates,
+    )
+
+    adm2 = str(tmp_path / "admitted_wide")
+    q3 = run_bounded_band_stage(
+        read_document_stream(spark, d, 2), adm2,
+        str(tmp_path / "ck3"), band_cap=10_000, available_now=True)
+    _drain_stage1(spark, q3, adm2, total_keys)
+    q4 = run_to_memory(
+        bounded_neardup_candidates(spark, adm2), "wide_pairs",
+        mode="append")
+    q5 = run_to_memory(
+        streaming_neardup_candidates(read_document_stream(spark, d, 3)),
+        "unbounded_pairs", mode="append")
+    wide = {(r["url_a"], r["url_b"], r["band_idx"])
+            for r in spark.sql("select * from wide_pairs").collect()}
+    unbounded = {(r["url_a"], r["url_b"], r["band_idx"])
+                 for r in spark.sql(
+                     "select * from unbounded_pairs").collect()}
+    q4.stop()
+    q5.stop()
+    assert wide == unbounded
