@@ -465,7 +465,8 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def connected_components(pairs: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b", max_iter: int = 50,
-                         method: str = "star") -> DataFrame:
+                         method: str = "star",
+                         stats: dict | None = None) -> DataFrame:
     """Transitive closure over a near-dup pair graph → cluster ids.
 
     Production dedup keeps ONE document per connected component of the
@@ -486,6 +487,10 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
 
     Both fail loudly past ``max_iter`` rather than returning partial
     labels (phantom clusters with zero keepers downstream).
+
+    ``stats``: pass a dict to receive ``{"rounds": <count>}`` — the
+    scale-evidence harness (scripts/starcc_bench.py) uses it to verify
+    the O(log² n) round bound on planted graphs.
     """
     if method == "propagate":
         return _cc_propagate(pairs, src, dst, max_iter)
@@ -505,7 +510,9 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     )
     edges = edges0.localCheckpoint(eager=True)
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # large-star: every node links its LARGER neighbors to the
         # minimum of its closed neighborhood
         sym = edges.unionAll(
@@ -545,6 +552,8 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         raise RuntimeError(
             f"connected_components(star) did not converge within "
             f"{max_iter} rounds; raise max_iter")
+    if stats is not None:
+        stats["rounds"] = rounds
     # fixpoint is a forest of stars: every non-root points at its
     # component min, roots have no outgoing edge → label themselves
     labels = (
