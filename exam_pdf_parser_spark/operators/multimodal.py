@@ -3,9 +3,12 @@ columns with typed metadata, processed in Arrow batches.
 
 The IMAGE path is fully real: PNG, GIF (incl. animation
 compositing), baseline/progressive JPEG, TIFF (none/LZW+predictor/
-JPEG-strips/deflate/PackBits, gray/RGB/RGBA/palette) and BMP
-(8/24/32-bit, BI_BITFIELDS, RLE8) decode via the repo's stdlib codecs
-(``core/{png,gif,jpeg,tiff,bmp}.py``), with genuine pixel features
+JPEG-strips/deflate/PackBits, gray/RGB/RGBA/palette), BMP
+(8/24/32-bit, BI_BITFIELDS, RLE8) and lossless WebP (``core/vp8l.py``
+— full VP8L bitstream: prefix codes, meta groups, color cache, LZ77
+distance map, all four inverse transforms) decode via the repo's
+stdlib codecs (``core/{png,gif,jpeg,tiff,bmp,vp8l}.py``), with
+genuine pixel features
 (``image_pixel_features``) and pixel-level block-mean resize.  The
 AUDIO path (``core/audio.py``): WAV PCM 8/16/24/32 +
 WAVE_FORMAT_EXTENSIBLE, G.711 µ-law/a-law, mono+stereo IMA-ADPCM,
@@ -18,8 +21,8 @@ reads real headers for formats whose PAYLOAD cannot decode here:
 WebP dims, MP3 frame header, Ogg/Vorbis ident, ISO BMFF mp4/m4a
 (``core/mp4.py``: mvhd duration, tkhd dims, hdlr kinds) and
 Matroska/WebM (``core/ebml.py``: Info duration, Tracks dims).
-Perceptual codecs (mp3/ogg/aac samples, mp4/webm/mkv SAMPLES, WebP
-pixels) have no stdlib path — those stay honestly stubbed
+Perceptual codecs (mp3/ogg/aac samples, mp4/webm/mkv SAMPLES, lossy
+VP8 pixels) have no stdlib path — those stay honestly stubbed
 (``NotImplementedError``), while
 everything Spark-side is real and tested: schemas, batch shapes,
 ``mapInPandas`` signatures, partitioning, and a codec-free
@@ -621,11 +624,12 @@ def decode_image(payload: bytes) -> np.ndarray:
     approximation + IDCT, luma plane), TIFF (``core/tiff.py`` —
     none/LZW+predictor/JPEG-strips/deflate/PackBits, gray/RGB/RGBA/
     palette; CMYK/YCbCr raise from there, never falling through to
-    Pillow) and BMP (``core/bmp.py``, 8/24/32-bit incl. BI_BITFIELDS
-    and RLE8)
-    — all REAL, no raster library.  Only containers with no native
-    path (WebP, arithmetic JPEG…) fall back to Pillow when available,
-    else raise loudly."""
+    Pillow), BMP (``core/bmp.py``, 8/24/32-bit incl. BI_BITFIELDS
+    and RLE8) and lossless WebP (``core/vp8l.py`` — full VP8L:
+    prefix codes, meta groups, color cache, LZ77 distance map, all
+    four inverse transforms) — all REAL, no raster library.  Only
+    containers with no native path (lossy VP8, arithmetic JPEG…)
+    fall back to Pillow when available, else raise loudly."""
     from ..core.bmp import BMP_SIG, decode_bmp_gray
     from ..core.gif import GIF_SIGS, decode_gif_gray
     from ..core.jpeg import decode_jpeg_gray
@@ -642,13 +646,19 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_tiff_gray(payload)
     if payload[:2] == BMP_SIG:
         return decode_bmp_gray(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from ..core.vp8l import decode_webp_gray
+
+        # VP8L decodes natively; lossy VP8 raises from core/vp8l.py
+        return decode_webp_gray(payload)
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "WebP decoding requires Pillow; PNG, GIF, "
-            "baseline/progressive JPEG, baseline TIFF and BMP decode "
-            "natively via core/{png,gif,jpeg,tiff,bmp}.py — swap this "
+            "lossy-VP8 WebP decoding requires Pillow; PNG, GIF, "
+            "baseline/progressive JPEG, baseline TIFF, BMP and "
+            "LOSSLESS WebP decode natively via "
+            "core/{png,gif,jpeg,tiff,bmp,vp8l}.py — swap this "
             "fallback for Image.open(...) in a full environment"
         ) from e
     raise NotImplementedError("unrecognized image container stubbed")
