@@ -138,6 +138,7 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -146,15 +147,22 @@ def main() -> int:
         sdf = fn(spark, sf_dir).toPandas()
         if name not in oracles:
             print(f"{name:28s} rows={len(sdf):6d}  (rows-only, no oracle)")
+            report[name] = {"spark_rows": len(sdf), "err": "no_oracle"}
             continue
         ddf = con.sql(oracles[name]).df()
         scols, dcols = sorted(sdf.columns), sorted(ddf.columns)
+        entry = {"spark_rows": len(sdf), "oracle_rows": len(ddf),
+                 "rows_match": len(sdf) == len(ddf),
+                 "schema_match": scols == dcols, "hash_match": False}
+        report[name] = entry
         if scols != dcols:
             failures.append(name)
             print(f"{name:28s} COLUMN MISMATCH spark={scols} duck={dcols}")
             continue
         a = canon(sdf.to_dict("records"), scols)
         b = canon(ddf.to_dict("records"), dcols)
+        entry["value_hash"] = hashlib.md5(
+            json.dumps(a).encode()).hexdigest()
         if len(a) != len(b):
             failures.append(name)
             print(f"{name:28s} ROWCOUNT spark={len(a)} duck={len(b)}")
@@ -166,9 +174,21 @@ def main() -> int:
                 print(f"   spark: {a[i]}")
                 print(f"   duck : {b[i]}")
         else:
+            entry["hash_match"] = True
             print(f"{name:28s} OK rows={len(a)}")
     failures.extend(_xcheck(spark, sf_dir, queries, only))
     spark.stop()
+    # full-suite artifact per scale (round-4 verdict ask #3: the 41
+    # DuckDB-oracled queries get committed evidence at sf0.1, not just
+    # the gate's sf0.01 run); partial runs write a .partial file
+    import os
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out = f"CROSSCHECK_{base}.json"
+    if only:
+        out = out.replace(".json", ".partial.json")
+    with open(out, "w") as f:
+        json.dump({"sf_dir": sf_dir, "failures": failures,
+                   "results": report}, f, indent=1)
     print(f"\n{len(failures)} failures: {failures}")
     return 1 if failures else 0
 
