@@ -1,12 +1,13 @@
 """Minimal baseline-TIFF codec (stdlib only).
 
 Decodes the TIFF shapes a crawl actually serves for scans: first
-IFD, 8-bit grayscale/RGB/RGBA/palette, strip-based, compression
-**none (1)**, **LZW (5)** incl. the horizontal-differencing
-predictor, **new-style JPEG (7)** (strips through ``core/jpeg.py``,
-shared tag-347 tables spliced), **deflate (8/32946)** or **PackBits
-(32773)**, little- or big-endian.  Tiled TIFF, old-style JPEG and
-CMYK/YCbCr photometrics raise ``NotImplementedError`` loudly — Spark
+IFD, 8-bit grayscale/RGB/RGBA/palette/CMYK/YCbCr (subsampled data
+units, ReferenceBlackWhite + tag-529 coefficients honored),
+strip-based, compression **none (1)**, **LZW (5)** incl. the
+horizontal-differencing predictor, **new-style JPEG (7)** (strips
+through ``core/jpeg.py``, shared tag-347 tables spliced), **deflate
+(8/32946)** or **PackBits (32773)**, little- or big-endian.  Tiled
+TIFF and old-style JPEG raise ``NotImplementedError`` loudly — Spark
 stages quarantine per payload.  Multi-page files decode their FIRST
 IFD (the Pillow/libtiff default), further pages are ignored.  The encoder writes grayscale in any supported codec
 (none/packbits/lzw/deflate, optional predictor) for self-contained
@@ -27,8 +28,10 @@ TIFF_SIGS = (b"II*\x00", b"MM\x00*")
 _W, _H, _BITS, _COMP, _PHOTO = 256, 257, 258, 259, 262
 _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
 _PREDICTOR, _COLORMAP, _JPEGTABLES = 317, 320, 347
+_YCBCR_COEF, _YCBCR_SUBSAMPLING, _REF_BW = 529, 530, 532
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1, 8: 2, 9: 4, 11: 4}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+              10: 8, 11: 4}
 
 
 def _read_ifd(buf: bytes, order: str) -> dict[int, list[int]]:
@@ -52,9 +55,18 @@ def _read_ifd(buf: bytes, order: str) -> dict[int, list[int]]:
                 raise ValueError("truncated TIFF: tag value out of range")
             tags[tag] = buf[off:off + size]
             continue
+        if typ in (5, 10):              # (S)RATIONAL → float num/den
+            if off + size > len(buf):
+                raise ValueError("truncated TIFF: tag value out of range")
+            f = "I" if typ == 5 else "i"
+            pairs = struct.unpack_from(order + f * (2 * cnt), buf, off)
+            tags[tag] = [
+                (pairs[2 * i] / pairs[2 * i + 1]) if pairs[2 * i + 1]
+                else 0.0 for i in range(cnt)]
+            continue
         fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
         if fmt is None:
-            continue                    # rationals etc. — not needed
+            continue                    # other types — not needed
         if off + size > len(buf):
             raise ValueError("truncated TIFF: tag value out of range")
         tags[tag] = list(struct.unpack_from(
@@ -217,17 +229,33 @@ def decode_tiff_gray(payload: bytes) -> np.ndarray:
         raise NotImplementedError(f"{bits}-bit TIFF not supported")
     if photo == 3 and _COLORMAP not in tags:
         raise ValueError("palette TIFF without a ColorMap tag")
-    if photo not in (0, 1, 2, 3):
-        # CMYK (5) and YCbCr (6) would decode to plausible-but-wrong
-        # gray without their color transforms
-        name = {5: "CMYK", 6: "YCbCr"}.get(photo, str(photo))
+    if photo not in (0, 1, 2, 3, 5, 6):
         raise NotImplementedError(
-            f"TIFF photometric {name} not supported")
+            f"TIFF photometric {photo} not supported")
+    if photo == 5 and spp != 4:
+        raise ValueError(f"CMYK TIFF with {spp} samples/pixel")
+    if photo == 6 and spp != 3:
+        raise ValueError(f"YCbCr TIFF with {spp} samples/pixel")
     if spp not in (1, 3, 4):
         raise NotImplementedError(f"{spp} samples/pixel not supported")
     if comp not in (1, 5, 8, 32946, 32773):
         name = {6: "old-JPEG"}.get(comp, str(comp))
         raise NotImplementedError(f"TIFF compression {name} not supported")
+    if photo == 6 and tags.get(_PREDICTOR, [1])[0] == 2:
+        # differencing across subsampled data units is ill-defined
+        raise NotImplementedError("predictor on YCbCr TIFF not supported")
+    sh = sv = 1
+    if photo == 6:
+        sub = tags.get(_YCBCR_SUBSAMPLING, [2, 2])
+        sh, sv = (sub + [sub[0]])[:2]
+        if sh not in (1, 2, 4) or sv not in (1, 2, 4) or sv > sh:
+            raise ValueError(f"YCbCr subsampling {sh}x{sv} invalid")
+
+    def strip_bytes(n_rows: int) -> int:
+        if photo == 6:                   # rows of (sh*sv Y + Cb + Cr)
+            return (-(-n_rows // sv)) * (-(-w // sh)) * (sh * sv + 2)
+        return n_rows * w * spp
+
     rows_per = tags.get(_ROWS_PER_STRIP, [h])[0] or h
     raw = bytearray()
     for i, (off, cnt) in enumerate(zip(offs, cnts)):
@@ -238,13 +266,15 @@ def decode_tiff_gray(payload: bytes) -> np.ndarray:
             raw += unpackbits(strip)
         elif comp == 5:
             n_rows = min(rows_per, h - i * rows_per)
-            raw += lzw_decode(strip, n_rows * w * spp)
+            raw += lzw_decode(strip, strip_bytes(n_rows))
         elif comp in (8, 32946):         # (Adobe-)deflate = zlib strips
             import zlib
 
             raw += zlib.decompress(strip)
         else:
             raw += strip
+    if photo == 6:
+        return _ycbcr_to_gray(bytes(raw), w, h, sh, sv, tags)
     need = w * h * spp
     if len(raw) < need:
         raise ValueError("TIFF pixel data shorter than dimensions imply")
@@ -256,7 +286,14 @@ def decode_tiff_gray(payload: bytes) -> np.ndarray:
         px = (np.cumsum(px, axis=1, dtype=np.uint32) & 0xFF) \
             .astype(np.uint8)
         img = px.reshape(h, w * spp)
-    if spp in (3, 4):
+    if photo == 5:
+        # CMYK inks (0 = no ink): R=(255-C)(255-K)/255 etc; gray is
+        # the channel mean, matching the RGB branch's convention
+        ink = img.reshape(h, w, 4).astype(np.float64)
+        cmy, k = ink[:, :, :3], ink[:, :, 3:4]
+        rgb = (255.0 - cmy) * (255.0 - k) / 255.0
+        img = np.clip(rgb.mean(axis=2) + 0.5, 0, 255).astype(np.uint8)
+    elif spp in (3, 4):
         # RGBA: alpha (extra sample) ignored, RGB averaged to luma mean
         img = img.reshape(h, w, spp)[:, :, :3].mean(axis=2).astype(np.uint8)
     if photo == 3:
@@ -272,6 +309,44 @@ def decode_tiff_gray(payload: bytes) -> np.ndarray:
     if photo == 0:                       # white-is-zero bilevel/gray
         img = (255 - img).astype(np.uint8)
     return img
+
+
+def _ycbcr_to_gray(raw: bytes, w: int, h: int, sh: int, sv: int,
+                   tags: dict) -> np.ndarray:
+    """Photometric-6 data units → gray.  Units interleave sh*sv Y
+    samples (row-major) with one Cb and one Cr (TIFF 6.0 §21);
+    chroma is nearest-neighbor upsampled, headroom/footroom undone
+    via ReferenceBlackWhite (tag 532, default [0,255,128,255,128,
+    255]) and RGB recovered with the tag-529 luma coefficients
+    (default BT.601), then channel-mean gray like the RGB branch."""
+    ucols, urows = -(-w // sh), -(-h // sv)
+    unit = sh * sv + 2
+    need = ucols * urows * unit
+    if len(raw) < need:
+        raise ValueError("TIFF pixel data shorter than dimensions imply")
+    arr = np.frombuffer(raw[:need], np.uint8).reshape(urows, ucols, unit)
+    ys = arr[:, :, : sh * sv].reshape(urows, ucols, sv, sh)
+    y = ys.transpose(0, 2, 1, 3).reshape(urows * sv, ucols * sh)
+    y = y[:h, :w].astype(np.float64)
+    cb = np.repeat(np.repeat(arr[:, :, sh * sv], sv, 0), sh, 1)
+    cr = np.repeat(np.repeat(arr[:, :, sh * sv + 1], sv, 0), sh, 1)
+    cb = cb[:h, :w].astype(np.float64)
+    cr = cr[:h, :w].astype(np.float64)
+    ref = tags.get(_REF_BW, [0.0, 255.0, 128.0, 255.0, 128.0, 255.0])
+    if len(ref) != 6 or ref[1] <= ref[0] or ref[3] <= ref[2] \
+            or ref[5] <= ref[4]:
+        raise ValueError("TIFF ReferenceBlackWhite malformed")
+    y = (y - ref[0]) * (255.0 / (ref[1] - ref[0]))
+    cb = (cb - ref[2]) * (127.0 / (ref[3] - ref[2]))
+    cr = (cr - ref[4]) * (127.0 / (ref[5] - ref[4]))
+    lr, lg, lb = tags.get(_YCBCR_COEF, [0.299, 0.587, 0.114])
+    if not lg:
+        raise ValueError("TIFF YCbCrCoefficients with zero green weight")
+    r = y + cr * (2.0 - 2.0 * lr)
+    b = y + cb * (2.0 - 2.0 * lb)
+    g = (y - lr * r - lb * b) / lg
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(rgb.mean(axis=2) + 0.5, 0, 255).astype(np.uint8)
 
 
 def _decode_jpeg_strips(payload: bytes, tags: dict, w: int, h: int,

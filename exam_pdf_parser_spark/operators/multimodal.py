@@ -118,7 +118,8 @@ def parse_meta(payload: bytes) -> dict:
     # byte pair must get claimed by its real probe first.
     for probe in (_png_dims, _jpeg_dims, _gif_dims, _tiff_bmp_dims,
                   _webp_dims, _avi_dims, _bmff_meta, _ebml_probe,
-                  _wav_meta, _aiff_au_meta, _ogg_meta, _mp3_meta):
+                  _wav_meta, _flac_meta, _aiff_au_meta, _ogg_meta,
+                  _mp3_meta):
         meta = probe(payload)
         if meta is not None:
             return meta
@@ -185,6 +186,23 @@ def _wav_meta(payload: bytes) -> dict | None:
     return {"kind": "audio", "width": info["rate"],
             "height": info["channels"],
             "n_frames": info["n_frames"], "valid": "ok"}
+
+
+def _flac_meta(payload: bytes) -> dict | None:
+    """FLAC STREAMINFO → audio metadata (rate, channels, total sample
+    frames) with no frame decode (``core/flac.py``)."""
+    if payload[:4] != b"fLaC":
+        return None
+    from ..core.flac import parse_streaminfo
+
+    try:
+        info = parse_streaminfo(payload)
+    except Exception:
+        return {"kind": "audio", "width": None, "height": None,
+                "n_frames": None, "valid": "corrupt"}
+    return {"kind": "audio", "width": info["rate"],
+            "height": info["channels"],
+            "n_frames": info["total_samples"] or None, "valid": "ok"}
 
 
 def _aiff_au_meta(payload: bytes) -> dict | None:
@@ -623,9 +641,10 @@ def decode_image(payload: bytes) -> np.ndarray:
     progressive JPEG (``core/jpeg.py``, Huffman + successive
     approximation + IDCT, luma plane), TIFF (``core/tiff.py`` —
     none/LZW+predictor/JPEG-strips/deflate/PackBits, gray/RGB/RGBA/
-    palette; CMYK/YCbCr raise from there, never falling through to
-    Pillow), BMP (``core/bmp.py``, 8/24/32-bit incl. BI_BITFIELDS
-    and RLE8) and lossless WebP (``core/vp8l.py`` — full VP8L:
+    palette/CMYK/YCbCr incl. subsampled data units), BMP
+    (``core/bmp.py``, 1/4/8/16/24/32-bit incl. BI_BITFIELDS,
+    RLE4/RLE8 and the OS/2 core header) and lossless WebP
+    (``core/vp8l.py`` — full VP8L:
     prefix codes, meta groups, color cache, LZ77 distance map, all
     four inverse transforms) — all REAL, no raster library.  Only
     containers with no native path (lossy VP8, arithmetic JPEG…)

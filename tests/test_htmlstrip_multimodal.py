@@ -628,14 +628,15 @@ def test_tiff_bmp_decode():
     assert np.array_equal(decode_image(bmp24),
                           px.mean(axis=2).astype(np.uint8))
 
-    # old-style JPEG TIFF and RLE4 BMP stay loud
+    # old-style JPEG TIFF and depth-mismatched RLE4 stay loud (RLE4
+    # itself decodes since round 5 — test_bmp_low_depth_rle4_16bit_os2)
     blob = bytearray(encode_tiff_gray(img))
     struct.pack_into("<I", blob, 8 + 2 + 12 * 3 + 8, 6)   # comp → old-JPEG
     with pytest.raises(NotImplementedError, match="old-JPEG"):
         decode_image(bytes(blob))
     blob = bytearray(encode_bmp_gray(img))
-    struct.pack_into("<I", blob, 30, 2)                    # BI_RLE4
-    with pytest.raises(NotImplementedError, match="compression"):
+    struct.pack_into("<I", blob, 30, 2)       # BI_RLE4 on 8-bit pixels
+    with pytest.raises(NotImplementedError, match="4-bit"):
         decode_image(bytes(blob))
 
 
@@ -704,6 +705,222 @@ def test_palette_tiff_rle8_bmp_gif_frames():
     assert m["n_frames"] == 1
     assert gif_frame_count(b"GIF89a" + struct.pack("<HH", 3, 3)
                            + b"\x00\x00\x00") is None
+
+
+def _build_tiff(w, h, photo, spp, body, extra_tags=()):
+    """Hand-assemble a little-endian uncompressed strip TIFF.
+    extra_tags: (tag, typ, values) where typ 3 packs inline SHORTs
+    and typ 5 appends RATIONAL num/den pairs after the pixel data."""
+    import struct
+
+    entries = [(256, 4, [w]), (257, 4, [h]), (258, 3, [8]),
+               (259, 3, [1]), (262, 3, [photo]), (273, 4, None),
+               (277, 3, [spp]), (279, 4, [len(body)])]
+    entries += [(t, typ, list(v)) for t, typ, v in extra_tags]
+    entries.sort()
+    ifd = 8
+    data_off = ifd + 2 + 12 * len(entries) + 4
+    tail = bytearray()                   # out-of-line values
+    tail_off = data_off + len(body)
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd)
+                    + struct.pack("<H", len(entries)))
+    for tag, typ, vals in entries:
+        if tag == 273:
+            out += struct.pack("<HHII", tag, 4, 1, data_off)
+            continue
+        if typ == 5:                     # RATIONAL: value/1 pairs
+            out += struct.pack("<HHII", tag, 5, len(vals),
+                               tail_off + len(tail))
+            for v in vals:
+                tail += struct.pack("<II", int(v), 1)
+            continue
+        cnt = len(vals)
+        if typ == 3 and cnt <= 2:        # inline SHORTs
+            packed = struct.pack("<" + "H" * cnt, *vals).ljust(4, b"\0")
+            out += struct.pack("<HHI", tag, 3, cnt) + packed
+        else:
+            out += struct.pack("<HHII", tag, 4, cnt, vals[0])
+    out += struct.pack("<I", 0) + body + tail
+    return bytes(out)
+
+
+def test_tiff_cmyk_ycbcr_photometrics():
+    """Round-5 TIFF closure: CMYK inks resolve through the (255-ink)
+    (255-K)/255 transform; YCbCr data units (1x1 and 2x2 subsampling)
+    reconstruct BT.601 RGB with ReferenceBlackWhite honored.  Every
+    expectation is hand-computed from the TIFF 6.0 formulas, not from
+    the decoder."""
+    import numpy as np
+    import pytest
+
+    from exam_pdf_parser_spark.core.tiff import decode_tiff_gray
+
+    # --- CMYK: pure K=255 -> black; no ink -> white; mixed checked
+    # against the spec formula computed right here
+    px = [(0, 0, 0, 0), (0, 0, 0, 255), (51, 102, 153, 64),
+          (255, 0, 0, 0)]
+    body = bytes(v for p in px for v in p)
+    got = decode_tiff_gray(_build_tiff(4, 1, 5, 4, body))
+
+    def cmyk_gray(c, m, y, k):
+        rgb = [(255 - v) * (255 - k) / 255.0 for v in (c, m, y)]
+        return min(255, int(sum(rgb) / 3.0 + 0.5))
+
+    assert [int(v) for v in got[0]] == [cmyk_gray(*p) for p in px]
+    assert int(got[0][0]) == 255 and int(got[0][1]) == 0
+
+    # --- YCbCr 1x1: each unit is Y,Cb,Cr; neutral chroma (128,128)
+    # must reproduce Y exactly under the default ReferenceBlackWhite
+    ys = [0, 64, 128, 255]
+    body = bytes(b for y in ys for b in (y, 128, 128))
+    got = decode_tiff_gray(_build_tiff(4, 1, 6, 3,
+                                       body, [(530, 3, (1, 1))]))
+    assert [int(v) for v in got[0]] == ys
+
+    # non-neutral chroma, hand-computed BT.601 reconstruction
+    def ycc_gray(y, cb, cr):
+        cb, cr = cb - 128.0, cr - 128.0
+        r = y + cr * (2 - 2 * 0.299)
+        b = y + cb * (2 - 2 * 0.114)
+        g = (y - 0.299 * r - 0.114 * b) / 0.587
+        return int(min(255.0, max(0.0, (r + g + b) / 3.0 + 0.5)))
+
+    body = bytes([100, 90, 200])
+    got = decode_tiff_gray(_build_tiff(1, 1, 6, 3,
+                                       body, [(530, 3, (1, 1))]))
+    assert int(got[0][0]) == ycc_gray(100, 90, 200)
+
+    # --- YCbCr 2x2 (the tag-530 default): one unit = 4 Y row-major
+    # + Cb + Cr shared by the 2x2 block; two units across a 4x2 image
+    unit1 = bytes([10, 20, 30, 40, 128, 128])
+    unit2 = bytes([50, 60, 70, 80, 128, 128])
+    got = decode_tiff_gray(_build_tiff(4, 2, 6, 3, unit1 + unit2))
+    assert got.tolist() == [[10, 20, 50, 60], [30, 40, 70, 80]]
+
+    # odd width: w=3 with 2x2 subsampling still uses 2 units/row,
+    # the 4th Y column is padding and must be cropped out
+    got = decode_tiff_gray(_build_tiff(3, 2, 6, 3, unit1 + unit2))
+    assert got.tolist() == [[10, 20, 50], [30, 40, 70]]
+
+    # --- ReferenceBlackWhite headroom/footroom (16..235 video range)
+    # scales Y back to full range: Y'=16 -> 0, Y'=235 -> 255
+    body = bytes([16, 128, 128, 235, 128, 128])
+    blob = _build_tiff(2, 1, 6, 3, body,
+                       [(530, 3, (1, 1)),
+                        (532, 5, (16, 235, 128, 240, 128, 240))])
+    got = decode_tiff_gray(blob)
+    assert [int(v) for v in got[0]] == [0, 255]
+
+    # truncated unit stream raises (quarantine, not garbage)
+    with pytest.raises(ValueError, match="shorter"):
+        decode_tiff_gray(_build_tiff(4, 2, 6, 3, unit1))
+
+
+def test_bmp_low_depth_rle4_16bit_os2():
+    """Round-5 BMP closure: 1/4-bit palette rows, BI_RLE4 runs,
+    16-bit RGB555 + BI_BITFIELDS words, and the OS/2 BITMAPCOREHEADER
+    (RGB-triple palette) all decode; the stubs narrow accordingly."""
+    import struct
+
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.bmp import (
+        _decode_rle4, decode_bmp_gray,
+    )
+
+    def build(w, h, bits, comp, body, palette=b"", masks=b""):
+        hdr_size = 40
+        data_off = 14 + hdr_size + len(masks) + len(palette)
+        size = data_off + len(body)
+        return (b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+                + struct.pack("<IiiHHIIiiII", hdr_size, w, h, 1, bits,
+                              comp, len(body), 2835, 2835,
+                              len(palette) // 4, 0)
+                + masks + palette + body)
+
+    # gray-identity palettes (BGRX quads)
+    pal4 = b"".join(struct.pack("<BBBB", i * 17, i * 17, i * 17, 0)
+                    for i in range(16))
+    pal1 = (struct.pack("<BBBB", 0, 0, 0, 0)
+            + struct.pack("<BBBB", 255, 255, 255, 0))
+
+    # 4-bit uncompressed, 5x2 bottom-up: nibbles pack MSB-first,
+    # rows pad to 4 bytes
+    rows = [[1, 2, 3, 4, 5], [15, 0, 15, 0, 15]]
+    body = b""
+    for r in rows[::-1]:
+        packed = bytearray()
+        for i in range(0, len(r), 2):
+            hi = r[i] << 4
+            lo = r[i + 1] if i + 1 < len(r) else 0
+            packed.append(hi | lo)
+        body += bytes(packed).ljust(4, b"\x00")
+    got = decode_bmp_gray(build(5, 2, 4, 0, body, pal4))
+    assert got.tolist() == [[17 * v for v in r] for r in rows]
+
+    # 1-bit uncompressed, 10x2: bits MSB-first, white=index 1
+    bitrows = [[0, 1, 0, 1, 0, 1, 1, 0, 0, 1],
+               [1, 1, 1, 1, 0, 0, 0, 0, 1, 1]]
+    body = b""
+    for r in bitrows[::-1]:
+        acc = bytearray(2)
+        for i, v in enumerate(r):
+            acc[i // 8] |= v << (7 - i % 8)
+        body += bytes(acc).ljust(4, b"\x00")
+    got = decode_bmp_gray(build(10, 2, 1, 0, body, pal1))
+    assert got.tolist() == [[255 * v for v in r] for r in bitrows]
+
+    # BI_RLE4 stream: encoded run alternates nibbles, absolute is
+    # nibble-packed and word-aligned
+    rle = bytes([5, 0x12,             # encoded: 1 2 1 2 1
+                 0, 3, 0x34, 0x50,    # absolute 3 4 5 (2B, word-even)
+                 0, 0,                # end of line
+                 2, 0x9A,             # 9 10
+                 0, 1])               # end of bitmap
+    out = _decode_rle4(rle, 8, 2)
+    assert out.shape == (2, 8)
+    assert list(out[0]) == [1, 2, 1, 2, 1, 3, 4, 5]
+    assert list(out[1]) == [9, 10, 0, 0, 0, 0, 0, 0]
+    # end-to-end: RLE4 file maps through the 16-entry palette
+    got = decode_bmp_gray(build(8, 2, 4, 2, rle, pal4))
+    assert got[-1].tolist() == [v * 17 for v in (1, 2, 1, 2, 1, 3, 4, 5)]
+
+    # 16-bit RGB555 (comp=0): gray g maps to each 5-bit channel
+    g5 = [0, 10, 21, 31]
+    word = [(v << 10) | (v << 5) | v for v in g5]
+    body = b"".join(struct.pack("<H", v) for v in word)  # 4x1 row = 8B
+    got = decode_bmp_gray(build(4, 1, 16, 0, body))
+    want = [int(v * 255.0 / 31) for v in g5]
+    assert [int(x) for x in got[0]] == want
+
+    # 16-bit BI_BITFIELDS with RGB565 masks
+    masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    v = (10 << 11) | (20 << 5) | 10
+    body = struct.pack("<HH", v, v)
+    got = decode_bmp_gray(build(2, 1, 16, 3, body, masks=masks))
+    want = int((10 * 255.0 / 31 + 20 * 255.0 / 63 + 10 * 255.0 / 31) / 3)
+    assert int(got[0][0]) == want
+
+    # OS/2 BITMAPCOREHEADER: uint16 dims, RGB-TRIPLE palette, 8-bit
+    pal3 = b"".join(struct.pack("<BBB", i, i, i) for i in range(256))
+    px = np.array([[3, 200, 116]], np.uint8)
+    body = px.tobytes().ljust(4, b"\x00")
+    blob = (b"BM" + struct.pack("<IHHI", 14 + 12 + len(pal3) + 4, 0, 0,
+                                14 + 12 + len(pal3))
+            + struct.pack("<IHHHH", 12, 3, 1, 1, 8) + pal3 + body)
+    got = decode_bmp_gray(blob)
+    assert got.tolist() == [[3, 200, 116]]
+
+    # out-of-range palette index raises (quarantine, not garbage)
+    bad = build(5, 2, 4, 0, b"\x35\x35\x35\x00" * 2, pal4[:8 * 4])
+    # n_colors comes from the header field; force it below the indices
+    bad = bytearray(bad)
+    struct.pack_into("<I", bad, 46, 2)
+    try:
+        decode_bmp_gray(bytes(bad))
+        raise AssertionError("expected palette range error")
+    except ValueError:
+        pass
 
 
 def test_jpeg_in_tiff_strips():
