@@ -265,10 +265,15 @@ def decode_audio_any(payload: bytes) -> tuple[np.ndarray, int]:
         return _decode_aiff(payload)
     if payload[:4] == b".snd":
         return _decode_au(payload)
+    if payload[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        return decode_flac(payload)
     raise NotImplementedError(
-        "only WAV (PCM/µ-law/a-law/IMA-ADPCM), AIFF and AU decode "
-        "natively; mp3/ogg/aac need perceptual codecs with no stdlib "
-        "path — fail-loud by design")
+        "only WAV (PCM/µ-law/a-law/IMA-ADPCM), AIFF, AU and FLAC "
+        "decode natively; mp3/ogg/aac need perceptual codecs whose "
+        "spec Huffman codebooks cannot be verified in this sandbox — "
+        "fail-loud by design")
 
 
 # --- encoders (self-contained round-trip tests) ------------------------------

