@@ -166,7 +166,8 @@ def decode_bmp_gray(payload: bytes) -> np.ndarray:
     if comp in (1, 2):
         rle = payload[data_off:]
         if len(rle) < 2:
-            raise ValueError("BMP RLE stream missing or empty")
+            raise ValueError(f"BMP RLE{8 if comp == 1 else 4} stream "
+                             "missing or empty")
         rows = (_decode_rle8 if comp == 1 else _decode_rle4)(rle, w, h)
         row_bytes = w                    # RLE output is unpadded indices
         bits = 8                         # and already one index per cell

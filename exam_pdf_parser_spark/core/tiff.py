@@ -27,7 +27,8 @@ TIFF_SIGS = (b"II*\x00", b"MM\x00*")
 
 _W, _H, _BITS, _COMP, _PHOTO = 256, 257, 258, 259, 262
 _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
-_PREDICTOR, _COLORMAP, _JPEGTABLES = 317, 320, 347
+_PREDICTOR, _COLORMAP, _TILE_W, _TILE_H = 317, 320, 322, 323
+_TILE_OFF, _TILE_CNT, _JPEGTABLES = 324, 325, 347
 _YCBCR_COEF, _YCBCR_SUBSAMPLING, _REF_BW = 529, 530, 532
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
@@ -212,9 +213,15 @@ def decode_tiff_gray(payload: bytes) -> np.ndarray:
     tags = _read_ifd(payload, order)
     try:
         w, h = tags[_W][0], tags[_H][0]
-        offs, cnts = tags[_STRIP_OFF], tags[_STRIP_CNT]
     except KeyError as e:
         raise ValueError(f"TIFF missing required tag {e}") from e
+    tiled = _TILE_W in tags and _TILE_H in tags
+    if tiled:
+        offs, cnts = tags.get(_TILE_OFF), tags.get(_TILE_CNT)
+    else:
+        offs, cnts = tags.get(_STRIP_OFF), tags.get(_STRIP_CNT)
+    if offs is None or cnts is None:
+        raise ValueError("TIFF missing strip/tile offset tags")
     comp = tags.get(_COMP, [1])[0]
     spp = tags.get(_SPP, [1])[0]
     bits = tags.get(_BITS, [8])[0]
@@ -224,9 +231,16 @@ def decode_tiff_gray(payload: bytes) -> np.ndarray:
         # (possibly abbreviated, sharing tables via tag 347) — the
         # JPEG codec owns bit depth and colorspace, so none of the
         # guards below apply
+        if tiled:
+            raise NotImplementedError("tiled JPEG TIFF not supported")
         return _decode_jpeg_strips(payload, tags, w, h, offs, cnts)
-    if bits != 8:
+    if bits not in (8, 16):
         raise NotImplementedError(f"{bits}-bit TIFF not supported")
+    if bits == 16 and (photo not in (0, 1) or spp != 1):
+        # 16-bit is the deep-grayscale scan shape; 16-bit color would
+        # need per-photometric rescale rules
+        raise NotImplementedError("16-bit TIFF only supported for "
+                                  "single-sample grayscale")
     if photo == 3 and _COLORMAP not in tags:
         raise ValueError("palette TIFF without a ColorMap tag")
     if photo not in (0, 1, 2, 3, 5, 6):
@@ -251,41 +265,82 @@ def decode_tiff_gray(payload: bytes) -> np.ndarray:
         if sh not in (1, 2, 4) or sv not in (1, 2, 4) or sv > sh:
             raise ValueError(f"YCbCr subsampling {sh}x{sv} invalid")
 
-    def strip_bytes(n_rows: int) -> int:
-        if photo == 6:                   # rows of (sh*sv Y + Cb + Cr)
-            return (-(-n_rows // sv)) * (-(-w // sh)) * (sh * sv + 2)
-        return n_rows * w * spp
+    bpp = bits // 8
+    dt = np.uint8 if bits == 8 else np.dtype(f"{order}u2")
+    pred2 = tags.get(_PREDICTOR, [1])[0] == 2
+    mask = (1 << bits) - 1
 
-    rows_per = tags.get(_ROWS_PER_STRIP, [h])[0] or h
-    raw = bytearray()
-    for i, (off, cnt) in enumerate(zip(offs, cnts)):
-        strip = payload[off:off + cnt]
-        if len(strip) != cnt:
-            raise ValueError("truncated TIFF strip")
+    def inflate(blob: bytes, expected: int) -> bytes:
         if comp == 32773:
-            raw += unpackbits(strip)
-        elif comp == 5:
-            n_rows = min(rows_per, h - i * rows_per)
-            raw += lzw_decode(strip, strip_bytes(n_rows))
-        elif comp in (8, 32946):         # (Adobe-)deflate = zlib strips
+            return unpackbits(blob)
+        if comp == 5:
+            return lzw_decode(blob, expected)
+        if comp in (8, 32946):           # (Adobe-)deflate = zlib
             import zlib
 
-            raw += zlib.decompress(strip)
-        else:
-            raw += strip
-    if photo == 6:
-        return _ycbcr_to_gray(bytes(raw), w, h, sh, sv, tags)
-    need = w * h * spp
-    if len(raw) < need:
-        raise ValueError("TIFF pixel data shorter than dimensions imply")
-    img = np.frombuffer(bytes(raw[:need]), np.uint8).reshape(h, w * spp)
-    if tags.get(_PREDICTOR, [1])[0] == 2:
-        # horizontal differencing: undo with a per-row running sum,
-        # channel-interleaved (stride = samples per pixel)
-        px = img.reshape(h, w, spp) if spp > 1 else img.reshape(h, w, 1)
-        px = (np.cumsum(px, axis=1, dtype=np.uint32) & 0xFF) \
-            .astype(np.uint8)
-        img = px.reshape(h, w * spp)
+            return zlib.decompress(blob)
+        return blob
+
+    def undo_pred(px: np.ndarray) -> np.ndarray:
+        # horizontal differencing: per-row running sum per channel
+        return (np.cumsum(px, axis=1, dtype=np.uint64) & mask) \
+            .astype(px.dtype)
+
+    if tiled:
+        if photo == 6:
+            raise NotImplementedError("tiled YCbCr TIFF not supported")
+        tw, tl = tags[_TILE_W][0], tags[_TILE_H][0]
+        if not tw or not tl:
+            raise ValueError("TIFF tile dimensions zero")
+        ta, td = -(-w // tw), -(-h // tl)
+        if len(offs) < ta * td or len(cnts) < ta * td:
+            raise ValueError("TIFF tile table shorter than the grid")
+        tile_need = tw * tl * spp * bpp
+        canvas = np.zeros((h, w, spp), dt)
+        for ti in range(td):
+            for tj in range(ta):
+                idx = ti * ta + tj
+                blob = payload[offs[idx]:offs[idx] + cnts[idx]]
+                if len(blob) != cnts[idx]:
+                    raise ValueError("truncated TIFF tile")
+                traw = inflate(bytes(blob), tile_need)
+                if len(traw) < tile_need:
+                    raise ValueError("TIFF tile shorter than its "
+                                     "dimensions imply")
+                t = np.frombuffer(traw[:tile_need], dt) \
+                    .reshape(tl, tw, spp)
+                if pred2:                # differencing restarts per tile
+                    t = undo_pred(t)
+                y0, x0 = ti * tl, tj * tw
+                ny, nx = min(tl, h - y0), min(tw, w - x0)
+                canvas[y0:y0 + ny, x0:x0 + nx] = t[:ny, :nx]
+        img = canvas.reshape(h, w * spp)
+    else:
+
+        def strip_bytes(n_rows: int) -> int:
+            if photo == 6:               # rows of (sh*sv Y + Cb + Cr)
+                return (-(-n_rows // sv)) * (-(-w // sh)) * (sh * sv + 2)
+            return n_rows * w * spp * bpp
+
+        rows_per = tags.get(_ROWS_PER_STRIP, [h])[0] or h
+        raw = bytearray()
+        for i, (off, cnt) in enumerate(zip(offs, cnts)):
+            strip = payload[off:off + cnt]
+            if len(strip) != cnt:
+                raise ValueError("truncated TIFF strip")
+            n_rows = min(rows_per, h - i * rows_per)
+            raw += inflate(strip, strip_bytes(n_rows))
+        if photo == 6:
+            return _ycbcr_to_gray(bytes(raw), w, h, sh, sv, tags)
+        need = w * h * spp * bpp
+        if len(raw) < need:
+            raise ValueError("TIFF pixel data shorter than dimensions "
+                             "imply")
+        img = np.frombuffer(bytes(raw[:need]), dt).reshape(h, w * spp)
+        if pred2:
+            img = undo_pred(img.reshape(h, w, spp)).reshape(h, w * spp)
+    if bits == 16:                       # deep gray → high byte
+        img = (img >> 8).astype(np.uint8)
     if photo == 5:
         # CMYK inks (0 = no ink): R=(255-C)(255-K)/255 etc; gray is
         # the channel mean, matching the RGB branch's convention

@@ -816,6 +816,127 @@ def test_tiff_cmyk_ycbcr_photometrics():
         decode_tiff_gray(_build_tiff(4, 2, 6, 3, unit1))
 
 
+def test_tiff_tiled_and_16bit():
+    """Round-5 TIFF closure, part 2: tile-organized files (tags
+    322-325) assemble their grid with edge-tile crop and per-tile
+    predictor restart; 16-bit grayscale maps through its high byte
+    in either byte order."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from exam_pdf_parser_spark.core.tiff import decode_tiff_gray
+
+    def tiled_tiff(w, h, tw, tl, tiles, comp=1, predictor=1, bits=8):
+        """Little-endian tiled TIFF; tiles = list of raw tile bytes
+        in row-major grid order."""
+        entries = [(256, [w]), (257, [h]), (258, [bits]), (259, [comp]),
+                   (262, [1]), (277, [1]), (317, [predictor]),
+                   (322, [tw]), (323, [tl]),
+                   (324, None), (325, [len(t) for t in tiles])]
+        ifd = 8
+        n = len(entries)
+        # the two array tags (324/325) need out-of-line storage when
+        # longer than one value
+        arr_off = ifd + 2 + 12 * n + 4
+        cnt_bytes = 4 * len(tiles)
+        data_off = arr_off + 2 * cnt_bytes
+        offsets = []
+        pos = data_off
+        for t in tiles:
+            offsets.append(pos)
+            pos += len(t)
+        out = bytearray(b"II*\x00" + struct.pack("<I", ifd)
+                        + struct.pack("<H", n))
+        for tag, vals in entries:
+            if tag == 324:
+                vals = offsets
+            if len(vals) == 1:
+                out += struct.pack("<HHII", tag, 4, 1, vals[0])
+            elif tag == 324:
+                out += struct.pack("<HHII", tag, 4, len(vals), arr_off)
+            else:                        # 325 counts
+                out += struct.pack("<HHII", tag, 4, len(vals),
+                                   arr_off + cnt_bytes)
+        out += struct.pack("<I", 0)
+        out += b"".join(struct.pack("<I", v) for v in offsets)
+        out += b"".join(struct.pack("<I", len(t)) for t in tiles)
+        for t in tiles:
+            out += t
+        return bytes(out)
+
+    # 6x5 image in 4x4 tiles → 2x2 grid; edge tiles padded, and the
+    # padding must be cropped out of the result
+    img = np.arange(30, dtype=np.uint8).reshape(5, 6) * 7
+    tiles = []
+    for ti in range(2):
+        for tj in range(2):
+            t = np.zeros((4, 4), np.uint8)
+            blk = img[ti * 4:ti * 4 + 4, tj * 4:tj * 4 + 4]
+            t[: blk.shape[0], : blk.shape[1]] = blk
+            tiles.append(t.tobytes())
+    got = decode_tiff_gray(tiled_tiff(6, 5, 4, 4, tiles))
+    assert np.array_equal(got, img)
+
+    # deflate-compressed tiles with the horizontal predictor: the
+    # differencing restarts at every tile's left edge
+    dtiles = []
+    for ti in range(2):
+        for tj in range(2):
+            t = np.zeros((4, 4), np.int16)
+            blk = img[ti * 4:ti * 4 + 4, tj * 4:tj * 4 + 4]
+            t[: blk.shape[0], : blk.shape[1]] = blk
+            diff = np.diff(t.astype(np.int16), axis=1,
+                           prepend=np.zeros((4, 1), np.int16))
+            dtiles.append(zlib.compress(
+                (diff.astype(np.int16) & 0xFF).astype(np.uint8)
+                .tobytes()))
+    got = decode_tiff_gray(tiled_tiff(6, 5, 4, 4, dtiles, comp=8,
+                                      predictor=2))
+    assert np.array_equal(got, img)
+
+    # 16-bit grayscale, little-endian: output is the high byte
+    vals = np.array([[0, 256, 65535, 40000]], "<u2")
+    body = vals.tobytes()
+    blob = _build_tiff(4, 1, 1, 1, body)
+    # patch BitsPerSample 8 → 16 in the hand builder's IFD
+    blob = bytearray(blob)
+    i = blob.find(struct.pack("<HHII", 258, 3, 1, 8))
+    assert i > 0
+    blob[i:i + 12] = struct.pack("<HHII", 258, 3, 1, 16)
+    got = decode_tiff_gray(bytes(blob))
+    assert got.tolist() == [[0, 1, 255, 156]]   # 40000>>8 = 156
+
+    # big-endian 16-bit: same image, MM byte order, hand-built
+    def be_tiff16(w, h, body):
+        entries = [(256, w), (257, h), (258, 16), (259, 1), (262, 1),
+                   (273, None), (277, 1), (279, len(body))]
+        ifd = 8
+        data_off = ifd + 2 + 12 * len(entries) + 4
+        out = bytearray(b"MM\x00*" + struct.pack(">I", ifd)
+                        + struct.pack(">H", len(entries)))
+        for tag, val in entries:
+            if tag == 273:
+                val = data_off
+            out += struct.pack(">HHII", tag, 4, 1, val)
+        out += struct.pack(">I", 0) + body
+        return bytes(out)
+
+    got = decode_tiff_gray(be_tiff16(4, 1, vals.astype(">u2").tobytes()))
+    assert got.tolist() == [[0, 1, 255, 156]]
+
+    # 16-bit color stays loud; truncated tile stream raises
+    blob = bytearray(_build_tiff(2, 1, 2, 3, b"\x00" * 12))
+    i = blob.find(struct.pack("<HHII", 258, 3, 1, 8))
+    blob[i:i + 12] = struct.pack("<HHII", 258, 3, 1, 16)
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_tiff_gray(bytes(blob))
+    with pytest.raises(ValueError, match="tile"):
+        decode_tiff_gray(tiled_tiff(6, 5, 4, 4, tiles[:2]))
+
+
 def test_bmp_low_depth_rle4_16bit_os2():
     """Round-5 BMP closure: 1/4-bit palette rows, BI_RLE4 runs,
     16-bit RGB555 + BI_BITFIELDS words, and the OS/2 BITMAPCOREHEADER
