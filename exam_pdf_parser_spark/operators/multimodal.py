@@ -113,13 +113,15 @@ def parse_meta(payload: bytes) -> dict:
         w, h, f = struct.unpack(">HHH", payload[6:12])
         return {"kind": kind, "width": w, "height": h, "n_frames": f,
                 "valid": "ok"}
-    # _mp3_meta runs LAST: its sync word is only 11 bits, so it is the
-    # weakest magic of the set — any container with an early 0xFF Ex
-    # byte pair must get claimed by its real probe first.
+    # the two weak-sync probes (_adts_meta 12 bits, _mp3_meta 11
+    # bits) run LAST: any container with an early 0xFF Ex byte pair
+    # must get claimed by its real probe first.  Both demand a second
+    # consecutive frame header, and their layer bits are disjoint, so
+    # neither can claim the other's stream.
     for probe in (_png_dims, _jpeg_dims, _gif_dims, _tiff_bmp_dims,
                   _webp_dims, _avi_dims, _bmff_meta, _ebml_probe,
                   _wav_meta, _flac_meta, _aiff_au_meta, _ogg_meta,
-                  _mp3_meta):
+                  _adts_meta, _mp3_meta):
         meta = probe(payload)
         if meta is not None:
             return meta
@@ -322,16 +324,110 @@ def _mp3_meta(payload: bytes) -> dict | None:
     h = payload[sync:sync + 4]
     rate = _MP3_RATES[(h[2] >> 2) & 0x03]
     channels = 1 if ((h[3] >> 6) & 0x03) == 3 else 2
-    # 1152 samples per MPEG-1 Layer III frame
-    n_frames = (len(payload) - sync) // max(1, frame_bytes) * 1152
+    # VBR headers beat byte-count estimation: a Xing/Info (or VBRI)
+    # tag in the first frame carries the true frame count, which a
+    # constant-bitrate extrapolation gets wrong on VBR files
+    n_frames = None
+    side = 17 if channels == 1 else 32   # MPEG-1 side-info bytes
+    tag_off = sync + 4 + side
+    tag = payload[tag_off:tag_off + 4]
+    if tag in (b"Xing", b"Info"):
+        (flags,) = struct.unpack_from(">I", payload, tag_off + 4)
+        if flags & 0x01 and tag_off + 12 <= len(payload):
+            (frames,) = struct.unpack_from(">I", payload, tag_off + 8)
+            n_frames = frames * 1152
+    elif payload[sync + 36:sync + 40] == b"VBRI" \
+            and sync + 36 + 18 <= len(payload):
+        (frames,) = struct.unpack_from(">I", payload, sync + 36 + 14)
+        n_frames = frames * 1152
+    if n_frames is None:
+        # 1152 samples per MPEG-1 Layer III frame
+        n_frames = (len(payload) - sync) // max(1, frame_bytes) * 1152
     return {"kind": "audio", "width": rate, "height": channels,
             "n_frames": n_frames, "valid": "ok"}
 
 
+_ADTS_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000,
+               22050, 16000, 12000, 11025, 8000, 7350, 0, 0, 0)
+
+
+def _adts_frame_len(payload: bytes, pos: int) -> int | None:
+    """Frame length iff a plausible ADTS AAC frame header starts at
+    POS (12-bit sync, layer 00, a defined sampling index)."""
+    if pos + 7 > len(payload):
+        return None
+    h = payload[pos:pos + 7]
+    if h[0] != 0xFF or (h[1] & 0xF6) != 0xF0:
+        return None
+    if not _ADTS_RATES[(h[2] >> 2) & 0x0F]:
+        return None
+    fl = ((h[3] & 0x03) << 11) | (h[4] << 3) | (h[5] >> 5)
+    return fl if fl >= 7 else None
+
+
+def _adts_meta(payload: bytes) -> dict | None:
+    """ADTS AAC frame-header metadata (no decode).  Same rigor as the
+    MP3 probe: the sync is weak, so a second consecutive valid header
+    must sit exactly at ``sync + frame_len`` before the payload is
+    reported as audio; frames are then counted by walking the chain
+    (1024 samples per raw data block)."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14) \
+            | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
+        pos = 10 + size
+    sync = None
+    search = pos
+    while True:
+        cand = payload.find(b"\xff", search, pos + 4096)
+        if cand < 0:
+            return None
+        fl = _adts_frame_len(payload, cand)
+        if fl is not None and _adts_frame_len(payload, cand + fl):
+            sync = cand
+            break
+        search = cand + 1
+    h = payload[sync:sync + 7]
+    rate = _ADTS_RATES[(h[2] >> 2) & 0x0F]
+    chan_cfg = ((h[2] & 0x01) << 2) | (h[3] >> 6)
+    frames = 0
+    at = sync
+    while True:
+        fl = _adts_frame_len(payload, at)
+        if fl is None:
+            break
+        blocks = (payload[at + 6] & 0x03) + 1
+        frames += blocks
+        at += fl
+    return {"kind": "audio", "width": rate,
+            "height": chan_cfg or None,
+            "n_frames": frames * 1024, "valid": "ok"}
+
+
+def _ogg_last_granule(payload: bytes) -> int | None:
+    """Granule position of the last plausible Ogg page header —
+    scanned from the tail so packet bytes that merely contain "OggS"
+    are rejected by the version/header-type plausibility check."""
+    idx = payload.rfind(b"OggS")
+    while idx >= 0:
+        # 27 = the minimal page header (capture + version + type +
+        # granule + serial + seq + crc + segment count)
+        if idx + 27 <= len(payload) and payload[idx + 4] == 0 \
+                and payload[idx + 5] <= 0x07:
+            (g,) = struct.unpack_from("<q", payload, idx + 6)
+            if g >= 0:
+                return g
+        idx = payload.rfind(b"OggS", 0, idx)
+    return None
+
+
 def _ogg_meta(payload: bytes) -> dict | None:
     """Ogg container: codec-aware first-packet probe — Vorbis and
-    Opus report rate/channels, FLAC/Speex report as audio and Theora
-    as video with null parameters; unknown codecs stay corrupt."""
+    Opus report rate/channels and a duration-bearing sample count
+    from the LAST page's granule position (PCM samples for Vorbis;
+    48 kHz ticks minus pre-skip for Opus), FLAC/Speex report as audio
+    and Theora as video with null parameters; unknown codecs stay
+    corrupt."""
     if payload[:4] != b"OggS":
         return None
     head = payload[:512]
@@ -340,13 +436,16 @@ def _ogg_meta(payload: bytes) -> dict | None:
         channels = payload[idx + 11]
         (rate,) = struct.unpack_from("<I", payload, idx + 12)
         return {"kind": "audio", "width": rate, "height": channels,
-                "n_frames": None, "valid": "ok"}
+                "n_frames": _ogg_last_granule(payload), "valid": "ok"}
     idx = head.find(b"OpusHead")
     if idx >= 0 and idx + 16 <= len(payload):
         channels = payload[idx + 9]
+        (pre_skip,) = struct.unpack_from("<H", payload, idx + 10)
         (rate,) = struct.unpack_from("<I", payload, idx + 12)
+        g = _ogg_last_granule(payload)
+        n = max(0, g - pre_skip) if g is not None else None
         return {"kind": "audio", "width": rate, "height": channels,
-                "n_frames": None, "valid": "ok"}
+                "n_frames": n, "valid": "ok"}
     if head.find(b"\x7fFLAC") >= 0 or head.find(b"Speex   ") >= 0:
         return {"kind": "audio", "width": None, "height": None,
                 "n_frames": None, "valid": "ok"}

@@ -1527,6 +1527,64 @@ def test_header_meta_for_undecodable_formats():
         ("audio", 22050, 1, "ok")
 
 
+def test_adts_ogg_granule_xing_metadata():
+    """Round-5 metadata closure: ADTS AAC frame trains report
+    rate/channels/sample count (two-consecutive-header rigor like the
+    MP3 probe), Ogg duration comes from the LAST page's granule
+    position (minus Opus pre-skip), and a Xing/Info or VBRI header
+    overrides the MP3 CBR frame estimate."""
+    import struct
+
+    from exam_pdf_parser_spark.operators.multimodal import parse_meta
+
+    # --- ADTS: 3 frames of 9 bytes, AAC-LC, 44100 Hz, 2 channels
+    hdr = bytes([0xFF, 0xF1, 0x50, 0x80, 9 >> 3, (9 & 7) << 5, 0x00])
+    adts = (hdr + b"\xAB\xCD") * 3
+    m = parse_meta(adts)
+    assert (m["kind"], m["width"], m["height"], m["n_frames"],
+            m["valid"]) == ("audio", 44100, 2, 3 * 1024, "ok")
+    # a lone ADTS header in junk is rejected (weak-sync rigor)
+    assert parse_meta(hdr + bytes(range(200)))["valid"] == "corrupt"
+
+    # --- Ogg/Vorbis: a trailing EOS page carries the PCM length
+    ident = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([1])
+             + struct.pack("<I", 22050) + b"\x00" * 16)
+    first = b"OggS" + b"\x00" * 22 + b"\x01\x1e" + ident
+    last = (b"OggS" + bytes([0, 0x04]) + struct.pack("<q", 12345)
+            + b"\x00" * 12 + bytes([0]))
+    m = parse_meta(first + last)
+    assert (m["width"], m["height"], m["n_frames"]) == (22050, 1, 12345)
+
+    # --- Ogg/Opus: granule is 48 kHz ticks; pre-skip subtracted
+    opus_id = (b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+               + struct.pack("<I", 48000))
+    first = b"OggS" + b"\x00" * 22 + bytes([1, len(opus_id)]) + opus_id
+    last = (b"OggS" + bytes([0, 0x04]) + struct.pack("<q", 48312)
+            + b"\x00" * 12 + bytes([0]))
+    m = parse_meta(first + last)
+    assert (m["width"], m["height"], m["n_frames"]) == (48000, 2, 48000)
+
+    # --- MP3 + Xing (stereo, side info 32): true frame count beats
+    # the byte-length estimate
+    mp3h = b"\xff\xfb\x90\x00"                 # 128kbps 44.1k stereo
+    frame1 = bytearray(mp3h + b"\x00" * 413)   # 417-byte frame
+    frame1[4 + 32:4 + 32 + 12] = (b"Xing" + struct.pack(">I", 1)
+                                  + struct.pack(">I", 7))
+    m = parse_meta(bytes(frame1) + mp3h + b"\x00" * 413)
+    assert m["n_frames"] == 7 * 1152
+
+    # --- MP3 + VBRI (always at header+32, frames at +14)
+    frame1 = bytearray(mp3h + b"\x00" * 413)
+    frame1[36:40] = b"VBRI"
+    frame1[36 + 14:36 + 18] = struct.pack(">I", 9)
+    m = parse_meta(bytes(frame1) + mp3h + b"\x00" * 413)
+    assert m["n_frames"] == 9 * 1152
+
+    # plain CBR train still estimates from the byte count
+    m = parse_meta((mp3h + b"\x00" * 413) * 5)
+    assert m["n_frames"] == 5 * 1152
+
+
 def test_compressed_audio_codecs_decode():
     """Round-4+ follow-on to the mp3/ogg gap: every audio codec the
     stdlib genuinely carries now decodes — G.711 µ-law/a-law and mono
