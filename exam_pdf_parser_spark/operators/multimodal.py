@@ -912,6 +912,79 @@ def png_media_corpus(spark: SparkSession, n: int, seed: int = 42,
     return spark.range(0, n, 1, partitions).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def real_media_corpus(spark: SparkSession, n: int, seed: int = 42,
+                      partitions: int = 8) -> DataFrame:
+    """Deterministic media table that rotates through the REAL
+    encoders this repo carries — the shape of a mixed crawl batch:
+    images cycle PNG/GIF/JPEG/TIFF (codec-rotated)/BMP, audio cycles
+    WAV-PCM/µ-law/IMA-ADPCM/FLAC/AIFF/AU, video is MJPEG-AVI.
+    Every payload round-trips through parse_meta and
+    its kind's feature operator (see ``test_real_media_corpus_mixed``
+    for the end-to-end drive)."""
+    from ..core.audio import encode_aiff, encode_au, encode_wav
+    from ..core.bmp import encode_bmp_gray
+    from ..core.flac import encode_flac
+    from ..core.gif import encode_gif_gray
+    from ..core.jpeg import encode_jpeg_gray
+    from ..core.png import encode_png_gray
+    from ..core.tiff import encode_tiff_gray
+
+    def one(i: int) -> tuple[str, bytes]:
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            w, h = 24 + (i % 6) * 8, 24 + (i % 4) * 8
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = ((xx * 4 + yy * 2) % 240
+                   + rng.integers(0, 16, (h, w))).astype(np.uint8)
+            enc = (i // 3) % 5
+            if enc == 0:
+                return kind, encode_png_gray(img)
+            if enc == 1:
+                return kind, encode_gif_gray(img)
+            if enc == 2:
+                return kind, encode_jpeg_gray(img)
+            if enc == 3:
+                codec = ("none", "packbits", "lzw")[(i // 15) % 3]
+                pred = 2 if codec == "lzw" else 1
+                return kind, encode_tiff_gray(img, codec=codec,
+                                              predictor=pred)
+            return kind, encode_bmp_gray(img)
+        if kind == "audio":
+            t = np.arange(2000 + (i % 5) * 400) / 8000.0
+            sine = 0.4 * np.sin(2 * np.pi * (200 + i % 7 * 60) * t)
+            enc = (i // 3) % 6
+            if enc == 0:
+                return kind, encode_wav(sine, 8000, "pcm")
+            if enc == 1:
+                return kind, encode_wav(sine, 8000, "ulaw")
+            if enc == 2:
+                return kind, encode_wav(sine, 8000, "adpcm")
+            if enc == 3:
+                pcm = (np.clip(sine, -1, 1) * 32767).astype(np.int64)
+                return kind, encode_flac(pcm, 8000, bps=16,
+                                         blocksize=1024)
+            if enc == 4:
+                return kind, encode_aiff(sine, 8000)
+            return kind, encode_au(sine, 8000, "pcm16")
+        frames = [np.full((16, 16), (f * 37 + i) % 255, np.uint8)
+                  for f in range(3 + i % 4)]
+        return kind, encode_video_avi(frames, fps=10)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": []}
+            for i in pdf["id"]:
+                kind, payload = one(int(i))
+                rows["media_id"].append(int(i))
+                rows["kind"].append(kind)
+                rows["payload"].append(payload)
+            if rows["media_id"]:
+                yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def image_pixel_features(media: DataFrame) -> DataFrame:
     """REAL decode + pixel statistics per image (Arrow-batched, no
     shuffle): dimensions, mean/std intensity, and edge density

@@ -1527,6 +1527,45 @@ def test_header_meta_for_undecodable_formats():
         ("audio", 22050, 1, "ok")
 
 
+def test_real_media_corpus_mixed(spark):
+    """A mixed batch of REAL formats — the shape of a crawl's media
+    partition — flows through every stage: metadata for all rows,
+    pixel features for every image, audio features for every audio
+    row (incl. FLAC), frame stats for every AVI.  Nothing quarantines
+    and every format family is actually present."""
+    from exam_pdf_parser_spark.operators.multimodal import (
+        extract_metadata, image_pixel_features, real_media_corpus,
+        video_frame_features, wav_audio_features,
+    )
+
+    media = real_media_corpus(spark, 90, partitions=4).persist()
+    try:
+        meta = extract_metadata(media).toPandas()
+        assert len(meta) == 90
+        assert (meta["valid"] == "ok").all()
+        by_kind = meta.groupby("kind").size().to_dict()
+        assert by_kind == {"image": 30, "audio": 30, "video": 30}
+
+        imgs = image_pixel_features(
+            media.filter("kind = 'image'")).toPandas()
+        assert len(imgs) == 30 and (imgs["valid"] == "ok").all()
+        assert imgs["mean_intensity"].between(8, 247).all()
+
+        aud = wav_audio_features(
+            media.filter("kind = 'audio'")).toPandas()
+        assert len(aud) == 30 and (aud["valid"] == "ok").all()
+        assert (aud["sample_rate"] == 8000).all()
+        # a 0.4-amplitude sine has rms ~0.28 under every codec here
+        assert aud["rms"].between(0.2, 0.36).all()
+
+        vid = video_frame_features(
+            media.filter("kind = 'video'")).toPandas()
+        assert (vid["valid"] == "ok").all()
+        assert vid.groupby("media_id").size().between(3, 6).all()
+    finally:
+        media.unpersist()
+
+
 def test_adts_ogg_granule_xing_metadata():
     """Round-5 metadata closure: ADTS AAC frame trains report
     rate/channels/sample count (two-consecutive-header rigor like the
