@@ -13,9 +13,11 @@ anything but format 1), so compressed-WAV payloads decode natively:
     the module)
   * Sun AU (``.snd``): μ-law (1), 8-bit signed PCM (2), 16-bit PCM
     (3), a-law (27)
+  * FLAC via ``core/flac.py`` (native Rice/LPC decode, CRC-guarded)
 
-mp3/ogg/aac stay fail-loud ``NotImplementedError`` — they need real
-perceptual codecs with no stdlib path.  Everything returns
+mp3/ogg/aac stay fail-loud ``NotImplementedError`` — their
+perceptual decoders hinge on literal spec Huffman codebooks that
+cannot be independently verified in this sandbox.  Everything returns
 (mono float64 samples in [-1, 1], sample rate); multi-channel input
 is averaged to mono.  Structural problems raise ``ValueError`` and
 unsupported codecs ``NotImplementedError`` — Spark stages quarantine

@@ -402,9 +402,12 @@ def encode_flac(samples: np.ndarray, rate: int, bps: int = 16,
         put(0, 3), put(0, 1)                       # size from STREAMINFO
         if fno < 0x80:
             put(fno, 8)                            # coded frame number
-        else:
+        elif fno <= 0x7FF:                         # 2-byte UTF-8 form
             put(0xC0 | (fno >> 6), 8)
             put(0x80 | (fno & 0x3F), 8)
+        else:
+            raise ValueError("encode_flac: more than 2047 frames — "
+                             "raise blocksize")
         put(n - 1, 16)                             # blocksize-1 field
         hdr = acc.to_bytes(nb // 8, "big")
         hdr += bytes([crc8(hdr)])

@@ -3,28 +3,32 @@ columns with typed metadata, processed in Arrow batches.
 
 The IMAGE path is fully real: PNG, GIF (incl. animation
 compositing), baseline/progressive JPEG, TIFF (none/LZW+predictor/
-JPEG-strips/deflate/PackBits, gray/RGB/RGBA/palette), BMP
-(8/24/32-bit, BI_BITFIELDS, RLE8) and lossless WebP (``core/vp8l.py``
-— full VP8L bitstream: prefix codes, meta groups, color cache, LZ77
-distance map, all four inverse transforms) decode via the repo's
-stdlib codecs (``core/{png,gif,jpeg,tiff,bmp,vp8l}.py``), with
-genuine pixel features
-(``image_pixel_features``) and pixel-level block-mean resize.  The
-AUDIO path (``core/audio.py``): WAV PCM 8/16/24/32 +
+JPEG-strips/deflate/PackBits, strip- or tile-organized, gray incl.
+16-bit/RGB/RGBA/palette/CMYK/YCbCr), BMP (1/4/8/16/24/32-bit,
+BI_BITFIELDS, RLE4/RLE8, OS/2 core header) and lossless WebP
+(``core/vp8l.py`` — full VP8L bitstream: prefix codes, meta groups,
+color cache, LZ77 distance map, all four inverse transforms) decode
+via the repo's stdlib codecs
+(``core/{png,gif,jpeg,tiff,bmp,vp8l}.py``), with genuine pixel
+features (``image_pixel_features``) and pixel-level block-mean
+resize.  The AUDIO path (``core/audio.py``): WAV PCM 8/16/24/32 +
 WAVE_FORMAT_EXTENSIBLE, G.711 µ-law/a-law, mono+stereo IMA-ADPCM,
-AIFF/AIFF-C, Sun AU — ``decode_audio`` + ``wav_audio_features``
+AIFF/AIFF-C, Sun AU, and native FLAC (``core/flac.py`` — the full
+mandatory decode surface) — ``decode_audio`` + ``wav_audio_features``
 (duration, RMS, peak, zero crossings).  The VIDEO path: MJPEG-in-AVI
 (``core/avi.py`` RIFF walk + per-frame JPEG) and animated GIF —
 ``decode_video`` + per-frame ``video_frame_features`` (dims, mean
 intensity, motion) with image-style quarantine.  ``parse_meta`` also
 reads real headers for formats whose PAYLOAD cannot decode here:
-WebP dims, MP3 frame header, Ogg/Vorbis ident, ISO BMFF mp4/m4a
-(``core/mp4.py``: mvhd duration, tkhd dims, hdlr kinds) and
-Matroska/WebM (``core/ebml.py``: Info duration, Tracks dims).
-Perceptual codecs (mp3/ogg/aac samples, mp4/webm/mkv SAMPLES, lossy
-VP8 pixels) have no stdlib path — those stay honestly stubbed
-(``NotImplementedError``), while
-everything Spark-side is real and tested: schemas, batch shapes,
+WebP dims, MP3 frame header (+Xing/Info/VBRI frame counts), ADTS
+AAC frame trains, Ogg/Vorbis+Opus ident with last-page granule
+duration, ISO BMFF mp4/m4a (``core/mp4.py``: mvhd duration, tkhd
+dims, hdlr kinds) and Matroska/WebM (``core/ebml.py``: Info
+duration, Tracks dims).  Perceptual codecs (mp3/ogg/aac samples,
+mp4/webm/mkv SAMPLES, lossy VP8 pixels) stay honestly stubbed
+(``NotImplementedError``) — their decoders hinge on literal spec
+Huffman codebooks unverifiable in this sandbox — while everything
+Spark-side is real and tested: schemas, batch shapes,
 ``mapInPandas`` signatures, partitioning, and a codec-free
 byte-histogram embedding.
 
