@@ -267,6 +267,30 @@ def test_bmp_roundtrip_any_shape(w, h, seed):
     assert (decode_bmp_gray(encode_bmp_gray(img)) == img).all()
 
 
+@given(st.integers(1, 5000), st.integers(0, 2**32 - 1),
+       st.sampled_from([8, 16, 24]), st.sampled_from([64, 192, 1024]))
+@settings(max_examples=40, deadline=None)
+def test_flac_verbatim_roundtrip_any_signal(n, seed, bps, blocksize):
+    """encode_flac (verbatim frames) → decode_flac is exact for any
+    length/bit depth/blocksize, incl. single-sample tails and values
+    at the signed extremes."""
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    pcm = rng.integers(lo, hi + 1, n).astype(np.int64)
+    if n >= 2:                           # pin the extremes in-band
+        pcm[0], pcm[1] = lo, hi
+    samples, rate = decode_flac(
+        encode_flac(pcm, 8000, bps=bps, blocksize=blocksize))
+    assert rate == 8000
+    scale = float(1 << (bps - 1))
+    assert np.array_equal((samples * scale).round().astype(np.int64),
+                          pcm)
+
+
 @given(st.integers(100, 3000), st.integers(0, 2**32 - 1),
        st.sampled_from(["pcm", "ulaw", "alaw"]))
 @settings(max_examples=40, deadline=None)
