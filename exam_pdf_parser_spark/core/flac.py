@@ -355,6 +355,22 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
 
 # --- encoder twin (verbatim-only, for self-contained round trips) ------------
 
+class _Pack:
+    """MSB-first bit accumulator (encoder side only)."""
+
+    __slots__ = ("acc", "nb")
+
+    def __init__(self):
+        self.acc, self.nb = 0, 0
+
+    def put(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nb += n
+
+    def bytes(self) -> bytes:
+        return self.acc.to_bytes(self.nb // 8, "big")
+
+
 def encode_flac(samples: np.ndarray, rate: int, bps: int = 16,
                 blocksize: int = 4096) -> bytes:
     """Mono int samples → a spec-shaped FLAC stream of VERBATIM
@@ -367,55 +383,40 @@ def encode_flac(samples: np.ndarray, rate: int, bps: int = 16,
     if samples.size and (samples.min() < lo or samples.max() > hi):
         raise ValueError(f"samples exceed {bps}-bit range")
 
-    def streaminfo() -> bytes:
-        acc, nb = 0, 0
-
-        def put(v, n):
-            nonlocal acc, nb
-            acc = (acc << n) | (v & ((1 << n) - 1))
-            nb += n
-
-        put(blocksize, 16), put(blocksize, 16)
-        put(0, 24), put(0, 24)
-        put(rate, 20), put(0, 3), put(bps - 1, 5)
-        put(len(samples), 36)
-        return acc.to_bytes(nb // 8, "big") + b"\0" * 16
-
+    si = _Pack()
+    si.put(blocksize, 16), si.put(blocksize, 16)
+    si.put(0, 24), si.put(0, 24)
+    si.put(rate, 20), si.put(0, 3), si.put(bps - 1, 5)
+    si.put(len(samples), 36)
+    body = si.bytes() + b"\0" * 16
     out = bytearray(FLAC_SIG)
-    si = streaminfo()
-    out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
+    out += bytes([0x80]) + len(body).to_bytes(3, "big") + body
 
     for fno, start in enumerate(range(0, len(samples), blocksize)):
         chunk = samples[start:start + blocksize]
         n = len(chunk)
-        acc, nb = 0, 0
-
-        def put(v, bits_n):
-            nonlocal acc, nb
-            acc = (acc << bits_n) | (v & ((1 << bits_n) - 1))
-            nb += bits_n
-
-        put(0x3FFE, 14), put(0, 1), put(0, 1)     # sync, res, fixed-bs
-        put(7, 4)                                  # blocksize: 16-bit-1
-        put(0, 4)                                  # rate from STREAMINFO
-        put(0, 4)                                  # 1 channel
-        put(0, 3), put(0, 1)                       # size from STREAMINFO
+        w = _Pack()
+        w.put(0x3FFE, 14), w.put(0, 1), w.put(0, 1)  # sync, res, fixed
+        w.put(7, 4)                                # blocksize: 16-bit-1
+        w.put(0, 4)                                # rate from STREAMINFO
+        w.put(0, 4)                                # 1 channel
+        w.put(0, 3), w.put(0, 1)                   # size from STREAMINFO
         if fno < 0x80:
-            put(fno, 8)                            # coded frame number
+            w.put(fno, 8)                          # coded frame number
         elif fno <= 0x7FF:                         # 2-byte UTF-8 form
-            put(0xC0 | (fno >> 6), 8)
-            put(0x80 | (fno & 0x3F), 8)
+            w.put(0xC0 | (fno >> 6), 8)
+            w.put(0x80 | (fno & 0x3F), 8)
         else:
             raise ValueError("encode_flac: more than 2047 frames — "
                              "raise blocksize")
-        put(n - 1, 16)                             # blocksize-1 field
-        hdr = acc.to_bytes(nb // 8, "big")
+        w.put(n - 1, 16)                           # blocksize-1 field
+        hdr = w.bytes()
         hdr += bytes([crc8(hdr)])
-        acc, nb = 0, 0
-        put(0, 1), put(1, 6), put(0, 1)            # VERBATIM, no waste
+        w = _Pack()
+        w.put(0, 1), w.put(1, 6), w.put(0, 1)      # VERBATIM, no waste
         for v in chunk:
-            put(int(v), bps)
-        put(0, -nb % 8)                            # byte-align
-        body = hdr + acc.to_bytes(nb // 8, "big")
+            w.put(int(v), bps)
+        w.put(0, -w.nb % 8)                        # byte-align
+        body = hdr + w.bytes()
         out += body + struct.pack(">H", crc16(body))
     return bytes(out)

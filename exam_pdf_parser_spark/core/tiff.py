@@ -323,6 +323,11 @@ def decode_tiff_gray(payload: bytes) -> np.ndarray:
             return n_rows * w * spp * bpp
 
         rows_per = tags.get(_ROWS_PER_STRIP, [h])[0] or h
+        if photo == 6 and len(offs) > 1 and rows_per % sv:
+            # each strip must hold whole data-unit rows, or the
+            # per-strip padding rows would shift every later strip
+            raise ValueError("YCbCr RowsPerStrip not a multiple of "
+                             "the vertical subsampling")
         raw = bytearray()
         for i, (off, cnt) in enumerate(zip(offs, cnts)):
             strip = payload[off:off + cnt]

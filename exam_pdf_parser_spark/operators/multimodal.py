@@ -333,11 +333,12 @@ def _mp3_meta(payload: bytes) -> dict | None:
     # constant-bitrate extrapolation gets wrong on VBR files
     n_frames = None
     side = 17 if channels == 1 else 32   # MPEG-1 side-info bytes
-    tag_off = sync + 4 + side
+    crc = 0 if (h[1] & 0x01) else 2      # protection bit 0 → CRC-16
+    tag_off = sync + 4 + crc + side
     tag = payload[tag_off:tag_off + 4]
-    if tag in (b"Xing", b"Info"):
+    if tag in (b"Xing", b"Info") and tag_off + 12 <= len(payload):
         (flags,) = struct.unpack_from(">I", payload, tag_off + 4)
-        if flags & 0x01 and tag_off + 12 <= len(payload):
+        if flags & 0x01:
             (frames,) = struct.unpack_from(">I", payload, tag_off + 8)
             n_frames = frames * 1152
     elif payload[sync + 36:sync + 40] == b"VBRI" \
@@ -518,8 +519,21 @@ def _gif_dims(payload: bytes) -> dict | None:
             "n_frames": gif_frame_count(payload), "valid": "ok"}
 
 
+_I32_MAX = (1 << 31) - 1
+
+
+def _sat32(v: int | None) -> int | None:
+    """Saturate to the int32 schema column.  FLAC total_samples is a
+    36-bit field, Ogg granules are int64 and Xing counts uint32×1152 —
+    all spec-legal beyond int32; silent Arrow wraparound would report
+    a wrong (possibly negative) count, so clamp at the schema max."""
+    return v if v is None or v <= _I32_MAX else _I32_MAX
+
+
 def extract_metadata(media: DataFrame) -> DataFrame:
-    """payload → typed metadata columns (Arrow-batched, no shuffle)."""
+    """payload → typed metadata columns (Arrow-batched, no shuffle).
+    ``n_frames`` saturates at int32 max (see ``_sat32``); Python
+    callers get the exact value from ``parse_meta`` directly."""
     src = media.select("media_id", "kind", "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -534,7 +548,7 @@ def extract_metadata(media: DataFrame) -> DataFrame:
                     "kind": kind,
                     "width": meta["width"],
                     "height": meta["height"],
-                    "n_frames": meta["n_frames"],
+                    "n_frames": _sat32(meta["n_frames"]),
                     "n_bytes": len(payload),
                     "valid": meta["valid"],
                 })

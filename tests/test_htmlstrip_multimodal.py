@@ -815,6 +815,34 @@ def test_tiff_cmyk_ycbcr_photometrics():
     with pytest.raises(ValueError, match="shorter"):
         decode_tiff_gray(_build_tiff(4, 2, 6, 3, unit1))
 
+    # review fix: multi-strip YCbCr whose RowsPerStrip is not a
+    # multiple of the vertical subsampling would shift every later
+    # strip through unit-row padding — must raise, not render
+    import struct as _st
+    entries = [(256, 1, [2]), (257, 1, [4]), (258, 1, [8]),
+               (259, 1, [1]), (262, 1, [6]), (273, 2, [0, 0]),
+               (277, 1, [3]), (278, 1, [3]), (279, 2, [6, 6]),
+               (530, 0, [2, 2])]
+    ifd = 8
+    arr_off = ifd + 2 + 12 * len(entries) + 4
+    blob = bytearray(b"II*\x00" + _st.pack("<I", ifd)
+                     + _st.pack("<H", len(entries)))
+    for tag, mode, vals in entries:
+        if mode == 2:                    # two-LONG array, out-of-line
+            blob += _st.pack("<HHII", tag, 4, 2, arr_off)
+            arr_off += 8
+        elif mode == 0:                  # two inline SHORTs
+            blob += _st.pack("<HHI", tag, 3, 2) + _st.pack("<HH", *vals)
+        else:
+            blob += _st.pack("<HHII", tag, 4, 1, vals[0])
+    blob += _st.pack("<I", 0)
+    data_off = len(blob) + 16
+    blob += _st.pack("<II", data_off, data_off + 6)      # strip offs
+    blob += _st.pack("<II", 6, 6)                        # strip cnts
+    blob += b"\x00" * 12
+    with pytest.raises(ValueError, match="RowsPerStrip"):
+        decode_tiff_gray(bytes(blob))
+
 
 def test_tiff_tiled_and_16bit():
     """Round-5 TIFF closure, part 2: tile-organized files (tags
@@ -1622,6 +1650,39 @@ def test_adts_ogg_granule_xing_metadata():
     # plain CBR train still estimates from the byte count
     m = parse_meta((mp3h + b"\x00" * 413) * 5)
     assert m["n_frames"] == 5 * 1152
+
+    # review fixes: a payload truncated right after the Xing tag must
+    # not crash parse_meta (quarantine contract — extract_metadata has
+    # no per-document try/except around it)
+    head = mp3h + b"\x00" * 32 + b"Xing"        # ends mid-tag-body
+    m = parse_meta(head + mp3h + b"\x00" * 373)  # 2nd hdr at +417 gone
+    assert m["valid"] in ("ok", "corrupt")      # no exception is the pin
+
+    # CRC-protected frame (protection bit 0): side info starts after
+    # the 2-byte CRC, so the Xing tag sits at sync+6+32
+    crc_hdr = b"\xff\xfa\x90\x00"               # protection_absent=0
+    f1 = bytearray(crc_hdr + b"\x00" * 413)
+    f1[4 + 2 + 32:4 + 2 + 32 + 12] = (b"Xing" + struct.pack(">I", 1)
+                                      + struct.pack(">I", 5))
+    m = parse_meta(bytes(f1) + crc_hdr + b"\x00" * 413)
+    assert m["n_frames"] == 5 * 1152
+
+    # int32 saturation: a spec-legal 36-bit FLAC total_samples keeps
+    # its exact value in parse_meta and clamps in the Spark schema
+    from exam_pdf_parser_spark.operators.multimodal import _sat32
+    big = 3 << 31                               # > int32 max
+    w = []
+    acc, nb = 0, 0
+    for v, n in ((16, 16), (16, 16), (0, 24), (0, 24), (8000, 20),
+                 (0, 3), (15, 5), (big, 36)):
+        acc = (acc << n) | v
+        nb += n
+    si = acc.to_bytes(nb // 8, "big") + b"\x00" * 16
+    flac = b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+    m = parse_meta(flac)
+    assert m["n_frames"] == big                 # exact for Python callers
+    assert _sat32(big) == (1 << 31) - 1
+    assert _sat32(None) is None and _sat32(7) == 7
 
 
 def test_compressed_audio_codecs_decode():
