@@ -25,7 +25,7 @@ import numpy as np
 
 TIFF_SIGS = (b"II*\x00", b"MM\x00*")
 
-_W, _H, _BITS, _COMP, _PHOTO = 256, 257, 258, 259, 262
+_W, _H, _BITS, _COMP, _PHOTO, _ORIENT = 256, 257, 258, 259, 262, 274
 _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
 _PREDICTOR, _COLORMAP, _TILE_W, _TILE_H = 317, 320, 322, 323
 _TILE_OFF, _TILE_CNT, _JPEGTABLES = 324, 325, 347
@@ -234,6 +234,26 @@ def decode_tiff_gray(payload: bytes) -> np.ndarray:
         if tiled:
             raise NotImplementedError("tiled JPEG TIFF not supported")
         return _decode_jpeg_strips(payload, tags, w, h, offs, cnts)
+    if comp == 6:
+        # old-style JPEG (TIFF 6.0 §22, long-deprecated): the tag-soup
+        # form stays unsupported, but the common writer bug stores a
+        # complete JPEG stream at the first strip offset (frequently
+        # with a wrong byte count, so read to EOF) — decode that
+        # shape; anything else stays loud
+        blob = payload[offs[0]:] if offs else b""
+        if blob[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg_gray
+
+            img = decode_jpeg_gray(bytes(blob))
+            if img.shape[0] < h or img.shape[1] < w:
+                raise ValueError("old-JPEG TIFF stream smaller than "
+                                 "the declared dimensions")
+            return _apply_orientation(
+                np.ascontiguousarray(img[:h, :w]),
+                tags.get(_ORIENT, [1])[0])
+        raise NotImplementedError(
+            "TIFF compression old-JPEG without an embedded JPEG "
+            "stream not supported")
     if bits not in (8, 16):
         raise NotImplementedError(f"{bits}-bit TIFF not supported")
     if bits == 16 and (photo not in (0, 1) or spp != 1):
@@ -253,8 +273,7 @@ def decode_tiff_gray(payload: bytes) -> np.ndarray:
     if spp not in (1, 3, 4):
         raise NotImplementedError(f"{spp} samples/pixel not supported")
     if comp not in (1, 5, 8, 32946, 32773):
-        name = {6: "old-JPEG"}.get(comp, str(comp))
-        raise NotImplementedError(f"TIFF compression {name} not supported")
+        raise NotImplementedError(f"TIFF compression {comp} not supported")
     if photo == 6 and tags.get(_PREDICTOR, [1])[0] == 2:
         # differencing across subsampled data units is ill-defined
         raise NotImplementedError("predictor on YCbCr TIFF not supported")
@@ -336,7 +355,9 @@ def decode_tiff_gray(payload: bytes) -> np.ndarray:
             n_rows = min(rows_per, h - i * rows_per)
             raw += inflate(strip, strip_bytes(n_rows))
         if photo == 6:
-            return _ycbcr_to_gray(bytes(raw), w, h, sh, sv, tags)
+            return _apply_orientation(
+                _ycbcr_to_gray(bytes(raw), w, h, sh, sv, tags),
+                tags.get(_ORIENT, [1])[0])
         need = w * h * spp * bpp
         if len(raw) < need:
             raise ValueError("TIFF pixel data shorter than dimensions "
@@ -368,7 +389,31 @@ def decode_tiff_gray(payload: bytes) -> np.ndarray:
         img = lut[img]
     if photo == 0:                       # white-is-zero bilevel/gray
         img = (255 - img).astype(np.uint8)
-    return img
+    return _apply_orientation(img, tags.get(_ORIENT, [1])[0])
+
+
+def _apply_orientation(img: np.ndarray, o: int) -> np.ndarray:
+    """Tag 274: map stored rows/cols to visual orientation (TIFF 6.0
+    §Orientation; 5-8 transpose, so width and height swap)."""
+    if o in (0, 1):
+        return img
+    if o == 2:                           # mirrored horizontally
+        out = img[:, ::-1]
+    elif o == 3:                         # rotated 180
+        out = img[::-1, ::-1]
+    elif o == 4:                         # mirrored vertically
+        out = img[::-1, :]
+    elif o == 5:                         # transposed (TL-BR diagonal)
+        out = img.T
+    elif o == 6:                         # rotate 90 clockwise to view
+        out = img.T[:, ::-1]
+    elif o == 7:                         # transverse (TR-BL diagonal)
+        out = img.T[::-1, ::-1]
+    elif o == 8:                         # rotate 90 counter-clockwise
+        out = img.T[::-1, :]
+    else:
+        raise ValueError(f"TIFF orientation {o} invalid")
+    return np.ascontiguousarray(out)
 
 
 def _ycbcr_to_gray(raw: bytes, w: int, h: int, sh: int, sv: int,
@@ -446,7 +491,10 @@ def tiff_dims(payload: bytes) -> tuple[int, int] | None:
     try:
         order = "<" if payload[:2] == b"II" else ">"
         tags = _read_ifd(payload, order)
-        return tags[_W][0], tags[_H][0]
+        w, h = tags[_W][0], tags[_H][0]
+        if tags.get(_ORIENT, [1])[0] in (5, 6, 7, 8):
+            w, h = h, w                  # transposing orientations
+        return w, h
     except Exception:
         return None
 

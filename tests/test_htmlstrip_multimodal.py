@@ -965,6 +965,76 @@ def test_tiff_tiled_and_16bit():
         decode_tiff_gray(tiled_tiff(6, 5, 4, 4, tiles[:2]))
 
 
+def test_tiff_orientation_and_old_jpeg():
+    """Tag 274 maps stored rows/cols to the visual orientation (all 8
+    values, hand-computed expectations on an asymmetric image; dims
+    probe swaps w/h for the transposing ones), and the common
+    broken-writer old-JPEG shape — a complete JPEG stream at the
+    strip offset — decodes while the true tag-soup form stays loud."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from exam_pdf_parser_spark.core.jpeg import encode_jpeg_gray
+    from exam_pdf_parser_spark.core.tiff import (
+        decode_tiff_gray, tiff_dims,
+    )
+
+    base = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+
+    def with_orient(o):
+        return _build_tiff(3, 2, 1, 1, base.tobytes(),
+                           [(274, 3, (o,))])
+
+    # hand-worked visual results for a 2x3 stored image
+    want = {
+        1: [[1, 2, 3], [4, 5, 6]],
+        2: [[3, 2, 1], [6, 5, 4]],             # mirror horizontal
+        3: [[6, 5, 4], [3, 2, 1]],             # rotate 180
+        4: [[4, 5, 6], [1, 2, 3]],             # mirror vertical
+        5: [[1, 4], [2, 5], [3, 6]],           # transpose
+        6: [[4, 1], [5, 2], [6, 3]],           # rotate 90 CW
+        7: [[6, 3], [5, 2], [4, 1]],           # transverse
+        8: [[3, 6], [2, 5], [1, 4]],           # rotate 90 CCW
+    }
+    for o, exp in want.items():
+        got = decode_tiff_gray(with_orient(o))
+        assert got.tolist() == exp, f"orientation {o}"
+        dw, dh = tiff_dims(with_orient(o))
+        assert (dw, dh) == ((2, 3) if o >= 5 else (3, 2))
+
+    with pytest.raises(ValueError, match="orientation"):
+        decode_tiff_gray(with_orient(9))
+
+    # old-JPEG broken-writer shape: complete JFIF stream at the strip
+    # offset (with a deliberately WRONG byte count, the common bug)
+    img = (np.arange(256, dtype=np.uint8).reshape(16, 16))
+    jpg = encode_jpeg_gray(img)
+    entries = [(256, 4, 16), (257, 4, 16), (258, 3, 8), (259, 3, 6),
+               (262, 3, 1), (273, 4, None), (277, 3, 1), (279, 4, 2)]
+    ifd = 8
+    data_off = ifd + 2 + 12 * len(entries) + 4
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd)
+                    + struct.pack("<H", len(entries)))
+    for tag, typ, val in entries:
+        if tag == 273:
+            val = data_off
+        out += struct.pack("<HHII", tag, typ, 1, val)
+    out += struct.pack("<I", 0) + jpg
+    got = decode_tiff_gray(bytes(out))
+    assert got.shape == (16, 16)
+    # baseline JPEG at default quality stays within a loose envelope
+    assert float(np.mean(np.abs(got.astype(float) - img))) < 12.0
+
+    # tag-soup old-JPEG (no SOI at the strip) stays loud
+    bad = bytearray(out)
+    soi = bytes(out).find(b"\xff\xd8", 8)
+    bad[soi:soi + 2] = b"\x00\x00"
+    with pytest.raises(NotImplementedError, match="old-JPEG"):
+        decode_tiff_gray(bytes(bad))
+
+
 def test_bmp_low_depth_rle4_16bit_os2():
     """Round-5 BMP closure: 1/4-bit palette rows, BI_RLE4 runs,
     16-bit RGB555 + BI_BITFIELDS words, and the OS/2 BITMAPCOREHEADER
