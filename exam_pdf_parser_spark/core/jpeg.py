@@ -280,7 +280,13 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
         pos += 2 + seg_len
     if not saw_scan:
         raise ValueError("JPEG contains no scan")
-    return _reconstruct_luma(comps, quant, h, w)
+    out = _reconstruct_luma(comps, quant, h, w)
+    o = exif_orientation(payload)
+    if o != 1:
+        from .tiff import _apply_orientation
+
+        out = _apply_orientation(out, o)
+    return out
 
 
 def _find_scan_end(data: bytes, start: int) -> int:
@@ -467,6 +473,40 @@ def _reconstruct_luma(comps: list[dict], quant: dict, h: int,
     if sy > 1 or sx > 1:
         plane = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)
     return np.clip(plane[:h, :w] + 128.0, 0, 255).astype(np.uint8)
+
+
+def exif_orientation(payload: bytes) -> int:
+    """Orientation from the APP1 Exif segment (an embedded TIFF IFD,
+    tag 274), 1 when absent or unreadable — crawl JPEGs are routinely
+    stored rotated with only this tag to say so."""
+    i, n = 2, len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return 1
+        marker = payload[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xDA:                       # scan: no EXIF ahead
+            return 1
+        (seg,) = struct.unpack_from(">H", payload, i + 2)
+        if marker == 0xE1 and payload[i + 4:i + 10] == b"Exif\x00\x00":
+            tiff = payload[i + 10:i + 2 + seg]
+            try:
+                from .tiff import TIFF_SIGS, _read_ifd
+
+                if tiff[:4] not in TIFF_SIGS:
+                    return 1
+                order = "<" if tiff[:2] == b"II" else ">"
+                o = _read_ifd(tiff, order).get(274, [1])[0]
+                return o if 1 <= o <= 8 else 1
+            except Exception:
+                return 1
+        i += 2 + seg
+    return 1
 
 
 # --- encoder (baseline grayscale) ---------------------------------------------

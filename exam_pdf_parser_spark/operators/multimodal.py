@@ -165,6 +165,10 @@ def _jpeg_dims(payload: bytes) -> dict | None:
             if i + 9 > n:
                 return None
             h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+            from ..core.jpeg import exif_orientation
+
+            if exif_orientation(payload) >= 5:   # transposing EXIF
+                w, h = h, w
             return {"kind": "image", "width": w, "height": h,
                     "n_frames": 1, "valid": "ok"}
         if marker == 0xDA:              # scan start before any SOF

@@ -1035,6 +1035,55 @@ def test_tiff_orientation_and_old_jpeg():
         decode_tiff_gray(bytes(bad))
 
 
+def test_jpeg_exif_orientation():
+    """An APP1 Exif segment's tag 274 rotates the decoded luma plane
+    and swaps parse_meta dims for the transposing values; absent or
+    malformed EXIF leaves the image untouched."""
+    import struct
+
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.jpeg import (
+        decode_jpeg_gray, encode_jpeg_gray, exif_orientation,
+    )
+    from exam_pdf_parser_spark.operators.multimodal import parse_meta
+
+    # asymmetric 16x24 gradient; baseline JPEG is lossy so compare
+    # the decoded-unrotated plane against the decoded-rotated one
+    img = (np.mgrid[0:16, 0:24][1] * 10 % 250).astype(np.uint8)
+    jpg = encode_jpeg_gray(img)
+
+    def with_exif(blob, orient):
+        tiff = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 1)
+                + struct.pack("<HHII", 274, 3, 1, orient)
+                + struct.pack("<I", 0))
+        seg = b"Exif\x00\x00" + tiff
+        app1 = b"\xff\xe1" + struct.pack(">H", len(seg) + 2) + seg
+        return blob[:2] + app1 + blob[2:]
+
+    plain = decode_jpeg_gray(jpg)
+    assert exif_orientation(jpg) == 1
+    assert exif_orientation(with_exif(jpg, 6)) == 6
+
+    got = decode_jpeg_gray(with_exif(jpg, 6))
+    assert got.shape == (24, 16)                   # transposed dims
+    assert np.array_equal(got, plain.T[:, ::-1])   # rotate 90 CW
+    got = decode_jpeg_gray(with_exif(jpg, 3))
+    assert np.array_equal(got, plain[::-1, ::-1])  # rotate 180
+
+    m = parse_meta(with_exif(jpg, 6))
+    assert (m["width"], m["height"]) == (16, 24)   # swapped from 24x16
+    m = parse_meta(with_exif(jpg, 2))
+    assert (m["width"], m["height"]) == (24, 16)   # non-transposing
+
+    # out-of-range / truncated EXIF falls back to orientation 1
+    assert exif_orientation(with_exif(jpg, 0)) == 1
+    assert exif_orientation(with_exif(jpg, 9)) == 1
+    broken = bytearray(with_exif(jpg, 6))
+    broken[6:10] = b"Ezif"                         # not an Exif APP1
+    assert exif_orientation(bytes(broken)) == 1
+
+
 def test_bmp_low_depth_rle4_16bit_os2():
     """Round-5 BMP closure: 1/4-bit palette rows, BI_RLE4 runs,
     16-bit RGB555 + BI_BITFIELDS words, and the OS/2 BITMAPCOREHEADER
