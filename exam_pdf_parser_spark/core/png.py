@@ -1,11 +1,14 @@
-"""Minimal, dependency-free PNG codec (8-bit grayscale).
+"""Dependency-free PNG codec.
 
 The sandbox ships no raster library, but a valid PNG needs only
 ``zlib`` + CRC-framed chunks — so the crop sink (S11, reference
 src/cropper/cropper.py:73-74) can emit REAL image files any viewer
-opens, instead of stubbed bytes.  Encoder writes filter-0 scanlines;
-the decoder (tests + library use) handles exactly what the encoder
-produces plus filter types 0-2, which is all this repo emits.
+opens, instead of stubbed bytes.  The encoder writes 8-bit-gray
+filter-0 scanlines; the decoder covers the full baseline spec a
+crawl serves — all five color types (gray, RGB, palette,
+gray+alpha, RGBA), bit depths 1/2/4/8/16, all five scanline filters
+incl. Average and Paeth, and Adam7 interlace — converting to the
+repo-wide channel-mean gray.
 
 Deterministic: fixed zlib level, no timestamps, no ancillary chunks.
 """
@@ -52,26 +55,111 @@ def encode_png_gray(img: np.ndarray, compress_level: int = 6) -> bytes:
             + _chunk(b"IEND", b""))
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+# Adam7 pass origins and strides (PNG spec §Interlace)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, off: int, width_bytes: int, height: int,
+              bpp: int) -> tuple[np.ndarray, int]:
+    """One (sub)image's scanline stream (filter byte + width_bytes per
+    row) → (height, width_bytes) unfiltered bytes + bytes consumed.
+    All five filter types (None/Sub/Up/Average/Paeth)."""
+    out = np.zeros((height, width_bytes), np.uint8)
+    stride = width_bytes + 1
+    need = stride * height
+    if off + need > len(raw):
+        raise ValueError("PNG scanline data truncated")
+    for y in range(height):
+        filt = raw[off + y * stride]
+        start = off + y * stride + 1
+        prev = out[y - 1] if y else np.zeros(width_bytes, np.uint8)
+        if filt == 0:
+            out[y] = np.frombuffer(raw, np.uint8, width_bytes, start)
+        elif filt == 2:                  # Up — vectorizable
+            line = np.frombuffer(raw, np.uint8, width_bytes, start)
+            out[y] = (line.astype(np.uint16) + prev).astype(np.uint8)
+        elif filt in (1, 3, 4):          # Sub / Average / Paeth
+            line = bytearray(raw[start:start + width_bytes])
+            for x in range(width_bytes):
+                a = line[x - bpp] if x >= bpp else 0
+                if filt == 1:
+                    line[x] = (line[x] + a) & 0xFF
+                elif filt == 3:
+                    line[x] = (line[x] + ((a + int(prev[x])) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    line[x] = (line[x]
+                               + _paeth(a, int(prev[x]), c)) & 0xFF
+            out[y] = np.frombuffer(bytes(line), np.uint8)
+        else:
+            raise ValueError(f"unsupported filter {filt}")
+    return out, need
+
+
+def _png_samples(rows: np.ndarray, w: int, depth: int,
+                 nch: int) -> np.ndarray:
+    """Unfiltered row bytes → (h, w, nch) uint8 samples.  16-bit
+    takes the big-endian high byte; sub-byte depths unpack MSB-first
+    (raw values — gray scaling happens at the end)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * nch].reshape(h, w, nch)
+    if depth == 16:
+        return rows[:, : w * nch * 2].reshape(h, w, nch, 2)[:, :, :, 0]
+    bits = np.unpackbits(rows, axis=1)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (bits.reshape(h, -1, depth) * weights).sum(
+        axis=2).astype(np.uint8)
+    return vals[:, :w].reshape(h, w, 1)
+
+
 def decode_png_gray(data: bytes) -> np.ndarray:
-    """Parse a grayscale PNG back to (h, w) uint8 — validates the
-    signature, chunk CRCs, and header; un-filters types 0/1/2."""
+    """Full PNG → (h, w) uint8 gray: all five color types (gray,
+    RGB, palette, gray+alpha, RGBA), bit depths 1/2/4/8/16, all five
+    scanline filters, and Adam7 interlace.  Signature, chunk CRCs,
+    header combos and palette ranges are validated — structural
+    damage raises ``ValueError`` (Spark stages quarantine).  RGB
+    averages to the channel mean and alpha is ignored, matching the
+    other raster codecs' gray convention."""
     if data[:8] != PNG_SIG:
         raise ValueError("bad PNG signature")
     pos = 8
     w = h = None
-    idat = b""
-    while pos < len(data):
+    idat, plte = b"", None
+    while pos + 12 <= len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
         tag = data[pos + 4:pos + 8]
         body = data[pos + 8:pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(data):
+            raise ValueError("truncated PNG chunk")
         (crc,) = struct.unpack(
             ">I", data[pos + 8 + length:pos + 12 + length])
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {tag!r}")
         if tag == b"IHDR":
-            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
-            if depth != 8 or ctype != 0:
-                raise ValueError("only 8-bit grayscale supported")
+            w, h, depth, ctype, comp, fmeth, interlace = struct.unpack(
+                ">IIBBBBB", body[:13])
+            if comp or fmeth or interlace > 1:
+                raise ValueError("PNG compression/filter/interlace "
+                                 "method out of spec")
+            if ctype not in _PNG_CHANNELS \
+                    or depth not in _PNG_DEPTHS[ctype]:
+                raise ValueError(
+                    f"PNG color type {ctype}/depth {depth} invalid")
+        elif tag == b"PLTE":
+            plte = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -79,29 +167,39 @@ def decode_png_gray(data: bytes) -> np.ndarray:
         pos += 12 + length
     if w is None:
         raise ValueError("missing IHDR")
+    if not w or not h:
+        raise ValueError("PNG with zero dimension")
     raw = zlib.decompress(idat)
-    stride = w + 1
-    if len(raw) != h * stride:
+    nch = _PNG_CHANNELS[ctype]
+    bpp = max(1, (depth * nch) // 8)
+    img = np.zeros((h, w, nch), np.uint8)
+    off = 0
+    for x0, y0, dx, dy in (_ADAM7 if interlace else ((0, 0, 1, 1),)):
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        width_bytes = (pw * depth * nch + 7) // 8
+        rows, used = _unfilter(raw, off, width_bytes, ph, bpp)
+        off += used
+        img[y0::dy, x0::dx] = _png_samples(rows, pw, depth, nch)
+    if off != len(raw):
         raise ValueError("scanline size mismatch")
-    out = np.empty((h, w), dtype=np.uint8)
-    prev = np.zeros(w, dtype=np.uint8)
-    for y in range(h):
-        filt = raw[y * stride]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=w, offset=y * stride + 1).copy()
-        if filt == 0:
-            pass
-        elif filt == 1:            # Sub
-            for x in range(1, w):
-                line[x] = (int(line[x]) + int(line[x - 1])) & 0xFF
-        elif filt == 2:            # Up
-            line = (line.astype(np.uint16) + prev) & 0xFF
-            line = line.astype(np.uint8)
-        else:
-            raise ValueError(f"unsupported filter {filt}")
-        out[y] = line
-        prev = out[y]
-    return out
+    if ctype == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG without a valid PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        return pal.mean(axis=1).astype(np.uint8)[idx]
+    if ctype in (0, 4):
+        g = img[:, :, 0]
+        if depth < 8:                    # 0..2^d-1 → full 0..255
+            g = (g.astype(np.uint16)
+                 * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        return np.ascontiguousarray(g)
+    return img[:, :, :3].mean(axis=2).astype(np.uint8)
 
 
 # deterministic shade per block type — the crop render is a
