@@ -1,8 +1,10 @@
 """Multimodal column handling: image/audio/video as opaque ``binary``
 columns with typed metadata, processed in Arrow batches.
 
-The IMAGE path is fully real: PNG, GIF (incl. animation
-compositing), baseline/progressive JPEG, TIFF (none/LZW+predictor/
+The IMAGE path is fully real: PNG (full baseline spec — all five
+color types, depths 1-16, all filters, Adam7), GIF (incl. animation
+compositing), baseline/progressive JPEG incl. EXIF orientation,
+TIFF (none/LZW+predictor/
 JPEG-strips/deflate/PackBits, strip- or tile-organized, gray incl.
 16-bit/RGB/RGBA/palette/CMYK/YCbCr), BMP (1/4/8/16/24/32-bit,
 BI_BITFIELDS, RLE4/RLE8, OS/2 core header) and lossless WebP
