@@ -171,6 +171,35 @@ def test_adam7_interlace():
     assert np.array_equal(got, rgb.mean(axis=2).astype(np.uint8))
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    _HYP = True
+except ImportError:                      # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    @given(st.integers(1, 24), st.integers(1, 20),
+           st.integers(0, 2**32 - 1), st.sampled_from([0, 2, 4, 6]),
+           st.lists(st.integers(0, 4), min_size=1, max_size=6))
+    @settings(max_examples=60, deadline=None)
+    def test_decode_inverts_forward_filters_any_shape(
+            w, h, seed, ctype, filters):
+        """Property: for any shape, color type and per-row filter
+        mix, decoding the test's forward-filtered stream recovers
+        the image (channel-mean gray for color, alpha ignored)."""
+        nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        px = np.random.default_rng(seed).integers(
+            0, 256, (h, w, nch)).astype(np.uint8)
+        raw = filt_rows(px.reshape(h, w * nch), filters, bpp=nch)
+        got = decode_png_gray(png(w, h, 8, ctype, raw))
+        if ctype in (0, 4):
+            want = px[:, :, 0]
+        else:
+            want = px[:, :, :3].mean(axis=2).astype(np.uint8)
+        assert np.array_equal(got, want)
+
+
 def test_encoder_output_unchanged_and_guards():
     """The repo encoder's output still decodes bit-exactly; invalid
     combos, bad palettes and truncation raise (quarantine)."""
