@@ -230,6 +230,16 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 i += 17 + n_sym
         elif marker in (0xC0, 0xC1, 0xC2):       # SOF0/1 baseline, SOF2 prog
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if _prec != 8:
+                # 12-bit sample paths would dequant/clip wrong
+                raise NotImplementedError(
+                    f"{_prec}-bit JPEG not supported")
+            if nc == 4:
+                # Adobe 4-component (CMYK/YCCK): rendering component 0
+                # as gray would be plausible-but-wrong for CMYK (the
+                # cyan plane) — fail loud like the other codecs
+                raise NotImplementedError(
+                    "4-component (CMYK/YCCK) JPEG not supported")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]

@@ -1035,6 +1035,40 @@ def test_tiff_orientation_and_old_jpeg():
         decode_tiff_gray(bytes(bad))
 
 
+def test_jpeg_precision_and_cmyk_stay_loud():
+    """12-bit and 4-component (CMYK/YCCK) JPEG frames raise instead
+    of rendering a wrong plane as gray (house fail-loud discipline)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from exam_pdf_parser_spark.core.jpeg import (
+        decode_jpeg_gray, encode_jpeg_gray,
+    )
+
+    blob = bytearray(encode_jpeg_gray(
+        np.zeros((8, 8), np.uint8)))
+    sof = bytes(blob).find(b"\xff\xc0")
+    assert sof > 0
+    bad = bytearray(blob)
+    bad[sof + 4] = 12                        # precision byte
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg_gray(bytes(bad))
+
+    # rewrite the SOF to declare 4 components (CMYK shape): keep
+    # precision/h/w, clone component 0's sampling/table for ids 1-4
+    bad = bytearray(blob)
+    comp0 = bytes(bad[sof + 10:sof + 13])
+    new_sof = (b"\xff\xc0" + struct.pack(">H", 8 + 3 * 4)
+               + bytes(bad[sof + 4:sof + 9]) + b"\x04"
+               + b"".join(bytes([i + 1]) + comp0[1:] for i in range(4)))
+    old_len = struct.unpack(">H", bytes(bad[sof + 2:sof + 4]))[0]
+    spliced = bytes(bad[:sof]) + new_sof + bytes(bad[sof + 2 + old_len:])
+    with pytest.raises(NotImplementedError, match="4-component"):
+        decode_jpeg_gray(spliced)
+
+
 def test_jpeg_exif_orientation():
     """An APP1 Exif segment's tag 274 rotates the decoded luma plane
     and swaps parse_meta dims for the transposing values; absent or
