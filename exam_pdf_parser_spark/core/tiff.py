@@ -233,7 +233,9 @@ def decode_tiff_gray(payload: bytes) -> np.ndarray:
         # guards below apply
         if tiled:
             raise NotImplementedError("tiled JPEG TIFF not supported")
-        return _decode_jpeg_strips(payload, tags, w, h, offs, cnts)
+        return _apply_orientation(
+            _decode_jpeg_strips(payload, tags, w, h, offs, cnts),
+            tags.get(_ORIENT, [1])[0])
     if comp == 6:
         # old-style JPEG (TIFF 6.0 §22, long-deprecated): the tag-soup
         # form stays unsupported, but the common writer bug stores a

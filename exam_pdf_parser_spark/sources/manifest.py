@@ -181,7 +181,13 @@ def compact_manifest(out_dir: str, _race_hook=None) -> dict:
     if _race_hook is not None:
         _race_hook()
     for f in old:
-        os.remove(os.path.join(mdir, f))
+        # a concurrent compactor that snapshotted the same file list
+        # may have deleted it already; duplicate done-rows from both
+        # merged files are harmless under the idempotent-read contract
+        try:
+            os.remove(os.path.join(mdir, f))
+        except FileNotFoundError:
+            pass
     remaining = [f for f in os.listdir(mdir)
                  if f.endswith(".parquet") and not f.startswith(".")]
     return {"files_before": len(old), "files_after": len(remaining),

@@ -162,11 +162,16 @@ def _admit_fn(band_cap: int, state_ttl_ms: int):
             return
         n = state.get[0] if state.exists else 0
         out: list[dict] = []
-        for pdf in pdfs:
-            # deterministic admission within a trigger regardless of
-            # partition arrival order
-            pdf = pdf.sort_values(["warc_ts", "url"])
-            for url, ts in zip(pdf["url"], pdf["warc_ts"]):
+        # one group's trigger rows can span multiple chunks of the
+        # pdfs iterator — concatenate first, THEN sort once, so the
+        # admission order (and which rows land past the cap as
+        # overflow=true) is deterministic regardless of chunking
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = (chunks[0] if len(chunks) == 1
+                     else pd.concat(chunks, ignore_index=True))
+            whole = whole.sort_values(["warc_ts", "url"])
+            for url, ts in zip(whole["url"], whole["warc_ts"]):
                 n += 1
                 out.append({
                     "url": url, "warc_ts": ts,

@@ -1256,12 +1256,14 @@ def test_jpeg_in_tiff_strips():
     strips = [encode_jpeg_gray(img[r:r + rows_per])
               for r in range(0, 48, rows_per)]
 
-    def jpeg_tiff(strip_blobs, tables=None):
+    def jpeg_tiff(strip_blobs, tables=None, orient=None):
         entries = [(256, 4, 1, 64), (257, 4, 1, 48), (258, 3, 1, 8),
                    (259, 3, 1, 7), (262, 3, 1, 1),
                    (273, 4, len(strip_blobs), None),
                    (277, 3, 1, 1), (278, 4, 1, rows_per),
                    (279, 4, len(strip_blobs), None)]
+        if orient is not None:
+            entries.append((274, 3, 1, orient))
         if tables is not None:
             entries.append((347, 7, len(tables), None))
         ifd = 8
@@ -1314,6 +1316,17 @@ def test_jpeg_in_tiff_strips():
     assert all(len(a) < len(s) for a, s in zip(abbreviated, strips))
     dec2 = decode_tiff_gray(jpeg_tiff(abbreviated, tables=tables))
     assert np.array_equal(dec2, dec)     # same pixels, shared tables
+
+    # tag-274 orientation applies to the JPEG-strip path too (was a
+    # round-5 gap: comp==7 skipped _apply_orientation, so tiff_dims
+    # and the decoded shape disagreed for transposing orientations)
+    from exam_pdf_parser_spark.core.tiff import tiff_dims
+
+    oriented = jpeg_tiff(strips, orient=6)
+    dec6 = decode_tiff_gray(oriented)
+    assert dec6.shape == (64, 48)        # 90° cw: w/h swap
+    assert tiff_dims(oriented) == (48, 64)   # (w, h) matches pixels
+    assert np.array_equal(dec6, np.ascontiguousarray(dec.T[:, ::-1]))
 
 
 def test_animated_gif_frames_composite():

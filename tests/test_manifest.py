@@ -333,3 +333,39 @@ def test_per_bucket_throughput_metrics(spark, out_dir):
         assert r["errors"] == 0
         total_docs += r["docs_in"]
     assert total_docs == N_DOCS
+
+
+def test_concurrent_compactors_both_complete(spark, out_dir):
+    """Two compact_manifest calls racing over the same snapshot: the
+    loser finds its files already removed by the winner.  Neither may
+    raise (FileNotFoundError is suppressed in the removal loop), the
+    done-set is unchanged (duplicate rows are harmless under the
+    idempotent-read contract), and a follow-up compaction converges
+    back to one visible file."""
+    import os
+
+    from exam_pdf_parser_spark.sources.manifest import (
+        _commit_manifest, compact_manifest,
+    )
+
+    docs = corpus_df(spark, N_DOCS, partitions=4)
+    run_extraction(spark, docs, out_dir, "runA", n_buckets=N_BUCKETS)
+    _commit_manifest(out_dir, "runB",
+                     [("runB", 95, "done", 0, 0, 0, 1, 0, 0.0)])
+    done = sorted(completed_buckets(spark, out_dir))
+
+    rival_stats: dict = {}
+
+    def rival():
+        # a second full compaction inside the first's race window
+        # (after its rename, before its removals)
+        rival_stats.update(compact_manifest(out_dir))
+
+    compact_manifest(out_dir, _race_hook=rival)   # must not raise
+    assert rival_stats["files_after"] >= 1
+    assert sorted(completed_buckets(spark, out_dir)) == done
+
+    assert compact_manifest(out_dir)["files_after"] == 1
+    assert sorted(completed_buckets(spark, out_dir)) == done
+    mdir = os.path.join(out_dir, "manifest")
+    assert not [f for f in os.listdir(mdir) if f.startswith(".tmp")]

@@ -404,3 +404,57 @@ def test_bounded_neardup_hot_band_state_capped(spark, tmp_path):
     q4.stop()
     q5.stop()
     assert wide == unbounded
+
+
+def test_admit_fn_deterministic_across_chunkings():
+    """One group's rows within a trigger can reach the
+    applyInPandasWithState function as SEVERAL pandas chunks; which
+    rows land past band_cap (overflow=true) must not depend on that
+    chunking.  Drives _admit_fn directly with every 2-way split of a
+    6-row group and asserts byte-identical admission decisions."""
+    import datetime
+
+    import pandas as pd
+
+    from exam_pdf_parser_spark.streaming.neardup import _admit_fn
+
+    class FakeState:
+        hasTimedOut = False
+        exists = False
+        get = (0,)
+
+        def update(self, v):
+            self.get, self.exists = v, True
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+        def remove(self):
+            self.exists = False
+
+    base = datetime.datetime(2025, 3, 1)
+    # deliberately out of order so sorting matters
+    rows = pd.DataFrame({
+        "url": [f"https://u{i}.example/d" for i in (3, 0, 5, 1, 4, 2)],
+        "warc_ts": [base + datetime.timedelta(seconds=i)
+                    for i in (3, 0, 5, 1, 4, 2)],
+    })
+
+    def run(chunks):
+        fn = _admit_fn(band_cap=3, state_ttl_ms=1000)
+        out = list(fn((7, "bandkey"), iter(chunks), FakeState()))
+        return pd.concat(out, ignore_index=True) if out else None
+
+    whole = run([rows])
+    assert list(whole["url"]) == [
+        f"https://u{i}.example/d" for i in range(6)]
+    assert list(whole["overflow"]) == [False] * 3 + [True] * 3
+    for cut in range(7):                  # every 2-way chunking + empties
+        chunked = run([rows.iloc[:cut], rows.iloc[cut:]])
+        pd.testing.assert_frame_equal(whole, chunked)
+    # state counter still accumulates across triggers of one key
+    fn = _admit_fn(band_cap=3, state_ttl_ms=1000)
+    st = FakeState()
+    list(fn((7, "bandkey"), iter([rows.iloc[:4]]), st))
+    (trigger2,) = list(fn((7, "bandkey"), iter([rows.iloc[4:]]), st))
+    assert list(trigger2["overflow"]) == [True, True]
