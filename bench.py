@@ -22,6 +22,15 @@ used to read the raw parquet-cache layout, so input-file parallelism
 dominated the headline — the round-4 verdict's bench self-penalty);
 the old source-layout timing is still emitted once per run as
 ``x_extract_spans_source_layout_sec`` for continuity.
+
+Methodology (round 6): a pinned JVM-side anchor probe (fixed
+shuffle+agg over ``spark.range``, no Python, no I/O) runs best-of-N
+at session start and is emitted as ``jvm_anchor_sec``; every query
+also reports its anchor-deflated ratio (``queries_anchor_ratio``).
+Cross-session drift on a JVM-bound query with a stable ratio is host
+variance; a moved ratio is a real plan change.  This closes the
+round-5 attribution blind spot for queries the frozen Python-UDF
+anchor cannot normalize.
 """
 
 from __future__ import annotations
@@ -91,6 +100,31 @@ def _frozen_corpus(spark, sf_dir: str):
     return spark.read.parquet(cache)
 
 
+def _jvm_anchor_runs(spark, reps: int) -> list[float]:
+    """Pinned JVM-side reference probe (round-6 verdict ask #1): a
+    fixed synthetic shuffle+agg over ``spark.range`` — zero Python
+    UDFs, zero input I/O — so its wall time tracks ONLY JVM/host
+    health.  The frozen-corpus anchor normalizes the Python-UDF path;
+    this probe is its JVM twin: when a JVM-bound query's min drifts
+    between rounds but its anchor-deflated ratio
+    (``queries_anchor_ratio``) holds, the drift is host variance, not
+    a plan regression."""
+    from pyspark.sql import functions as F
+
+    runs: list[float] = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        (spark.range(0, 20_000_000, 1, 64)
+             .select((F.col("id") % 100_000).alias("k"),
+                     ((F.col("id") * 2654435761) % 1_000_003).alias("v"))
+             .groupBy("k")
+             .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+             .agg(F.sum("s"), F.sum("c"))
+             .collect())
+        runs.append(time.perf_counter() - t0)
+    return runs
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from exam_pdf_parser_spark.session import get_spark
@@ -107,13 +141,17 @@ def main() -> None:
     # plan, not process spin-up
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    reps_env = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    jvm_runs = _jvm_anchor_runs(spark, reps_env)
+    jvm_anchor = min(jvm_runs)
+
     # Per-query best-of-N (round-4 methodology): each query is timed
     # REPS times back-to-back in the same warm session and the MIN is
     # reported — min is the low-noise estimator on a shared VM (host
     # contention only ever adds time).  The full runs list is emitted
     # too, so round-over-round drift is attributable: a real
     # regression moves the min; host noise only widens the spread.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    reps = reps_env
     timings: dict[str, float] = {}
     runs_all: dict[str, list[float]] = {}
     total = 0.0
@@ -197,6 +235,10 @@ def main() -> None:
         "query_runs": runs_all,
         "reps": reps,
         "sf": sf,
+        "jvm_anchor_sec": round(jvm_anchor, 3),
+        "jvm_anchor_runs": [round(r, 3) for r in jvm_runs],
+        "queries_anchor_ratio": {
+            n: round(t / jvm_anchor, 2) for n, t in timings.items()},
         "x_extract_spans_source_layout_sec": round(source_layout_sec, 3),
         "extraction": {
             "docs": n_docs,

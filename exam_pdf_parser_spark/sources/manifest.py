@@ -203,6 +203,7 @@ def run_extraction(
     min_q: int = 1,
     max_q: int = 50,
     route_giants: bool = False,
+    compact_after: int | None = 64,
 ) -> dict:
     """Execute (or resume) a bucketed extraction run.
 
@@ -216,6 +217,15 @@ def run_extraction(
     router's explode only (see ``extract_auto``), so giant-heavy
     buckets UNDERSTATE cpu_ms — docs/sec and error metrics are exact
     either way.
+
+    ``compact_after`` (retention policy, default 64): after this run's
+    commit, if the manifest directory holds more than that many
+    visible parquet files, :func:`compact_manifest` folds them into
+    one — a long-lived pipeline's resume read stays O(compact_after)
+    files instead of one-per-run forever.  Compaction keeps the
+    commit-protocol guarantees (concurrent writers and killed runs
+    lose nothing; see :func:`compact_manifest`).  ``None`` disables;
+    object-store paths skip it automatically (local-FS-only op).
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     docs = with_bucket(documents, n_buckets)
@@ -294,9 +304,22 @@ def run_extraction(
     if manifest_rows:
         _commit_manifest(out_dir, run_id, manifest_rows, spark=spark)
 
+    compaction = None
+    if compact_after is not None and "://" not in out_dir:
+        mdir = os.path.join(out_dir, "manifest")
+        try:
+            n_files = sum(
+                1 for f in os.listdir(mdir)
+                if f.endswith(".parquet") and not f.startswith("."))
+        except FileNotFoundError:
+            n_files = 0
+        if n_files > compact_after:
+            compaction = compact_manifest(out_dir)
+
     return {
         "run_id": run_id,
         "buckets_processed": len(pending_buckets),
         "buckets_skipped": len(done),
         "wall_ms": wall_ms,
+        "compaction": compaction,
     }

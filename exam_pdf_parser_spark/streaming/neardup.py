@@ -247,3 +247,30 @@ def bounded_neardup_candidates(spark: SparkSession, admitted_path: str,
         .withWatermark("warc_ts", horizon)
     )
     return _band_self_join(adm, horizon)
+
+
+def reconcile_marked_bands(spark: SparkSession, admitted_path: str,
+                           horizon: str = "24 hours") -> DataFrame:
+    """Batch closure of the bounded tier: recompute EVERY candidate
+    pair for exactly the bands the stage-1 overflow markers named.
+
+    The stage-1 handoff holds every row of every band (admitted and
+    overflow alike), so scoping the unbounded band self-join to the
+    marked ``(band_idx, band_key)`` set — a tiny distinct list,
+    broadcast — yields each hot band's full pair set at batch leisure,
+    under the batch side's skew guards if composed with them.  By
+    construction::
+
+        stage-2 stream pairs  ∪  reconcile_marked_bands(...)
+            ==  unbounded-tier pairs over the same rows
+
+    (unmarked bands never overflow, so the stream already has their
+    complete pairs; marked bands are recomputed here in full — the
+    test pins this identity on a planted hot-band corpus).
+    """
+    rows = spark.read.schema(BOUNDED_KEYS_SCHEMA).parquet(admitted_path)
+    marked = rows.filter(F.col("overflow")) \
+        .select("band_idx", "band_key").distinct()
+    scoped = rows.join(F.broadcast(marked), ["band_idx", "band_key"]) \
+        .select("url", "warc_ts", "band_idx", "band_key")
+    return _band_self_join(scoped, horizon)

@@ -369,3 +369,32 @@ def test_concurrent_compactors_both_complete(spark, out_dir):
     assert sorted(completed_buckets(spark, out_dir)) == done
     mdir = os.path.join(out_dir, "manifest")
     assert not [f for f in os.listdir(mdir) if f.startswith(".tmp")]
+
+
+def test_auto_compaction_trigger(spark, out_dir):
+    """run_extraction(compact_after=K) is the retention policy: once
+    the manifest directory exceeds K visible files, the run folds them
+    into one after its commit; below the threshold it leaves the
+    directory alone.  Resume semantics are unchanged either way."""
+    from exam_pdf_parser_spark.sources.manifest import _commit_manifest
+
+    docs = corpus_df(spark, N_DOCS, partitions=4)
+    run_extraction(spark, docs, out_dir, "r0", n_buckets=N_BUCKETS,
+                   compact_after=3)
+    for i in range(4):                    # accrete one-file-per-run commits
+        _commit_manifest(out_dir, f"acc{i}",
+                         [(f"acc{i}", 90 + i, "done", 0, 0, 0, 1, 0, 0.0)])
+    done = sorted(completed_buckets(spark, out_dir))
+
+    s = run_extraction(spark, docs, out_dir, "resume", n_buckets=N_BUCKETS,
+                       compact_after=3)
+    assert s["buckets_processed"] == 0
+    assert s["compaction"] is not None
+    assert s["compaction"]["files_before"] == 5
+    assert s["compaction"]["files_after"] == 1
+    assert sorted(completed_buckets(spark, out_dir)) == done
+
+    s2 = run_extraction(spark, docs, out_dir, "resume2", n_buckets=N_BUCKETS,
+                        compact_after=3)
+    assert s2["compaction"] is None       # under threshold: untouched
+    assert sorted(completed_buckets(spark, out_dir)) == done

@@ -405,6 +405,21 @@ def test_bounded_neardup_hot_band_state_capped(spark, tmp_path):
     q5.stop()
     assert wide == unbounded
 
+    # round-6 verdict ask #6 — the closing identity: the batch tier
+    # consuming the overflow-marked bands, unioned with the capped
+    # stream's pairs, recovers EXACTLY the unbounded ground truth.
+    from exam_pdf_parser_spark.streaming.neardup import (
+        reconcile_marked_bands,
+    )
+
+    bounded = {(r["url_a"], r["url_b"], r["band_idx"]) for r in pairs}
+    recon = {(r["url_a"], r["url_b"], r["band_idx"])
+             for r in reconcile_marked_bands(spark, adm_dir).collect()}
+    assert bounded <= unbounded and recon <= unbounded
+    assert bounded | recon == unbounded
+    # and the reconciliation genuinely contributed the capped tail
+    assert recon - bounded
+
 
 def test_admit_fn_deterministic_across_chunkings():
     """One group's rows within a trigger can reach the
