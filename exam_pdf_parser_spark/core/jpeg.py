@@ -144,6 +144,10 @@ class _BitReader:
         return v
 
     def huff(self, table: dict) -> int:
+        if table is None:
+            # a (possibly corrupt) scan referencing a DHT id that was
+            # never defined — controlled quarantine, not AttributeError
+            raise ValueError("scan references an undefined Huffman table")
         length = 0
         code = 0
         while length < 17:
@@ -177,8 +181,11 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     Unified engine: every scan (baseline full, progressive DC
     first/refine, AC first/refine with EOB runs) accumulates into a
     per-component coefficient store; dequant + IDCT happen once at
-    the end.  Chroma components are entropy-decoded to keep the
-    stream in sync, then discarded."""
+    the end.  For 1- and 3-component frames the luma plane is the
+    output and chroma is entropy-decoded only to keep the stream in
+    sync; 4-component Adobe frames (CMYK / YCCK per APP14) decode all
+    four planes and reduce to gray through the TIFF ink convention
+    (see ``_reconstruct_cmyk_gray``)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     quant: dict[int, np.ndarray] = {}
@@ -190,6 +197,8 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     pos = 2
     n = len(payload)
     saw_scan = False
+    adobe = False                # APP14 "Adobe" seen (inverted-ink CMYK)
+    adobe_transform = 0          # 0=CMYK passthrough, 2=YCCK
     while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("desynchronized JPEG marker stream")
@@ -234,12 +243,6 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 # 12-bit sample paths would dequant/clip wrong
                 raise NotImplementedError(
                     f"{_prec}-bit JPEG not supported")
-            if nc == 4:
-                # Adobe 4-component (CMYK/YCCK): rendering component 0
-                # as gray would be plausible-but-wrong for CMYK (the
-                # cyan plane) — fail loud like the other codecs
-                raise NotImplementedError(
-                    "4-component (CMYK/YCCK) JPEG not supported")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
@@ -264,6 +267,13 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 "only baseline/progressive Huffman JPEG is supported")
         elif marker == 0xDD:                     # DRI
             restart = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xEE and body[:5] == b"Adobe":    # APP14
+            # Adobe transform flag (tech note #5116): 0 = component
+            # passthrough (CMYK for 4-comp), 2 = YCCK.  Presence of
+            # the marker also signals Adobe's inverted-ink storage.
+            adobe = True
+            if len(body) >= 12:
+                adobe_transform = body[11]
         elif marker == 0xDA:                     # SOS
             if not comps:
                 raise ValueError("SOS before SOF")
@@ -271,7 +281,10 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             scan = []
             for si in range(ns):
                 cs, tables = body[1 + 2 * si], body[2 + 2 * si]
-                comp = next(c for c in comps if c["id"] == cs)
+                comp = next((c for c in comps if c["id"] == cs), None)
+                if comp is None:
+                    raise ValueError(
+                        "scan component id absent from the frame header")
                 comp["dc"] = huff_dc.get(tables >> 4)
                 comp["ac"] = huff_ac.get(tables & 0x0F)
                 scan.append(comp)
@@ -290,7 +303,11 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
         pos += 2 + seg_len
     if not saw_scan:
         raise ValueError("JPEG contains no scan")
-    out = _reconstruct_luma(comps, quant, h, w)
+    if len(comps) == 4:
+        out = _reconstruct_cmyk_gray(
+            comps, quant, h, w, adobe, adobe_transform)
+    else:
+        out = _reconstruct_luma(comps, quant, h, w)
     o = exif_orientation(payload)
     if o != 1:
         from .tiff import _apply_orientation
@@ -465,9 +482,12 @@ def _refine_ac(br: "_BitReader", ac_table: dict, coef: np.ndarray,
     return eobrun
 
 
-def _reconstruct_luma(comps: list[dict], quant: dict, h: int,
-                      w: int) -> np.ndarray:
-    c = comps[0]
+def _reconstruct_plane(comps: list[dict], c: dict, quant: dict, h: int,
+                       w: int) -> np.ndarray:
+    """One component's coefficient store → (h, w) float64 samples in
+    [0, 255]: dequant, IDCT, nearest-neighbor upsample to the luma
+    grid, level shift, clip.  Float so multi-plane color transforms
+    (CMYK/YCCK) don't quantize twice."""
     q = quant[c["tq"]].astype(np.int64)
     zz = c["coef"].reshape(-1, 64).astype(np.float64) * q[None, :]
     nat = np.zeros_like(zz)
@@ -482,7 +502,50 @@ def _reconstruct_luma(comps: list[dict], quant: dict, h: int,
     sy, sx = vmax // c["v"], hmax // c["h"]
     if sy > 1 or sx > 1:
         plane = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)
-    return np.clip(plane[:h, :w] + 128.0, 0, 255).astype(np.uint8)
+    return np.clip(plane[:h, :w] + 128.0, 0.0, 255.0)
+
+
+def _reconstruct_luma(comps: list[dict], quant: dict, h: int,
+                      w: int) -> np.ndarray:
+    return _reconstruct_plane(comps, comps[0], quant, h, w) \
+        .astype(np.uint8)
+
+
+def _reconstruct_cmyk_gray(comps: list[dict], quant: dict, h: int,
+                           w: int, adobe: bool,
+                           transform: int) -> np.ndarray:
+    """4-component (CMYK/YCCK) frame → gray, the TIFF photometric-5
+    convention (core/tiff.py): R=(255-C)(255-K)/255 etc., gray is the
+    RGB channel mean.
+
+    Storage semantics (Adobe tech note #5116 + the libjpeg-documented
+    convention): with an APP14 "Adobe" marker the four samples are
+    stored INVERTED (value = 255 - ink) — so the stored planes are
+    already the (255-ink) factors; without APP14 the samples are plain
+    ink.  ``transform == 2`` (YCCK) means the inverted CMY planes were
+    additionally run through the BT.601 YCbCr forward transform — undo
+    it with the same coefficients the TIFF YCbCr branch uses, then
+    treat the result as inverted CMY.  K is never color-transformed.
+    """
+    planes = [_reconstruct_plane(comps, c, quant, h, w) for c in comps]
+    if transform == 2:
+        if not adobe:
+            raise ValueError("YCCK transform without an Adobe APP14")
+        y, cb, cr, k = planes
+        r = y + 1.402 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        g = (y - 0.299 * r - 0.114 * b) / 0.587
+        planes = [np.clip(r, 0.0, 255.0), np.clip(g, 0.0, 255.0),
+                  np.clip(b, 0.0, 255.0), k]
+    sc, sm, sy_, sk = planes
+    if adobe:
+        # stored = 255 - ink: the planes ARE the (255-ink) factors
+        rgb = [p * sk / 255.0 for p in (sc, sm, sy_)]
+    else:
+        rgb = [(255.0 - p) * (255.0 - sk) / 255.0
+               for p in (sc, sm, sy_)]
+    gray = (rgb[0] + rgb[1] + rgb[2]) / 3.0
+    return np.clip(gray + 0.5, 0, 255).astype(np.uint8)
 
 
 def exif_orientation(payload: bytes) -> int:

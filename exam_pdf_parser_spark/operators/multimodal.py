@@ -3,7 +3,8 @@ columns with typed metadata, processed in Arrow batches.
 
 The IMAGE path is fully real: PNG (full baseline spec — all five
 color types, depths 1-16, all filters, Adam7), GIF (incl. animation
-compositing), baseline/progressive JPEG incl. EXIF orientation,
+compositing), baseline/progressive JPEG incl. EXIF orientation and
+4-component Adobe CMYK/YCCK frames,
 TIFF (none/LZW+predictor/
 JPEG-strips/deflate/PackBits, strip- or tile-organized, gray incl.
 16-bit/RGB/RGBA/palette/CMYK/YCbCr), BMP (1/4/8/16/24/32-bit,
@@ -762,7 +763,8 @@ def decode_image(payload: bytes) -> np.ndarray:
     (``core/png.py``), single-frame GIF incl. interlace
     (``core/gif.py``, full variable-width LZW), baseline +
     progressive JPEG (``core/jpeg.py``, Huffman + successive
-    approximation + IDCT, luma plane), TIFF (``core/tiff.py`` —
+    approximation + IDCT, luma plane; 4-component Adobe CMYK/YCCK via
+    the ink transform), TIFF (``core/tiff.py`` —
     none/LZW+predictor/JPEG-strips/deflate/PackBits, gray/RGB/RGBA/
     palette/CMYK/YCbCr incl. subsampled data units), BMP
     (``core/bmp.py``, 1/4/8/16/24/32-bit incl. BI_BITFIELDS,
