@@ -213,4 +213,83 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     for mod in (relational, temporal, textstats, dedupe, similarity):
         o.update(mod.ORACLE)
+    o.update(_xoracle_sql())
     return o
+
+
+def _xoracle_sql() -> dict[str, str]:
+    """DuckDB twins for four extraction-family queries (round-6
+    promotion from rows-only).  The independent single-node Python
+    oracle (``core/oracle_x.py``) materializes its tables as committed
+    parquet at the gate scale (``scripts/make_xoracle_tables.py``,
+    staleness-pinned by pytest); DuckDB then RECOMPUTES the relational
+    stage — the exam-info aggregation and the A/B compare full-outer
+    join — from the oracle's parsed tables, and serves the two outputs
+    whose kernels are not relational (SequenceMatcher scoring with
+    Python-pinned float accumulation order; the 24-rule validation
+    cascade).  Valid only at sf0.01, the driver-gate scale — the other
+    five ``x_*`` queries stay rows-only here and all nine remain
+    hash-graded against the live oracle at BOTH scales in XCHECK."""
+    import os
+
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tests", "goldens", "xoracle_sf0.01")
+    from exam_pdf_parser_spark.core.fields import WRITTEN_TYPES
+
+    written_in = ", ".join(f"'{t}'" for t in WRITTEN_TYPES)
+    exam_info = f"""
+        WITH agg AS (
+          SELECT url,
+                 min(exam_title) AS title,
+                 count(*) AS total_questions,
+                 CAST(sum(CASE WHEN question_type = '듣기'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_listening,
+                 CAST(sum(CASE WHEN question_type IN ({written_in})
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_written,
+                 min(number) AS first_number,
+                 max(number) AS last_number,
+                 CAST(sum(CASE WHEN points = 3 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_three_point
+          FROM read_parquet('{d}/parsed_a.parquet') GROUP BY url)
+        SELECT url, title, total_questions, n_listening, n_written,
+               first_number, last_number, n_three_point,
+               CASE WHEN lower(coalesce(title, '')) LIKE '%수능%'
+                      OR lower(coalesce(title, '')) LIKE '%대학수학능력%'
+                    THEN '수능'
+                    WHEN lower(coalesce(title, '')) LIKE '%모의%'
+                    THEN '모의고사'
+                    WHEN n_written > 0
+                      OR lower(coalesce(title, '')) LIKE '%final test%'
+                      OR lower(coalesce(title, '')) LIKE '%chapter test%'
+                      OR lower(coalesce(title, '')) LIKE '%워크북%'
+                      OR lower(coalesce(title, '')) LIKE '%연습%'
+                    THEN '워크북'
+                    ELSE '기타' END AS exam_type
+        FROM agg
+    """
+    compare = f"""
+        SELECT coalesce(a.url, b.url) AS url,
+               coalesce(a.number, b.number) AS number,
+               a.url IS NOT NULL AS in_a,
+               b.url IS NOT NULL AS in_b,
+               s.qtext_sim, s.passage_sim,
+               coalesce(a.points, 0) - coalesce(b.points, 0)
+                 AS points_delta,
+               coalesce(a.n_choices, 0) - coalesce(b.n_choices, 0)
+                 AS choices_delta
+        FROM read_parquet('{d}/parsed_a.parquet') a
+        FULL OUTER JOIN read_parquet('{d}/parsed_b.parquet') b
+          ON a.url = b.url AND a.number = b.number
+        JOIN read_parquet('{d}/compare_sims.parquet') s
+          ON s.url = coalesce(a.url, b.url)
+         AND s.number = coalesce(a.number, b.number)
+    """
+    return {
+        "x_exam_info": exam_info,
+        "x_compare_configs": compare,
+        "x_eval_scores":
+            f"SELECT * FROM read_parquet('{d}/eval_scores.parquet')",
+        "x_validation_issues":
+            f"SELECT * FROM "
+            f"read_parquet('{d}/validation_issues.parquet')",
+    }

@@ -426,3 +426,62 @@ X_ORACLES = {
     "x_crop_manifest": x_crop_manifest,
     "x_compare_configs": x_compare_configs,
 }
+
+
+# --- DuckDB-gradable oracle tables (round-6 verdict ask #3) -------------------
+
+def build_xoracle_tables(sf_dir: str) -> dict[str, list[dict]]:
+    """Materialize this oracle's tables for the four promotable x_*
+    queries, so the driver's DuckDB gate can grade them instead of
+    recording ``no_oracle``:
+
+    * ``parsed_a`` / ``parsed_b`` — the parse outputs (max_q 50 / 20)
+      reduced to the relational columns; DuckDB RECOMPUTES
+      ``x_exam_info`` (group/agg/CASE) and ``x_compare_configs``'s
+      full-outer join + presence flags + deltas from these.
+    * ``compare_sims`` — the per-(url, number) SequenceMatcher
+      similarities, which SQL cannot express; served to the compare
+      join as a precomputed column pair.
+    * ``eval_scores`` / ``validation_issues`` — final outputs, served
+      as-is: the score rollup's float accumulation order is pinned to
+      Python's (see core/scoring.py summarize), and the validation
+      kernel is 24 rule functions, not a relational plan — SQL
+      re-derivation would either diverge bit-wise or re-implement the
+      rules a third time.
+
+    Row order is deterministic (sorted keys) so the committed parquet
+    is byte-stable under regeneration.
+    """
+    import pyarrow.parquet as pq
+
+    from ..corpus.generator import build_document
+
+    ids = sorted(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .column("doc_id").to_pylist())
+    rows = [build_document(int(i)) for i in ids]
+
+    def parsed_tbl(parsed: dict[str, list[dict]]) -> list[dict]:
+        out = []
+        for url in sorted(parsed):
+            for q in parsed[url]:
+                out.append({
+                    "url": url, "number": q["number"],
+                    "exam_title": q["exam_title"],
+                    "question_type": q["question_type"],
+                    "points": q["points"],
+                    "n_choices": len(q["choices"]),
+                })
+        return out
+
+    compare = x_compare_configs(rows)
+    return {
+        "parsed_a": parsed_tbl(_parsed_by_url(rows, max_q=50)),
+        "parsed_b": parsed_tbl(_parsed_by_url(rows, max_q=20)),
+        "compare_sims": [
+            {"url": r["url"], "number": r["number"],
+             "qtext_sim": r["qtext_sim"], "passage_sim": r["passage_sim"]}
+            for r in compare],
+        "eval_scores": x_eval_scores(rows),
+        "validation_issues": x_validation_issues(rows),
+    }

@@ -339,3 +339,27 @@ def test_x_oracle_validation_and_compare_parity(spark):
         for c in x_compare_configs(rows))
     docs.unpersist()
     assert cmp_got == cmp_want
+
+
+def test_xoracle_artifacts_current():
+    """Staleness pin for the committed DuckDB-gradable oracle tables
+    (tests/goldens/xoracle_sf0.01): regenerating them from the LIVE
+    generator + oracle must reproduce the committed parquet exactly.
+    If this fails, the testdata or parse semantics changed — rerun
+    scripts/make_xoracle_tables.py and commit (and say so)."""
+    import os
+
+    import pandas as pd
+
+    from exam_pdf_parser_spark.core.oracle_x import build_xoracle_tables
+
+    sf_dir = "/root/testdata/sf0.01"
+    gold = os.path.join(os.path.dirname(__file__), "goldens",
+                        "xoracle_sf0.01")
+    live = build_xoracle_tables(sf_dir)
+    assert sorted(live) == sorted(
+        f[:-8] for f in os.listdir(gold) if f.endswith(".parquet"))
+    for name, rows in live.items():
+        committed = pd.read_parquet(os.path.join(gold, f"{name}.parquet"))
+        regenerated = pd.DataFrame(rows)
+        pd.testing.assert_frame_equal(regenerated, committed)
