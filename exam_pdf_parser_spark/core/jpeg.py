@@ -7,10 +7,12 @@ Huffman decode with byte unstuffing and restart markers, and for
 progressive streams the full successive-approximation machinery (DC
 first/refine, AC first/refine with EOB runs) accumulating into a
 per-component coefficient store; dequant + zigzag + float IDCT run
-once at the end.  Output is the LUMA plane as (h, w) uint8 grayscale
-(chroma components are entropy-decoded to keep the bitstream in sync,
-then discarded).  Arithmetic-coded and lossless variants raise a
-clear error.
+once at the end.  Output is (h, w) uint8 grayscale: the luma plane
+for 1/3-component frames (chroma entropy-decoded to keep the
+bitstream in sync, then discarded), the ink-transform gray for
+4-component Adobe CMYK/YCCK frames, and a rint(v*255/4095) mapping
+for 12-bit (SOF precision 12) frames.  Arithmetic-coded and lossless
+variants raise a clear error.
 
 The encoder writes grayscale JPEG with the JPEG Annex K example
 quantization/Huffman tables (public spec constants) — baseline by
@@ -197,6 +199,7 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     pos = 2
     n = len(payload)
     saw_scan = False
+    prec = 8                     # SOF sample precision (8 or 12 bit)
     adobe = False                # APP14 "Adobe" seen (inverted-ink CMYK)
     adobe_transform = 0          # 0=CMYK passthrough, 2=YCCK
     while pos + 2 <= n:
@@ -239,10 +242,11 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 i += 17 + n_sym
         elif marker in (0xC0, 0xC1, 0xC2):       # SOF0/1 baseline, SOF2 prog
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if _prec != 8:
-                # 12-bit sample paths would dequant/clip wrong
+            if _prec not in (8, 12):
+                # the spec defines only 8- and 12-bit DCT precision
                 raise NotImplementedError(
                     f"{_prec}-bit JPEG not supported")
+            prec = _prec
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
@@ -305,9 +309,9 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
         raise ValueError("JPEG contains no scan")
     if len(comps) == 4:
         out = _reconstruct_cmyk_gray(
-            comps, quant, h, w, adobe, adobe_transform)
+            comps, quant, h, w, adobe, adobe_transform, prec)
     else:
-        out = _reconstruct_luma(comps, quant, h, w)
+        out = _reconstruct_luma(comps, quant, h, w, prec)
     o = exif_orientation(payload)
     if o != 1:
         from .tiff import _apply_orientation
@@ -483,11 +487,17 @@ def _refine_ac(br: "_BitReader", ac_table: dict, coef: np.ndarray,
 
 
 def _reconstruct_plane(comps: list[dict], c: dict, quant: dict, h: int,
-                       w: int) -> np.ndarray:
+                       w: int, prec: int = 8) -> np.ndarray:
     """One component's coefficient store → (h, w) float64 samples in
     [0, 255]: dequant, IDCT, nearest-neighbor upsample to the luma
     grid, level shift, clip.  Float so multi-plane color transforms
-    (CMYK/YCCK) don't quantize twice."""
+    (CMYK/YCCK) don't quantize twice.
+
+    12-bit frames (SOF precision 12): level shift 2048, clip to
+    [0, 4095], then map linearly onto the 8-bit gray domain with
+    round-to-nearest (``rint(v*255/4095)`` — a value exactly halfway
+    is impossible, the scale is rational with denominator 4095, so
+    the mapping is float-error-stable)."""
     q = quant[c["tq"]].astype(np.int64)
     zz = c["coef"].reshape(-1, 64).astype(np.float64) * q[None, :]
     nat = np.zeros_like(zz)
@@ -502,18 +512,22 @@ def _reconstruct_plane(comps: list[dict], c: dict, quant: dict, h: int,
     sy, sx = vmax // c["v"], hmax // c["h"]
     if sy > 1 or sx > 1:
         plane = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)
-    return np.clip(plane[:h, :w] + 128.0, 0.0, 255.0)
+    if prec == 8:
+        return np.clip(plane[:h, :w] + 128.0, 0.0, 255.0)
+    maxv = float((1 << prec) - 1)
+    deep = np.clip(plane[:h, :w] + float(1 << (prec - 1)), 0.0, maxv)
+    return np.rint(deep * (255.0 / maxv))
 
 
 def _reconstruct_luma(comps: list[dict], quant: dict, h: int,
-                      w: int) -> np.ndarray:
-    return _reconstruct_plane(comps, comps[0], quant, h, w) \
+                      w: int, prec: int = 8) -> np.ndarray:
+    return _reconstruct_plane(comps, comps[0], quant, h, w, prec) \
         .astype(np.uint8)
 
 
 def _reconstruct_cmyk_gray(comps: list[dict], quant: dict, h: int,
                            w: int, adobe: bool,
-                           transform: int) -> np.ndarray:
+                           transform: int, prec: int = 8) -> np.ndarray:
     """4-component (CMYK/YCCK) frame → gray, the TIFF photometric-5
     convention (core/tiff.py): R=(255-C)(255-K)/255 etc., gray is the
     RGB channel mean.
@@ -527,7 +541,8 @@ def _reconstruct_cmyk_gray(comps: list[dict], quant: dict, h: int,
     it with the same coefficients the TIFF YCbCr branch uses, then
     treat the result as inverted CMY.  K is never color-transformed.
     """
-    planes = [_reconstruct_plane(comps, c, quant, h, w) for c in comps]
+    planes = [_reconstruct_plane(comps, c, quant, h, w, prec)
+              for c in comps]
     if transform == 2:
         if not adobe:
             raise ValueError("YCCK transform without an Adobe APP14")

@@ -3,8 +3,8 @@ columns with typed metadata, processed in Arrow batches.
 
 The IMAGE path is fully real: PNG (full baseline spec — all five
 color types, depths 1-16, all filters, Adam7), GIF (incl. animation
-compositing), baseline/progressive JPEG incl. EXIF orientation and
-4-component Adobe CMYK/YCCK frames,
+compositing), baseline/progressive JPEG incl. EXIF orientation,
+12-bit precision and 4-component Adobe CMYK/YCCK frames,
 TIFF (none/LZW+predictor/
 JPEG-strips/deflate/PackBits, strip- or tile-organized, gray incl.
 16-bit/RGB/RGBA/palette/CMYK/YCbCr), BMP (1/4/8/16/24/32-bit,

@@ -1036,9 +1036,9 @@ def test_tiff_orientation_and_old_jpeg():
 
 
 def test_jpeg_precision_and_cmyk_stay_loud():
-    """12-bit JPEG frames still raise (fail-loud discipline); a
-    4-component frame — formerly stubbed — now decodes through the
-    CMYK path (full vectors in test_cmyk_ycck_jpeg_decode)."""
+    """Out-of-spec precisions raise (fail-loud discipline); 12-bit and
+    4-component frames — both formerly stubbed — now decode (full
+    vectors in test_12bit_jpeg_decode / test_cmyk_ycck_jpeg_decode)."""
     import struct
 
     import numpy as np
@@ -1053,8 +1053,8 @@ def test_jpeg_precision_and_cmyk_stay_loud():
     sof = bytes(blob).find(b"\xff\xc0")
     assert sof > 0
     bad = bytearray(blob)
-    bad[sof + 4] = 12                        # precision byte
-    with pytest.raises(NotImplementedError, match="12-bit"):
+    bad[sof + 4] = 14                        # precision byte: no such
+    with pytest.raises(NotImplementedError, match="14-bit"):
         decode_jpeg_gray(bytes(bad))
 
     # rewrite the SOF to declare 4 components (CMYK shape): keep
@@ -2224,3 +2224,102 @@ def test_cmyk_ycck_jpeg_decode():
         except (ValueError, NotImplementedError, KeyError, IndexError,
                 struct.error):
             pass
+
+
+def test_12bit_jpeg_decode():
+    """12-bit (SOF precision 12) JPEG — the last JPEG stub — decodes:
+    level shift 2048, clip to [0,4095], rint-mapped onto the 8-bit
+    gray domain.  DC-only blocks over an all-ones quant table make the
+    decoded 12-bit samples exact; expectations are independent scalar
+    formulas.  The 12-bit DC diff categories (up to 15) exceed the
+    8-bit Annex-K table, so the vector carries its own DHT."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from exam_pdf_parser_spark.core.jpeg import decode_jpeg_gray
+
+    # DC table covering categories 0..15: counts say 16 codes of
+    # length 5..8ish — simplest canonical: one code per length 4..16?
+    # Use counts [0,0,0,16,...]: 16 codes of length 4 is invalid
+    # (needs <= 2^4). Use 8 codes of len 4 + 8 of len 5.
+    dc_counts = [0, 0, 0, 8, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    dc_syms = list(range(16))
+    ac_counts = [0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_syms = [0x00]                      # EOB only
+
+    def canonical(counts, syms):
+        table, code, i = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                table[syms[i]] = (code, ln)
+                i += 1
+                code += 1
+            code <<= 1
+        return table
+
+    DC, AC = canonical(dc_counts, dc_syms), canonical(ac_counts, ac_syms)
+
+    class BW:
+        def __init__(self):
+            self.b, self.a, self.n = bytearray(), 0, 0
+
+        def put(self, v, k):
+            for i in range(k - 1, -1, -1):
+                self.a = (self.a << 1) | ((v >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.b.append(self.a)
+                    if self.a == 0xFF:
+                        self.b.append(0)
+                    self.a = self.n = 0
+
+        def flush(self):
+            while self.n:
+                self.put(1, 1)
+            return bytes(self.b)
+
+    def jpeg12(vals):                     # one 8x8 block per value
+        n_mcu = len(vals)
+        h, w = 8, 8 * n_mcu
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+        out += b"\xff\xc1" + struct.pack(">HBHHB", 11, 12, h, w, 1) \
+            + bytes((1, 0x11, 0))         # SOF1 extended, precision 12
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 19 + 16, 0x00) + bytes(dc_counts) + bytes(dc_syms)
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 19 + 1, 0x10) + bytes(ac_counts) + bytes(ac_syms)
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) \
+            + bytes((1, 0x00, 0, 63, 0))
+        bw = BW()
+        pred = 0
+        for v in vals:
+            dc = (v - 2048) * 8           # q=1, DC-only: exact 12-bit
+            diff = dc - pred
+            pred = dc
+            t = abs(diff).bit_length()
+            code, ln = DC[t]
+            bw.put(code, ln)
+            if t:
+                bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            code, ln = AC[0x00]
+            bw.put(code, ln)
+        return bytes(out + bw.flush() + b"\xff\xd9")
+
+    vals = (4095, 0, 2048, 3000, 137)
+    dec = decode_jpeg_gray(jpeg12(vals))
+    assert dec.shape == (8, 8 * len(vals))
+    want = [int(np.rint(v * 255.0 / 4095.0)) for v in vals]
+    assert want == [255, 0, 128, 187, 9]  # hand-checked
+    for i, wv in enumerate(want):
+        block = dec[:, 8 * i:8 * i + 8]
+        assert (block == wv).all(), (i, wv, block[0, 0])
+
+    # precision 10 (not in the spec) still fails loud
+    blob = bytearray(jpeg12(vals))
+    sof = bytes(blob).find(b"\xff\xc1")
+    blob[sof + 4] = 10
+    with pytest.raises(NotImplementedError, match="10-bit"):
+        decode_jpeg_gray(bytes(blob))
