@@ -270,17 +270,29 @@ def repair_duplicates(regions: list[Region], max_q: int) -> list[Region]:
     if not duplicates:
         return regions
 
+    # A duplicate-numbered region's neighbor set is the sorted
+    # NON-duplicate numbers on its page; the original "rr is not r"
+    # exclusion can never remove anything (r's own number is a
+    # duplicate, neighbors are non-duplicates), so one per-page list
+    # serves every duplicate on that page.  Precomputing it makes the
+    # pass O(n log n) — the n² rescan-per-duplicate made a 50k-page
+    # all-duplicates document (the tiled giant-doc stress shape) run
+    # for hours in ONE task.
+    neighbors_by_page: dict[int, list[int]] = {}
+    for rr in regions:
+        if rr.question_number not in duplicates:
+            neighbors_by_page.setdefault(
+                rr.page_idx, []).append(rr.question_number)
+    for ns in neighbors_by_page.values():
+        ns.sort()
+
     all_nums = {r.question_number for r in regions}
     fixed: list[Region] = []
     for r in regions:
         if r.question_number not in duplicates:
             fixed.append(r)
             continue
-        neighbors = sorted(
-            rr.question_number for rr in regions
-            if rr.page_idx == r.page_idx and rr is not r
-            and rr.question_number not in duplicates
-        )
+        neighbors = neighbors_by_page.get(r.page_idx, [])
         if not neighbors:
             fixed.append(r)
             continue

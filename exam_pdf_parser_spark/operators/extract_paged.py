@@ -281,6 +281,19 @@ def extract_auto(documents: DataFrame, min_q: int = 1, max_q: int = 50,
             ROUTED_SCHEMA.fields + [StructField("proc_us", LongType())])
     cols = [f.name for f in schema.fields]
 
+    # bounded emit: flush accumulated rows every CHUNK so one
+    # pathological 50k-page document never holds its full page-row
+    # set AND a same-size pandas copy in the worker at once — peak
+    # per-worker memory stays O(doc decode) + O(CHUNK), not O(pages)
+    chunk_rows = 4096
+
+    def _frame(rows: list[dict]) -> pd.DataFrame:
+        out = pd.DataFrame(rows, columns=cols)
+        # nullable Int32 so Arrow sees int32-with-nulls, not
+        # float64 (page_idx is None on every finished row)
+        out["page_idx"] = pd.array(out["page_idx"], dtype="Int32")
+        return out
+
     def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict] = []
@@ -309,12 +322,14 @@ def extract_auto(documents: DataFrame, min_q: int = 1, max_q: int = 50,
                             # router's actual time
                             row["proc_us"] = explode_us if i == 0 else 0
                         rows.append(row)
+                        if len(rows) >= chunk_rows:
+                            yield _frame(rows)
+                            rows = []
+                if len(rows) >= chunk_rows:
+                    yield _frame(rows)
+                    rows = []
             if rows:
-                out = pd.DataFrame(rows, columns=cols)
-                # nullable Int32 so Arrow sees int32-with-nulls, not
-                # float64 (page_idx is None on every finished row)
-                out["page_idx"] = pd.array(out["page_idx"], dtype="Int32")
-                yield out
+                yield _frame(rows)
 
     routed = docs.mapInPandas(route, schema).persist(
         StorageLevel.MEMORY_AND_DISK)

@@ -1,0 +1,196 @@
+"""Pathological giant-document stress (round-6 verdict ask #4): one
+~50k-page document planted among ordinary docs, run through the
+durable pipeline with ``route_giants=True`` under the capped 8g JVM
+heap, asserting
+
+  * byte identity — the routed giant's extracted_text/spans equal the
+    whole-doc ``extract()`` of the same payload;
+  * no OOM — the run completes; per-process peak RSS of every Python
+    worker is sampled from /proc and reported;
+  * the page-parallel path engages — the router's cache holds exactly
+    n_pages ``__page__`` rows for the giant.
+
+Usage: python scripts/giant_stress_bench.py [n_pages] [n_docs]
+Prints one JSON line; results recorded in BENCH_SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CORPUS_DIR = "/tmp/scaling_corpus"          # shared with scaling_bench
+OUT_DIR = "/tmp/giant_stress_out"
+
+
+class RssMonitor(threading.Thread):
+    """Sample per-process RSS of this session's python workers from
+    /proc; keeps the MAX single-process value (the metric that OOMs a
+    capped executor) and the max summed value."""
+
+    def __init__(self, interval: float = 0.25):
+        super().__init__(daemon=True)
+        self.interval = interval
+        self.max_single_kb = 0
+        self.max_total_kb = 0
+        self._stop = threading.Event()
+
+    def _sample(self) -> None:
+        total = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == os.getpid():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().replace(b"\0", b" ")
+                if b"java" in cmd:          # the driver JVM is capped
+                    continue                # by -Xmx; track WORKERS
+                if b"pyspark" not in cmd and b"daemon" not in cmd:
+                    continue
+                with open(f"/proc/{pid}/status") as f:
+                    for line in f:
+                        if line.startswith("VmRSS:"):
+                            kb = int(line.split()[1])
+                            total += kb
+                            self.max_single_kb = max(
+                                self.max_single_kb, kb)
+                            break
+            except OSError:
+                continue
+        self.max_total_kb = max(self.max_total_kb, total)
+
+    def run(self) -> None:
+        while not self._stop.is_set():
+            self._sample()
+            time.sleep(self.interval)
+
+    def stop(self) -> None:
+        self._stop.set()
+
+
+def build_giant(n_pages: int) -> tuple[str, bytes]:
+    """Tile one ordinary doc's pages out to n_pages (the byte-identity
+    contract cares about the two code paths, not content novelty)."""
+    from exam_pdf_parser_spark.core.assemble import (
+        decode_payload, encode_payload,
+    )
+    from exam_pdf_parser_spark.corpus.generator import build_document
+
+    base = decode_payload(build_document(0)["html"])["pages"]
+    pages = []
+    while len(pages) < n_pages:
+        for p in base:
+            if len(pages) >= n_pages:
+                break
+            q = dict(p)
+            q["page_idx"] = len(pages)
+            pages.append(q)
+    return "https://giant.example/doc", encode_payload(
+        {"v": 1, "pages": pages})
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from exam_pdf_parser_spark.operators.extract import corpus_df, extract
+    from exam_pdf_parser_spark.operators.extract_paged import (
+        _PAGE_STATUS, extract_auto, release_routed_cache,
+    )
+    from exam_pdf_parser_spark.session import get_spark
+    from exam_pdf_parser_spark.sources.manifest import run_extraction
+
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 120_000
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    spark = get_spark("giant-stress", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    url_g, html_g = build_giant(n_pages)
+    giant_mb = len(html_g) / 1e6
+    # decoded working-set estimate: the router holds the parsed JSON
+    decoded_mb = len(
+        __import__("zlib").decompress(html_g[5:])) / 1e6 \
+        if html_g[:5] == b"XLAY1" else float("nan")
+
+    marker = os.path.join(CORPUS_DIR, "_SOAK_N")
+    if not (os.path.exists(marker)
+            and open(marker).read() == str(n_docs)):
+        corpus_df(spark, n_docs, partitions=128).write.mode(
+            "overwrite").parquet(CORPUS_DIR)
+        with open(marker, "w") as f:
+            f.write(str(n_docs))
+    docs = spark.read.parquet(CORPUS_DIR).select("url", "html")
+    mixed = docs.unionByName(spark.createDataFrame(
+        [(url_g, bytearray(html_g)),
+         ("https://bad.example/x", bytearray(b"garbage payload"))],
+        "url string, html binary"))
+
+    # engagement check: the router explodes the giant to exactly
+    # n_pages page rows (no silent whole-doc fallback)
+    gdf = spark.createDataFrame(
+        [(url_g, bytearray(html_g))], "url string, html binary")
+    routed = extract_auto(gdf)
+    n_page_rows = routed._routed_cache.filter(
+        F.col("status") == _PAGE_STATUS).count()
+    release_routed_cache(routed)
+    assert n_page_rows == n_pages, (n_page_rows, n_pages)
+
+    mon = RssMonitor()
+    mon.start()
+    shutil.rmtree(OUT_DIR, ignore_errors=True)
+    t0 = time.perf_counter()
+    s1 = run_extraction(spark, mixed, OUT_DIR, "giant-stress",
+                        n_buckets=64, route_giants=True)
+    wall = time.perf_counter() - t0
+    mon.stop()
+
+    written = spark.read.parquet(os.path.join(OUT_DIR, "extracted"))
+    giant_row = written.filter(F.col("url") == url_g).collect()
+    assert len(giant_row) == 1 and giant_row[0]["status"] == "ok"
+    bad_row = written.filter(
+        F.col("url") == "https://bad.example/x").collect()
+    assert len(bad_row) == 1 and bad_row[0]["status"] == "error"
+
+    # byte identity vs the whole-doc path on the same payload
+    ref = extract(gdf).collect()[0]
+    got = giant_row[0]
+    identical = (ref["extracted_text"] == got["extracted_text"]
+                 and [tuple(s) for s in ref["spans"]]
+                 == [tuple(s) for s in got["spans"]])
+    assert identical, "routed giant diverged from whole-doc extract"
+
+    t0 = time.perf_counter()
+    s2 = run_extraction(spark, mixed, OUT_DIR, "giant-resume",
+                        n_buckets=64, route_giants=True)
+    resume = time.perf_counter() - t0
+    assert s2["buckets_processed"] == 0
+
+    print(json.dumps({
+        "metric": "giant-doc-stress",
+        "n_pages": n_pages,
+        "giant_payload_mb": round(giant_mb, 1),
+        "giant_decoded_mb": round(decoded_mb, 1),
+        "ordinary_docs": n_docs,
+        "wall_sec": round(wall, 1),
+        "docs_per_sec": round((n_docs + 2) / wall, 1),
+        "resume_noop_sec": round(resume, 1),
+        "route_page_rows": n_page_rows,
+        "byte_identical": identical,
+        "giant_spans": len(got["spans"]),
+        "max_worker_rss_mb": round(mon.max_single_kb / 1024, 1),
+        "max_workers_total_rss_mb": round(mon.max_total_kb / 1024, 1),
+        "jvm_heap_cap": os.environ.get("SPARK_DRIVER_MEM", "8g"),
+        "cpus": int(cpus),
+        "buckets": s1["buckets_processed"],
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -67,6 +67,38 @@ def main() -> None:
         F.max("docs_per_cpu_sec").alias("max_dps"),
     ).first()
 
+    # content hash of the durable output (url + text + error + spans,
+    # order-insensitive): byte-identical reruns are provable from the
+    # JSON lines alone instead of via a separate diff pass
+    out_md5 = (
+        spark.read.parquet(f"{OUT_DIR}/extracted")
+        .select(F.md5(F.concat_ws(
+            "\x00", "url",
+            F.coalesce("extracted_text", F.lit("")),
+            F.coalesce("error", F.lit("")),
+            F.to_json("spans"))).alias("h"))
+        .agg(F.md5(F.concat_ws(
+            "", F.sort_array(F.collect_list("h")))).alias("H"))
+        .first()["H"])
+
+    # frozen-anchor host attribution (round-5 discipline): same-session
+    # throughput on the byte-frozen r02 corpus, so a soak delta is
+    # attributable to code vs host against BASELINE.md's anchor band
+    import bench as _bench
+    from exam_pdf_parser_spark.operators.extract import extract
+
+    fz = _bench._frozen_corpus(spark, "/root/testdata/sf0.1") \
+        .repartition(int(cpus) * 4).persist()
+    n_frozen = fz.count()
+    extract(fz).select(F.count("*")).collect()      # warm
+    fruns = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        extract(fz).select(F.count("*")).collect()
+        fruns.append(time.perf_counter() - t0)
+    fz.unpersist()
+    anchor_dps = round(n_frozen / min(fruns), 1)
+
     print(json.dumps({
         "metric": "e2e-durable-soak",
         "n_docs": n_docs, "n_buckets": n_buckets, "cpus": int(cpus),
@@ -78,6 +110,8 @@ def main() -> None:
                                         round(agg["max_dps"], 1)],
         "resume_noop_sec": round(resume, 2),
         "resume_buckets_processed": s2["buckets_processed"],
+        "output_md5": out_md5,
+        "frozen_anchor_docs_per_sec": anchor_dps,
     }))
     spark.stop()
 

@@ -157,3 +157,51 @@ def test_full_45_question_exam_detected():
     missing = set(range(1, 46)) - detected
     extra = detected - set(range(1, 46))
     assert not missing and not extra, (sorted(missing), sorted(extra))
+
+
+def test_repair_duplicates_scales_linearithmically():
+    """The giant-doc stress shape (round 6): a tiled document where
+    EVERY number is duplicated across thousands of pages.  The repair
+    pass must stay near-linear — the old per-duplicate rescan was
+    O(n^2) and turned one 50k-page task into hours.  Relative check
+    (codec-test discipline, no wall-clock absolutes): 4x the regions
+    may cost at most ~8x the time (linear→4, quadratic→16)."""
+    import time
+
+    from exam_pdf_parser_spark.core.detector import (
+        Region, repair_duplicates,
+    )
+
+    def build(n_pages):
+        regions = []
+        for p in range(n_pages):
+            for q in (1, 2, 3):          # every number duplicated on
+                regions.append(Region(   # every page
+                    q, p, 0.0, 0.0, 10.0, 10.0, f"q{q}",
+                    full_text=f"q{q}"))
+        return regions
+
+    def best(n_pages, reps=3):
+        t = []
+        for _ in range(reps):
+            regs = build(n_pages)
+            t0 = time.perf_counter()
+            out = repair_duplicates(regs, max_q=50)
+            t.append(time.perf_counter() - t0)
+            assert len(out) == len(regs)
+        return min(t)
+
+    small, big = best(1000), best(4000)
+    assert big / max(small, 1e-9) < 8.0, (small, big)
+
+    # semantics unchanged on the planted repair case: duplicated 4 on
+    # a page whose non-duplicate neighbors are 33/35 remaps to 34
+    regs = [
+        Region(4, 0, 0, 0, 1, 1, "4. real"),
+        Region(5, 0, 0, 0, 1, 1, "5. real"),
+        Region(33, 1, 0, 0, 1, 1, "33."),
+        Region(4, 1, 0, 0, 1, 1, "4. actually 34"),
+        Region(35, 1, 0, 0, 1, 1, "35."),
+    ]
+    out = repair_duplicates(regs, max_q=50)
+    assert sorted(r.question_number for r in out) == [4, 5, 33, 34, 35]
