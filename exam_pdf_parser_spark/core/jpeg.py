@@ -487,7 +487,8 @@ def _refine_ac(br: "_BitReader", ac_table: dict, coef: np.ndarray,
 
 
 def _reconstruct_plane(comps: list[dict], c: dict, quant: dict, h: int,
-                       w: int, prec: int = 8) -> np.ndarray:
+                       w: int, prec: int = 8,
+                       native: bool = False) -> np.ndarray:
     """One component's coefficient store → (h, w) float64 samples in
     [0, 255]: dequant, IDCT, nearest-neighbor upsample to the luma
     grid, level shift, clip.  Float so multi-plane color transforms
@@ -497,7 +498,13 @@ def _reconstruct_plane(comps: list[dict], c: dict, quant: dict, h: int,
     [0, 4095], then map linearly onto the 8-bit gray domain with
     round-to-nearest (``rint(v*255/4095)`` — a value exactly halfway
     is impossible, the scale is rational with denominator 4095, so
-    the mapping is float-error-stable)."""
+    the mapping is float-error-stable).  ``native=True`` skips that
+    final mapping and returns the clipped [0, 2^prec-1] samples —
+    multi-plane color transforms must run in the native domain
+    (center 2048, not 128) and map to 8-bit ONCE at the end, or the
+    per-plane quantization + the wrong chroma center bias every
+    pixel (for prec=8 the domains coincide and ``native`` is a
+    no-op)."""
     q = quant[c["tq"]].astype(np.int64)
     zz = c["coef"].reshape(-1, 64).astype(np.float64) * q[None, :]
     nat = np.zeros_like(zz)
@@ -516,6 +523,8 @@ def _reconstruct_plane(comps: list[dict], c: dict, quant: dict, h: int,
         return np.clip(plane[:h, :w] + 128.0, 0.0, 255.0)
     maxv = float((1 << prec) - 1)
     deep = np.clip(plane[:h, :w] + float(1 << (prec - 1)), 0.0, maxv)
+    if native:
+        return deep
     return np.rint(deep * (255.0 / maxv))
 
 
@@ -540,27 +549,38 @@ def _reconstruct_cmyk_gray(comps: list[dict], quant: dict, h: int,
     additionally run through the BT.601 YCbCr forward transform — undo
     it with the same coefficients the TIFF YCbCr branch uses, then
     treat the result as inverted CMY.  K is never color-transformed.
+
+    12-bit frames run the whole transform in the NATIVE domain
+    (center 2048, scale 4095) and map to 8-bit gray once at the end —
+    quantizing each plane to 8 bits first would both round twice and
+    mis-center the chroma inverse (2048 maps to ~127.53, not 128).
     """
-    planes = [_reconstruct_plane(comps, c, quant, h, w, prec)
+    planes = [_reconstruct_plane(comps, c, quant, h, w, prec,
+                                 native=True)
               for c in comps]
+    maxv = float((1 << prec) - 1)
+    half = float(1 << (prec - 1))
     if transform == 2:
         if not adobe:
             raise ValueError("YCCK transform without an Adobe APP14")
         y, cb, cr, k = planes
-        r = y + 1.402 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
+        r = y + 1.402 * (cr - half)
+        b = y + 1.772 * (cb - half)
         g = (y - 0.299 * r - 0.114 * b) / 0.587
-        planes = [np.clip(r, 0.0, 255.0), np.clip(g, 0.0, 255.0),
-                  np.clip(b, 0.0, 255.0), k]
+        planes = [np.clip(r, 0.0, maxv), np.clip(g, 0.0, maxv),
+                  np.clip(b, 0.0, maxv), k]
     sc, sm, sy_, sk = planes
     if adobe:
-        # stored = 255 - ink: the planes ARE the (255-ink) factors
-        rgb = [p * sk / 255.0 for p in (sc, sm, sy_)]
+        # stored = maxv - ink: the planes ARE the (maxv-ink) factors
+        rgb = [p * sk / maxv for p in (sc, sm, sy_)]
     else:
-        rgb = [(255.0 - p) * (255.0 - sk) / 255.0
+        rgb = [(maxv - p) * (maxv - sk) / maxv
                for p in (sc, sm, sy_)]
     gray = (rgb[0] + rgb[1] + rgb[2]) / 3.0
-    return np.clip(gray + 0.5, 0, 255).astype(np.uint8)
+    if prec == 8:
+        return np.clip(gray + 0.5, 0, 255).astype(np.uint8)
+    return np.clip(np.rint(gray * (255.0 / maxv)),
+                   0.0, 255.0).astype(np.uint8)
 
 
 def exif_orientation(payload: bytes) -> int:

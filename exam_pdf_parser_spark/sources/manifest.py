@@ -127,7 +127,8 @@ def _commit_manifest(out_dir: str, run_id: str, rows: list[tuple],
     os.rename(tmp, final)
 
 
-def compact_manifest(out_dir: str, _race_hook=None) -> dict:
+def compact_manifest(out_dir: str, _race_hook=None,
+                     _race_hook_read=None) -> dict:
     """Opt-in retention maintenance: rewrite the manifest directory's
     accumulated one-file-per-run commits into a SINGLE parquet file.
     A long-lived pipeline accretes one manifest file per run and the
@@ -151,7 +152,9 @@ def compact_manifest(out_dir: str, _race_hook=None) -> dict:
     table format and use its compaction service (an Iceberg
     rewrite_data_files is the same operation as one atomic snapshot).
     ``_race_hook`` is test-only: called after the rename, before the
-    removals, to plant concurrent-writer races deterministically.
+    removals, to plant concurrent-writer races deterministically
+    (``_race_hook_read`` likewise, after the snapshot listing and
+    before the merge reads).
     Returns ``{files_before, files_after, rows}``.
     """
     import uuid
@@ -171,8 +174,24 @@ def compact_manifest(out_dir: str, _race_hook=None) -> dict:
                 "rows": None}
     import pyarrow as pa
 
-    merged = pa.concat_tables(
-        [pq.read_table(os.path.join(mdir, f)) for f in old])
+    if _race_hook_read is not None:
+        _race_hook_read()
+    # a rival compactor that snapshotted the same list may unlink a
+    # file between our listing and our read; its rows are durable in
+    # the rival's part-compact file (rivals rename BEFORE removing),
+    # so a vanished file is safely skipped, not an error
+    tables = []
+    for f in old:
+        try:
+            tables.append(pq.read_table(os.path.join(mdir, f)))
+        except FileNotFoundError:
+            continue
+    if not tables:
+        remaining = [f for f in os.listdir(mdir)
+                     if f.endswith(".parquet") and not f.startswith(".")]
+        return {"files_before": len(old), "files_after": len(remaining),
+                "rows": None}
+    merged = pa.concat_tables(tables)
     token = uuid.uuid4().hex[:12]
     tmp = os.path.join(mdir, f".tmp-compact-{token}.parquet")
     final = os.path.join(mdir, f"part-compact-{token}.parquet")

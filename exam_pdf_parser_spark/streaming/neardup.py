@@ -156,32 +156,38 @@ _ADMIT_STATE_SCHEMA = "n long"
 def _admit_fn(band_cap: int, state_ttl_ms: int):
     import pandas as pd
 
+    import numpy as np
+
     def admit(key, pdfs, state):
         if state.hasTimedOut:
             state.remove()
             return
         n = state.get[0] if state.exists else 0
-        out: list[dict] = []
         # one group's trigger rows can span multiple chunks of the
         # pdfs iterator — concatenate first, THEN sort once, so the
         # admission order (and which rows land past the cap as
-        # overflow=true) is deterministic regardless of chunking
-        chunks = [pdf for pdf in pdfs if len(pdf)]
+        # overflow=true) is deterministic regardless of chunking.
+        # Keep only the two key columns per chunk (band cols are
+        # group constants) and stay vectorized: a viral band's whole
+        # trigger set lands in this one task, so per-row dict
+        # building would multiply its footprint.
+        chunks = [pdf[["url", "warc_ts"]] for pdf in pdfs if len(pdf)]
+        whole = None
         if chunks:
             whole = (chunks[0] if len(chunks) == 1
                      else pd.concat(chunks, ignore_index=True))
-            whole = whole.sort_values(["warc_ts", "url"])
-            for url, ts in zip(whole["url"], whole["warc_ts"]):
-                n += 1
-                out.append({
-                    "url": url, "warc_ts": ts,
-                    "band_idx": int(key[0]), "band_key": key[1],
-                    "overflow": n > band_cap,
-                })
+            chunks.clear()
+            whole = whole.sort_values(["warc_ts", "url"],
+                                      ignore_index=True)
+            m = len(whole)
+            whole["band_idx"] = int(key[0])
+            whole["band_key"] = key[1]
+            whole["overflow"] = np.arange(n + 1, n + m + 1) > band_cap
+            n += m
         state.update((n,))
         state.setTimeoutDuration(state_ttl_ms)
-        if out:
-            yield pd.DataFrame(out)
+        if whole is not None:
+            yield whole
 
     return admit
 

@@ -17,9 +17,10 @@ from __future__ import annotations
 import hashlib
 import json
 import math
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def canon(rows, cols):
@@ -35,8 +36,12 @@ def canon(rows, cols):
     return sorted(tuple(cell(r[c]) for c in sorted(cols)) for r in rows)
 
 
-def _xcheck(spark, sf_dir: str, queries, only: set[str]) -> list[str]:
-    """Hash-compare every x_* query against the single-node oracle."""
+def _xcheck(spark, sf_dir: str, queries, only: set[str],
+            precomputed: dict | None = None) -> list[str]:
+    """Hash-compare every x_* query against the single-node oracle.
+    ``precomputed`` maps query name → toPandas result already fetched
+    by the main loop (the four DuckDB-promoted x_* queries), so the
+    extraction pipeline isn't executed twice per gate run."""
     import pandas as pd
 
     from exam_pdf_parser_spark.core.oracle_x import X_ORACLES
@@ -75,8 +80,10 @@ def _xcheck(spark, sf_dir: str, queries, only: set[str]) -> list[str]:
 
     failures: list[str] = []
     report: dict[str, dict] = {}
+    precomputed = precomputed or {}
     for name in names:
-        sdf = queries[name](spark, sf_dir).toPandas()
+        sdf = (precomputed[name] if name in precomputed
+               else queries[name](spark, sf_dir).toPandas())
         want = X_ORACLES[name](rows)
         # run the oracle rows through pandas so nullable-int → float64
         # coercion matches Spark's toPandas (both sides canon the same)
@@ -109,9 +116,10 @@ def _xcheck(spark, sf_dir: str, queries, only: set[str]) -> list[str]:
     # clobber the committed sf0.01 evidence.  A PARTIAL run (explicit
     # query names on the command line) never writes the canonical
     # artifact either — it would silently shrink the committed 9/9.
-    import os
     base = os.path.basename(sf_dir.rstrip("/"))
     out = "XCHECK_X.json" if base == "sf0.01" else f"XCHECK_X_{base}.json"
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), out)
     if only and len(names) < len(X_ORACLES):
         out = out.replace(".json", ".partial.json")
     with open(out, "w") as f:
@@ -139,8 +147,8 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = []
     report: dict[str, dict] = {}
-    import os as _os
-    gate_scale = _os.path.basename(sf_dir.rstrip("/")) == "sf0.01"
+    x_results: dict = {}   # x_* toPandas reused by _xcheck below
+    gate_scale = os.path.basename(sf_dir.rstrip("/")) == "sf0.01"
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -152,6 +160,8 @@ def main() -> int:
             # for (sf0.01) — other scales rely on XCHECK alone
             continue
         sdf = fn(spark, sf_dir).toPandas()
+        if name.startswith("x_"):
+            x_results[name] = sdf
         if name not in oracles:
             print(f"{name:28s} rows={len(sdf):6d}  (rows-only, no oracle)")
             report[name] = {"spark_rows": len(sdf), "err": "no_oracle"}
@@ -183,14 +193,16 @@ def main() -> int:
         else:
             entry["hash_match"] = True
             print(f"{name:28s} OK rows={len(a)}")
-    failures.extend(_xcheck(spark, sf_dir, queries, only))
+    failures.extend(_xcheck(spark, sf_dir, queries, only,
+                            precomputed=x_results))
     spark.stop()
     # full-suite artifact per scale (round-4 verdict ask #3: the 41
     # DuckDB-oracled queries get committed evidence at sf0.1, not just
     # the gate's sf0.01 run); partial runs write a .partial file
-    import os
     base = os.path.basename(sf_dir.rstrip("/"))
     out = f"CROSSCHECK_{base}.json"
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), out)
     if only:
         out = out.replace(".json", ".partial.json")
     with open(out, "w") as f:

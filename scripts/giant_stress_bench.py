@@ -51,7 +51,7 @@ class RssMonitor(threading.Thread):
                     cmd = f.read().replace(b"\0", b" ")
                 if b"java" in cmd:          # the driver JVM is capped
                     continue                # by -Xmx; track WORKERS
-                if b"pyspark" not in cmd and b"daemon" not in cmd:
+                if b"pyspark" not in cmd:  # workers run pyspark.daemon / .worker
                     continue
                 with open(f"/proc/{pid}/status") as f:
                     for line in f:

@@ -18,7 +18,8 @@ from __future__ import annotations
 import os
 import sys
 
-sys.path.insert(0, ".")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 
 def main() -> None:
@@ -28,7 +29,7 @@ def main() -> None:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = (sys.argv[2] if len(sys.argv) > 2
-               else "tests/goldens/xoracle_sf0.01")
+               else os.path.join(_REPO, "tests/goldens/xoracle_sf0.01"))
     os.makedirs(out_dir, exist_ok=True)
     tables = build_xoracle_tables(sf_dir)
     for name, rows in tables.items():

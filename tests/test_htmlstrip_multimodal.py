@@ -2323,3 +2323,116 @@ def test_12bit_jpeg_decode():
     blob[sof + 4] = 10
     with pytest.raises(NotImplementedError, match="10-bit"):
         decode_jpeg_gray(bytes(blob))
+
+
+def test_12bit_ycck_jpeg_decode():
+    """The 12-bit x 4-component combination: the YCCK inverse and the
+    ink math must run in the NATIVE 12-bit domain (chroma center 2048,
+    scale 4095) with ONE rint mapping to 8-bit gray at the end.
+    Quantizing each plane to 8 bits first — the pre-fix behavior —
+    both rounds twice and mis-centers the chroma inverse (2048 maps
+    to ~127.53, not 128), a systematic ~±1 gray error.  DC-only
+    blocks over an all-ones quant table keep decoded 12-bit samples
+    exact; expectations are independent scalar formulas."""
+    import struct
+
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.jpeg import decode_jpeg_gray
+
+    dc_counts = [0, 0, 0, 8, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    dc_syms = list(range(16))
+    ac_counts = [0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_syms = [0x00]
+
+    def canonical(counts, syms):
+        table, code, i = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                table[syms[i]] = (code, ln)
+                i += 1
+                code += 1
+            code <<= 1
+        return table
+
+    DC, AC = canonical(dc_counts, dc_syms), canonical(ac_counts, ac_syms)
+
+    class BW:
+        def __init__(self):
+            self.b, self.a, self.n = bytearray(), 0, 0
+
+        def put(self, v, k):
+            for i in range(k - 1, -1, -1):
+                self.a = (self.a << 1) | ((v >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.b.append(self.a)
+                    if self.a == 0xFF:
+                        self.b.append(0)
+                    self.a = self.n = 0
+
+        def flush(self):
+            while self.n:
+                self.put(1, 1)
+            return bytes(self.b)
+
+    def jpeg12x4(mcu_vals, app14_transform):
+        n_mcu = len(mcu_vals)
+        h, w = 8, 8 * n_mcu
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" \
+            + struct.pack(">HHHB", 100, 0, 0, app14_transform)
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+        out += b"\xff\xc1" + struct.pack(">HBHHB", 8 + 12, 12, h, w, 4)
+        for cid in range(1, 5):
+            out += bytes((cid, 0x11, 0))
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 19 + 16, 0x00) + bytes(dc_counts) + bytes(dc_syms)
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 19 + 1, 0x10) + bytes(ac_counts) + bytes(ac_syms)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 8, 4)
+        for cid in range(1, 5):
+            out += bytes((cid, 0x00))
+        out += bytes((0, 63, 0))
+        bw = BW()
+        pred = [0, 0, 0, 0]
+        for vals in mcu_vals:
+            for ci, v in enumerate(vals):
+                dc = (v - 2048) * 8       # q=1, DC-only: exact 12-bit
+                diff = dc - pred[ci]
+                pred[ci] = dc
+                t = abs(diff).bit_length()
+                code, ln = DC[t]
+                bw.put(code, ln)
+                if t:
+                    bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                code, ln = AC[0x00]
+                bw.put(code, ln)
+        return bytes(out + bw.flush() + b"\xff\xd9")
+
+    def expect(vals, transform):          # native-domain scalar twin
+        a, b_, c_, d = (float(v) for v in vals)
+        if transform == 2:
+            r = a + 1.402 * (c_ - 2048.0)
+            bb = a + 1.772 * (b_ - 2048.0)
+            g = (a - 0.299 * r - 0.114 * bb) / 0.587
+            a, b_, c_ = (min(4095.0, max(0.0, x)) for x in (r, g, bb))
+        rgb = [p * d / 4095.0 for p in (a, b_, c_)]  # Adobe inverted
+        return int(np.clip(np.rint(sum(rgb) / 3.0 * 255.0 / 4095.0),
+                           0, 255))
+
+    # identity spot: cb=cr=2048, k=4095 -> gray == rint(y*255/4095)
+    ymcus = [(1800, 2048, 2048, 4095), (2000, 2100, 1900, 3000)]
+    dec = decode_jpeg_gray(jpeg12x4(ymcus, app14_transform=2))
+    assert dec.shape == (8, 16)
+    want = np.repeat([[expect(v, 2) for v in ymcus]], 8, 0)
+    want = np.repeat(want, 8, 1).astype(np.uint8)
+    assert np.array_equal(dec, want)
+    assert dec[0, 0] == 112               # rint(1800*255/4095), hand-checked
+
+    # 12-bit inverted-ink CMYK (transform 0), same stream shape
+    cmcus = [(3276, 1638, 819, 3600), (500, 4000, 2048, 150)]
+    dec2 = decode_jpeg_gray(jpeg12x4(cmcus, app14_transform=0))
+    want2 = np.repeat([[expect(v, 0) for v in cmcus]], 8, 0)
+    want2 = np.repeat(want2, 8, 1).astype(np.uint8)
+    assert np.array_equal(dec2, want2)

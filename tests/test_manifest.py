@@ -371,6 +371,40 @@ def test_concurrent_compactors_both_complete(spark, out_dir):
     assert not [f for f in os.listdir(mdir) if f.startswith(".tmp")]
 
 
+def test_compactor_race_in_merge_read(spark, out_dir):
+    """The OTHER interleaving: a rival compactor runs to completion
+    between our snapshot listing and our merge reads, so every file we
+    listed is already gone.  The reads must skip the vanished files
+    (their rows are durable in the rival's part-compact file), not
+    raise FileNotFoundError out of a successfully-committed run; the
+    done-set is unchanged."""
+    import os
+
+    from exam_pdf_parser_spark.sources.manifest import (
+        _commit_manifest, compact_manifest,
+    )
+
+    docs = corpus_df(spark, N_DOCS, partitions=4)
+    run_extraction(spark, docs, out_dir, "runA", n_buckets=N_BUCKETS)
+    _commit_manifest(out_dir, "runB",
+                     [("runB", 95, "done", 0, 0, 0, 1, 0, 0.0)])
+    done = sorted(completed_buckets(spark, out_dir))
+
+    def rival():
+        # full rival compaction inside our listing→read window:
+        # merges and REMOVES every file in our snapshot
+        compact_manifest(out_dir)
+
+    stats = compact_manifest(out_dir, _race_hook_read=rival)  # no raise
+    assert stats["rows"] is None          # nothing left to read
+    assert sorted(completed_buckets(spark, out_dir)) == done
+    mdir = os.path.join(out_dir, "manifest")
+    visible = [f for f in os.listdir(mdir)
+               if f.endswith(".parquet") and not f.startswith(".")]
+    assert len(visible) == 1              # the rival's compacted file
+    assert not [f for f in os.listdir(mdir) if f.startswith(".tmp")]
+
+
 def test_auto_compaction_trigger(spark, out_dir):
     """run_extraction(compact_after=K) is the retention policy: once
     the manifest directory exceeds K visible files, the run folds them
