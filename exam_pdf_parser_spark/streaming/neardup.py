@@ -156,38 +156,53 @@ _ADMIT_STATE_SCHEMA = "n long"
 def _admit_fn(band_cap: int, state_ttl_ms: int):
     import pandas as pd
 
-    import numpy as np
-
     def admit(key, pdfs, state):
         if state.hasTimedOut:
             state.remove()
             return
         n = state.get[0] if state.exists else 0
-        # one group's trigger rows can span multiple chunks of the
-        # pdfs iterator — concatenate first, THEN sort once, so the
-        # admission order (and which rows land past the cap as
-        # overflow=true) is deterministic regardless of chunking.
-        # Keep only the two key columns per chunk (band cols are
-        # group constants) and stay vectorized: a viral band's whole
-        # trigger set lands in this one task, so per-row dict
-        # building would multiply its footprint.
-        chunks = [pdf[["url", "warc_ts"]] for pdf in pdfs if len(pdf)]
-        whole = None
-        if chunks:
-            whole = (chunks[0] if len(chunks) == 1
-                     else pd.concat(chunks, ignore_index=True))
-            chunks.clear()
-            whole = whole.sort_values(["warc_ts", "url"],
-                                      ignore_index=True)
-            m = len(whole)
-            whole["band_idx"] = int(key[0])
-            whole["band_key"] = key[1]
-            whole["overflow"] = np.arange(n + 1, n + m + 1) > band_cap
-            n += m
+        # Admission is deterministic in CONTENT regardless of how the
+        # group's trigger rows are chunked across the pdfs iterator:
+        # the rows admitted (overflow=false) are exactly the first
+        # ``band_cap - n`` of the whole trigger in (warc_ts, url)
+        # order.  That top-set has at most band_cap rows, so a
+        # bounded running buffer gives O(chunk + band_cap) task
+        # memory even for a viral band whose entire trigger set
+        # lands in this one task: each chunk is merged with the
+        # ≤band_cap-row buffer, rows past the cutoff are certainly
+        # overflow and stream out immediately, and the buffer is
+        # emitted as admitted once the iterator is drained.  (Output
+        # ROW order differs by chunking; the sink is unordered.)
+        remaining = band_cap - n if band_cap > n else 0
+        band_idx = int(key[0])
+
+        def finish(pdf, overflow):
+            out = pdf.copy()
+            out["band_idx"] = band_idx
+            out["band_key"] = key[1]
+            out["overflow"] = overflow
+            return out
+
+        buf = None
+        total = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf[["url", "warc_ts"]]
+            total += len(pdf)
+            comb = (pdf if buf is None or not len(buf)
+                    else pd.concat([buf, pdf], ignore_index=True))
+            comb = comb.sort_values(["warc_ts", "url"],
+                                    ignore_index=True)
+            buf = comb.iloc[:remaining].copy()
+            spill = comb.iloc[remaining:]
+            if len(spill):
+                yield finish(spill, True)
+        n += total
         state.update((n,))
         state.setTimeoutDuration(state_ttl_ms)
-        if whole is not None:
-            yield whole
+        if buf is not None and len(buf):
+            yield finish(buf, False)
 
     return admit
 

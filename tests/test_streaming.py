@@ -426,7 +426,10 @@ def test_admit_fn_deterministic_across_chunkings():
     applyInPandasWithState function as SEVERAL pandas chunks; which
     rows land past band_cap (overflow=true) must not depend on that
     chunking.  Drives _admit_fn directly with every 2-way split of a
-    6-row group and asserts byte-identical admission decisions."""
+    6-row group and asserts identical admission decisions.  Output
+    ROW order is chunking-dependent by design (the bounded-buffer
+    pass spills certain-overflow rows eagerly; the sink is
+    unordered), so frames are compared after a canonical sort."""
     import datetime
 
     import pandas as pd
@@ -458,7 +461,10 @@ def test_admit_fn_deterministic_across_chunkings():
     def run(chunks):
         fn = _admit_fn(band_cap=3, state_ttl_ms=1000)
         out = list(fn((7, "bandkey"), iter(chunks), FakeState()))
-        return pd.concat(out, ignore_index=True) if out else None
+        if not out:
+            return None
+        return pd.concat(out, ignore_index=True).sort_values(
+            "url", ignore_index=True)
 
     whole = run([rows])
     assert list(whole["url"]) == [
