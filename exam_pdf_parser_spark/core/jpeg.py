@@ -11,7 +11,11 @@ once at the end.  Output is (h, w) uint8 grayscale: the luma plane
 for 1/3-component frames (chroma entropy-decoded to keep the
 bitstream in sync, then discarded), the ink-transform gray for
 4-component Adobe CMYK/YCCK frames, and a rint(v*255/4095) mapping
-for 12-bit (SOF precision 12) frames.  Arithmetic-coded and lossless
+for 12-bit (SOF precision 12) frames.  Lossless (SOF3, spec Annex H)
+frames decode too: Huffman-coded predictor differences with all seven
+spatial predictors, point transform, restart-reset prediction, and
+2-16-bit precision — the flavor real crawls hit inside DNG and
+lossless-JPEG-in-TIFF containers.  Arithmetic-coded and hierarchical
 variants raise a clear error.
 
 The encoder writes grayscale JPEG with the JPEG Annex K example
@@ -200,6 +204,7 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
     n = len(payload)
     saw_scan = False
     prec = 8                     # SOF sample precision (8 or 12 bit)
+    lossless = False             # SOF3 (Annex H) predictive frame
     adobe = False                # APP14 "Adobe" seen (inverted-ink CMYK)
     adobe_transform = 0          # 0=CMYK passthrough, 2=YCCK
     while pos + 2 <= n:
@@ -265,10 +270,29 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                 c["th"] = -(-ch // 8)
                 c["coef"] = np.zeros((c["bh"], c["bw"], 64), np.int32)
             comps[0]["mcux"], comps[0]["mcuy"] = mcux, mcuy
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC3:                     # SOF3 lossless (Annex H)
+            lossless = True
+            _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if not 2 <= _prec <= 16:             # spec Annex H range
+                raise ValueError(f"lossless JPEG precision {_prec}")
+            prec = _prec
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                if hv != 0x11:
+                    # DNG / lossless-in-TIFF use 1x1 sampling; an
+                    # interleave-subsampled lossless frame needs the
+                    # Annex H MCU sample geometry we have no real
+                    # corpus vector for — quarantine, don't guess
+                    raise NotImplementedError(
+                        "subsampled lossless JPEG not supported")
+                comps.append({"id": cid, "h": 1, "v": 1, "tq": tq,
+                              "plane": np.zeros((h, w), np.int32)})
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline/progressive Huffman JPEG is supported")
+                "only baseline/progressive/lossless Huffman JPEG "
+                "is supported")
         elif marker == 0xDD:                     # DRI
             restart = struct.unpack(">H", body[:2])[0]
         elif marker == 0xEE and body[:5] == b"Adobe":    # APP14
@@ -296,8 +320,19 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             data_start = pos + 2 + seg_len
             scan_end = _find_scan_end(payload, data_start)
             try:
-                _decode_scan_into(payload, data_start, comps, scan,
-                                  ss, se, ahal >> 4, ahal & 0x0F, restart)
+                if lossless:
+                    # Annex H reuse of the scan header: Ss = predictor
+                    # selector 1-7, Se = 0, Ah = 0, Al = point transform
+                    if not 1 <= ss <= 7 or se != 0 or (ahal >> 4) != 0:
+                        raise ValueError(
+                            "invalid lossless scan header "
+                            f"(Ss={ss} Se={se} AhAl={ahal:#x})")
+                    _decode_lossless_scan(payload, data_start, scan,
+                                          ss, ahal & 0x0F, prec, restart)
+                else:
+                    _decode_scan_into(payload, data_start, comps, scan,
+                                      ss, se, ahal >> 4, ahal & 0x0F,
+                                      restart)
             except _RestartHit:
                 raise ValueError(
                     "restart marker misaligned with DRI") from None
@@ -307,7 +342,10 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
         pos += 2 + seg_len
     if not saw_scan:
         raise ValueError("JPEG contains no scan")
-    if len(comps) == 4:
+    if lossless:
+        out = _reconstruct_lossless_gray(comps, prec, adobe,
+                                         adobe_transform)
+    elif len(comps) == 4:
         out = _reconstruct_cmyk_gray(
             comps, quant, h, w, adobe, adobe_transform, prec)
     else:
@@ -484,6 +522,109 @@ def _refine_ac(br: "_BitReader", ac_table: dict, coef: np.ndarray,
             k += 1
         eobrun -= 1
     return eobrun
+
+
+def _decode_lossless_scan(data: bytes, start: int, scan: list[dict],
+                          predictor: int, pt: int, prec: int,
+                          restart: int) -> None:
+    """Annex H predictive scan: one Huffman-coded difference per
+    sample, reconstructed modulo 65536 against a spatial prediction.
+
+    Geometry: sampling is 1x1 (enforced at SOF3), so an interleaved
+    MCU is exactly one sample per scan component and the MCU raster IS
+    the pixel raster.  Prediction (spec H.1.2 / H.2.2):
+
+      * the first sample of the scan — and of each restart interval,
+        which must be independently decodable — predicts
+        ``2^(P - Pt - 1)``;
+      * the rest of the first line uses Ra (the left neighbor);
+      * the first sample of every other line uses Rb (above);
+      * everywhere else the scan's selected predictor 1-7 applies,
+        with the spec's arithmetic right shifts (Python ``>>`` on
+        negative ints is the same floor shift).
+
+    Values are kept in the point-transformed domain during prediction
+    and shifted left by Pt once at scan end (H.2.3); SSSS category 16
+    encodes diff = 32768 with no extra bits, the one magnitude EXTEND
+    cannot reach.  No clipping here — the gray mapping clips once, so
+    corrupt streams degrade instead of crashing."""
+    br = _BitReader(data, start)
+    h, w = scan[0]["plane"].shape
+    half = 1 << (prec - pt - 1)
+    planes = [c["plane"] for c in scan]
+    tables = [c["dc"] for c in scan]
+    nc = len(scan)
+    fresh = [True] * nc          # next sample takes the default pred
+    mcu = 0
+    for y in range(h):
+        for x in range(w):
+            if restart and mcu and mcu % restart == 0:
+                br.align_restart()
+                fresh = [True] * nc
+            mcu += 1
+            for ci in range(nc):
+                t = br.huff(tables[ci])
+                if t == 16:
+                    diff = 32768
+                elif t:
+                    diff = _extend(br.bits(t), t)
+                else:
+                    diff = 0
+                p = planes[ci]
+                if fresh[ci]:
+                    px = half
+                    fresh[ci] = False
+                elif y == 0:
+                    px = int(p[0, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                elif predictor == 1:
+                    px = int(p[y, x - 1])
+                elif predictor == 2:
+                    px = int(p[y - 1, x])
+                elif predictor == 3:
+                    px = int(p[y - 1, x - 1])
+                else:
+                    ra, rb = int(p[y, x - 1]), int(p[y - 1, x])
+                    rc = int(p[y - 1, x - 1])
+                    if predictor == 4:
+                        px = ra + rb - rc
+                    elif predictor == 5:
+                        px = ra + ((rb - rc) >> 1)
+                    elif predictor == 6:
+                        px = rb + ((ra - rc) >> 1)
+                    else:
+                        px = (ra + rb) >> 1
+                p[y, x] = (px + diff) % 65536
+    if pt:
+        for p in planes:
+            np.left_shift(p, pt, out=p)
+
+
+def _reconstruct_lossless_gray(comps: list[dict], prec: int,
+                               adobe: bool, transform: int) -> np.ndarray:
+    """Lossless sample planes → uint8 gray.  One component maps
+    straight through ``rint(v*255/maxv)`` (identity at prec=8, the
+    12-bit discipline otherwise).  Three components: lossless frames
+    have NO default color transform (Annex H codes components
+    independently), so they are RGB unless an Adobe APP14 declares
+    YCbCr (transform 1, luma plane) — RGB reduces by the same
+    mean-gray convention as the ink path.  2- and 4-component
+    lossless frames are CFA / ink mosaics whose demosaic has no
+    verifiable-in-sandbox vector: fail loud, quarantine upstream."""
+    maxv = float((1 << prec) - 1)
+    planes = [c["plane"].astype(np.float64) for c in comps]
+    if len(planes) == 1:
+        g = planes[0]
+    elif len(planes) == 3:
+        g = (planes[0] if adobe and transform == 1
+             else (planes[0] + planes[1] + planes[2]) / 3.0)
+    else:
+        raise NotImplementedError(
+            f"{len(planes)}-component lossless JPEG (CFA/ink mosaic) "
+            "not supported")
+    return np.clip(np.rint(g * (255.0 / maxv)),
+                   0.0, 255.0).astype(np.uint8)
 
 
 def _reconstruct_plane(comps: list[dict], c: dict, quant: dict, h: int,

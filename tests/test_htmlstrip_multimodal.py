@@ -2436,3 +2436,298 @@ def test_12bit_ycck_jpeg_decode():
     want2 = np.repeat([[expect(v, 0) for v in cmcus]], 8, 0)
     want2 = np.repeat(want2, 8, 1).astype(np.uint8)
     assert np.array_equal(dec2, want2)
+
+
+# --- lossless (SOF3) JPEG ----------------------------------------------------
+def _lossless_dc_table():
+    """Canonical DC table holding categories 0..16 (17 symbols at code
+    length 5; the all-ones code 31 stays unused per K.2)."""
+    counts = [0, 0, 0, 0, 17] + [0] * 11
+    syms = list(range(17))
+    return counts, syms
+
+
+class _LosslessBW:
+    def __init__(self):
+        self.b, self.a, self.n = bytearray(), 0, 0
+
+    def put(self, v, k):
+        for i in range(k - 1, -1, -1):
+            self.a = (self.a << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.b.append(self.a)
+                if self.a == 0xFF:
+                    self.b.append(0)
+                self.a = self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)
+        return bytes(self.b)
+
+    def restart(self, m):
+        # 1-pad to a byte boundary (stuffed if the pad byte is FF),
+        # then the RSTn marker goes into the entropy stream unstuffed
+        while self.n:
+            self.put(1, 1)
+        self.b += bytes((0xFF, 0xD0 + (m & 7)))
+
+
+def _encode_lossless(planes, predictor, pt=0, prec=8, restart=0,
+                     adobe_transform=None, comp_hv=0x11):
+    """Spec-mirror SOF3 encoder: ``planes`` is a list of equal-shape
+    int arrays of POINT-TRANSFORMED samples (decoder output is
+    plane << pt).  Diffs follow H.1.2: default ``2^(P-Pt-1)`` for the
+    scan's (and each restart interval's) first sample per component,
+    Ra across the first line, Rb down the first column, else the
+    selected predictor; differences are encoded modulo 65536 with
+    category 16 = +32768 carrying no extra bits."""
+    import struct
+
+    import numpy as np
+
+    counts, syms = _lossless_dc_table()
+    code_of = {}
+    code, i = 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            code_of[syms[i]] = (code, ln)
+            i += 1
+            code += 1
+        code <<= 1
+    planes = [np.asarray(p, dtype=np.int64) for p in planes]
+    h, w = planes[0].shape
+    nc = len(planes)
+    out = bytearray(b"\xff\xd8")
+    if adobe_transform is not None:
+        out += b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" \
+            + struct.pack(">HHHB", 100, 0, 0, adobe_transform)
+    out += b"\xff\xc4" + struct.pack(">HB", 19 + 17, 0x00) \
+        + bytes(counts) + bytes(syms)
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3 * nc, prec, h, w, nc)
+    for cid in range(1, nc + 1):
+        out += bytes((cid, comp_hv, 0))
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for cid in range(1, nc + 1):
+        out += bytes((cid, 0x00))
+    out += bytes((predictor, 0, pt))
+    bw = _LosslessBW()
+    half = 1 << (prec - pt - 1)
+    fresh = [True] * nc
+    mcu = 0
+    rst = 0
+    for y in range(h):
+        for x in range(w):
+            if restart and mcu and mcu % restart == 0:
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+                fresh = [True] * nc
+            mcu += 1
+            for ci, p in enumerate(planes):
+                if fresh[ci]:
+                    px = half
+                    fresh[ci] = False
+                elif y == 0:
+                    px = int(p[0, x - 1])
+                elif x == 0:
+                    px = int(p[y - 1, 0])
+                elif predictor == 1:
+                    px = int(p[y, x - 1])
+                elif predictor == 2:
+                    px = int(p[y - 1, x])
+                elif predictor == 3:
+                    px = int(p[y - 1, x - 1])
+                else:
+                    ra, rb = int(p[y, x - 1]), int(p[y - 1, x])
+                    rc = int(p[y - 1, x - 1])
+                    px = {4: ra + rb - rc, 5: ra + ((rb - rc) >> 1),
+                          6: rb + ((ra - rc) >> 1),
+                          7: (ra + rb) >> 1}[predictor]
+                d = (int(p[y, x]) - px) % 65536
+                if d == 32768:
+                    c, ln = code_of[16]
+                    bw.put(c, ln)
+                    continue
+                if d > 32768:
+                    d -= 65536
+                t = abs(d).bit_length()
+                c, ln = code_of[t]
+                bw.put(c, ln)
+                if t:
+                    bw.put(d if d >= 0 else d + (1 << t) - 1, t)
+    return bytes(out + bw.flush() + b"\xff\xd9")
+
+
+def test_lossless_jpeg_hand_vectors():
+    """Bit-level hand vectors: the entropy stream is assembled from
+    RAW diff codes (no prediction logic on the encode side), and the
+    expected sample arrays are hand-traced from the Annex H rules —
+    independent of both the decoder and the spec-mirror encoder."""
+    import struct
+
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.jpeg import decode_jpeg_gray
+
+    counts, syms = _lossless_dc_table()
+
+    def headers(h, w, predictor, prec=8, pt=0):
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + 17, 0x00) \
+            + bytes(counts) + bytes(syms)
+        out += b"\xff\xc3" + struct.pack(">HBHHB", 11, prec, h, w, 1)
+        out += bytes((1, 0x11, 0))
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+        out += bytes((1, 0x00))
+        out += bytes((predictor, 0, pt))
+        return out
+
+    def put_diff(bw, d):
+        # category t has 5-bit code == t in this canonical table
+        if d == 32768:
+            bw.put(16, 5)
+            return
+        t = abs(d).bit_length()
+        bw.put(t, 5)
+        if t:
+            bw.put(d if d >= 0 else d + (1 << t) - 1, t)
+
+    # predictor 7 ((Ra+Rb)>>1), 2x3: hand trace —
+    # s00=128+5=133; s01=133-3=130; s02=130 (first line: Ra);
+    # s10=133+10=143 (first column: Rb);
+    # s11=((143+130)>>1)+1=137; s12=((137+130)>>1)-2=131
+    bw = _LosslessBW()
+    for d in (5, -3, 0, 10, 1, -2):
+        put_diff(bw, d)
+    blob = bytes(headers(2, 3, predictor=7) + bw.flush() + b"\xff\xd9")
+    want = np.array([[133, 130, 130], [143, 137, 131]], np.uint8)
+    assert np.array_equal(decode_jpeg_gray(blob), want)
+
+    # predictor 6 (Rb + ((Ra-Rc)>>1)) with a NEGATIVE floor shift:
+    # s00=128; s01=100; s10=50 (Rb); s11 = 100 + ((50-128)>>1)
+    #   = 100 + (-39) = 61  (arithmetic shift, not trunc-toward-zero)
+    bw = _LosslessBW()
+    for d in (0, -28, -78, 0):
+        put_diff(bw, d)
+    blob = bytes(headers(2, 2, predictor=6) + bw.flush() + b"\xff\xd9")
+    want = np.array([[128, 100], [50, 61]], np.uint8)
+    assert np.array_equal(decode_jpeg_gray(blob), want)
+
+    # 16-bit modulo arithmetic + SSSS=16: default pred 2^15=32768,
+    # diff +32768 (no extra bits) wraps to 0; then -1 wraps to 65535.
+    # Gray mapping: 0 -> 0, 65535 -> 255.
+    bw = _LosslessBW()
+    put_diff(bw, 32768)
+    put_diff(bw, -1)
+    blob = bytes(headers(1, 2, predictor=1, prec=16) + bw.flush()
+                 + b"\xff\xd9")
+    want = np.array([[0, 255]], np.uint8)
+    assert np.array_equal(decode_jpeg_gray(blob), want)
+
+    # 12-bit + point transform 2: decoded value is Rx<<2 in a
+    # maxv=4095 domain.  s00 = 2^(12-2-1) + 123 = 635 -> 2540 ->
+    # rint(2540*255/4095) = rint(158.168) = 158 (hand-checked).
+    bw = _LosslessBW()
+    put_diff(bw, 123)
+    blob = bytes(headers(1, 1, predictor=1, prec=12, pt=2) + bw.flush()
+                 + b"\xff\xd9")
+    assert decode_jpeg_gray(blob)[0, 0] == 158
+
+
+def test_lossless_jpeg_roundtrip_all_predictors():
+    """decode(encode(p)) == p for every predictor 1-7 on a grid whose
+    gradients exercise negative (Rb-Rc)/(Ra-Rc) shifts, plus point
+    transform and restart-interval prediction reset.  The scan-start
+    default, first-line/first-column rules, and shift semantics are
+    pinned bit-level by test_lossless_jpeg_hand_vectors; this adds
+    breadth (the encoder mirrors the spec text, not the decoder
+    internals)."""
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.jpeg import decode_jpeg_gray
+
+    rng = np.random.RandomState(7)
+    grid = rng.randint(0, 256, size=(5, 6))
+    grid[2] = [255, 0, 255, 0, 255, 0]       # violent gradients
+    for pred in range(1, 8):
+        dec = decode_jpeg_gray(_encode_lossless([grid], pred))
+        assert np.array_equal(dec, grid.astype(np.uint8)), pred
+
+    # restart every 4 samples resets prediction per interval
+    dec = decode_jpeg_gray(_encode_lossless([grid], 4, restart=4))
+    assert np.array_equal(dec, grid.astype(np.uint8))
+
+    # point transform: decoded plane is p << 2 (maxv still 255)
+    small = (grid // 4).astype(np.int64)
+    dec = decode_jpeg_gray(_encode_lossless([small], 5, pt=2))
+    assert np.array_equal(dec, (small << 2).astype(np.uint8))
+
+    # 12-bit round-trip maps once at the end: rint(v*255/4095)
+    deep = rng.randint(0, 4096, size=(3, 4))
+    dec = decode_jpeg_gray(_encode_lossless([deep], 2, prec=12))
+    want = np.rint(deep * (255.0 / 4095.0)).astype(np.uint8)
+    assert np.array_equal(dec, want)
+
+
+def test_lossless_jpeg_color_and_failures():
+    """3-component lossless frames: RGB (no spec transform) reduces by
+    mean-gray; an Adobe APP14 transform=1 declares YCbCr and the luma
+    plane wins.  CFA/ink mosaics (2/4 comps), subsampled frames, and
+    invalid scan headers fail loud for upstream quarantine."""
+    import numpy as np
+    import pytest
+
+    from exam_pdf_parser_spark.core.jpeg import decode_jpeg_gray
+
+    r = np.full((2, 2), 30)
+    g = np.full((2, 2), 60)
+    b = np.full((2, 2), 90)
+    dec = decode_jpeg_gray(_encode_lossless([r, g, b], 1))
+    assert np.array_equal(dec, np.full((2, 2), 60, np.uint8))
+
+    dec = decode_jpeg_gray(
+        _encode_lossless([r, g, b], 1, adobe_transform=1))
+    assert np.array_equal(dec, np.full((2, 2), 30, np.uint8))
+
+    with pytest.raises(NotImplementedError, match="2-component"):
+        decode_jpeg_gray(_encode_lossless([r, g], 1))
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg_gray(_encode_lossless([r], 1, comp_hv=0x21))
+    with pytest.raises(ValueError, match="lossless scan header"):
+        decode_jpeg_gray(_encode_lossless([r], 1)
+                         .replace(bytes((1, 0, 0)), bytes((0, 0, 0))))
+
+
+def test_lossless_jpeg_in_tiff_strip():
+    """The DNG pattern: a compression-7 TIFF whose strip is a LOSSLESS
+    (SOF3) JPEG stream.  Unlike the DCT path there is no codec loss,
+    so the container decode must reproduce the planted samples
+    pixel-exactly."""
+    import struct
+
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.tiff import decode_tiff_gray
+
+    grid = ((np.arange(16 * 16).reshape(16, 16) * 7) % 256)
+    strip = _encode_lossless([grid], predictor=4)
+
+    entries = [(256, 4, 1, 16), (257, 4, 1, 16), (258, 3, 1, 8),
+               (259, 3, 1, 7), (262, 3, 1, 1),
+               (273, 4, 1, None), (277, 3, 1, 1), (278, 4, 1, 16),
+               (279, 4, 1, len(strip))]
+    ifd = 8
+    data_off = ifd + 2 + 12 * len(entries) + 4
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd)
+                    + struct.pack("<H", len(entries)))
+    for tag, typ, cnt, val in entries:
+        if tag == 273:
+            val = data_off
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)
+    blob = bytes(out + strip)
+
+    assert np.array_equal(decode_tiff_gray(blob), grid.astype(np.uint8))
