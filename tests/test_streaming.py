@@ -479,3 +479,72 @@ def test_admit_fn_deterministic_across_chunkings():
     list(fn((7, "bandkey"), iter([rows.iloc[:4]]), st))
     (trigger2,) = list(fn((7, "bandkey"), iter([rows.iloc[4:]]), st))
     assert list(trigger2["overflow"]) == [True, True]
+
+def test_admit_fn_bounded_buffer_property():
+    """Property pin for the bounded-buffer admission: for ANY trigger
+    multiset, prior state count, cap, and chunking, the decisions must
+    equal the one-line spec — sort the whole trigger by
+    (warc_ts, url); with n rows already admitted, the first
+    max(0, band_cap - n) are admitted, the rest overflow — and the
+    state counter advances by the trigger size.  Rows with identical
+    sort keys are interchangeable, so results compare as sorted
+    (url, warc_ts, overflow) multisets."""
+    import datetime
+
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from exam_pdf_parser_spark.streaming.neardup import _admit_fn
+
+    base = datetime.datetime(2025, 3, 1)
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        rows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 3)),
+                      max_size=12),
+        n0=st.integers(0, 8),
+        cap=st.integers(1, 6),
+        cuts=st.lists(st.integers(0, 12), max_size=4),
+    )
+    def check(rows, n0, cap, cuts):
+        df = pd.DataFrame({
+            "url": [f"https://u{u}.example/d" for u, _ in rows],
+            "warc_ts": [base + datetime.timedelta(seconds=t)
+                        for _, t in rows],
+        })
+
+        class S:
+            hasTimedOut = False
+            exists = True
+            get = (n0,)
+
+            def update(self, v):
+                self.get = v
+
+            def setTimeoutDuration(self, ms):
+                pass
+
+        bounds = sorted(min(c, len(df)) for c in cuts)
+        chunks, prev = [], 0
+        for b in bounds + [len(df)]:
+            chunks.append(df.iloc[prev:b])
+            prev = b
+
+        state = S()
+        fn = _admit_fn(band_cap=cap, state_ttl_ms=1000)
+        out = list(fn((1, "k"), iter(chunks), state))
+        got = sorted(
+            (r.url, r.warc_ts, r.overflow)
+            for o in out for r in o.itertuples())
+
+        spec = df.sort_values(["warc_ts", "url"], ignore_index=True)
+        admit = max(0, cap - n0)
+        want = sorted(
+            (r.url, r.warc_ts, i >= admit)
+            for i, r in enumerate(spec.itertuples()))
+
+        assert got == want
+        assert state.get == (n0 + len(df),)
+
+    check()
