@@ -1,12 +1,14 @@
-"""Minimal MJPEG-in-AVI container codec (stdlib only).
+"""Minimal AVI container codec (stdlib only): MJPEG and rawvideo.
 
-The sandbox has no video libraries, but an AVI carrying Motion-JPEG is
-fully decodable with what the repo already ships: this module walks
-the RIFF container (reference for the layout: the public AVI RIFF
-spec — 'RIFF…AVI ' → LIST hdrl (avih / strl) → LIST movi with
-``00dc``/``00db`` frame chunks, word-aligned) and hands each frame's
-JPEG bytes to ``core/jpeg.py``.  The encoder writes the same shape so
-round-trips are self-contained.
+The sandbox has no video libraries, but an AVI carrying Motion-JPEG or
+uncompressed (BI_RGB 'rawvideo') DIB frames is fully decodable with
+what the repo already ships: this module walks the RIFF container
+(reference for the layout: the public AVI RIFF spec — 'RIFF…AVI ' →
+LIST hdrl (avih / strl) → LIST movi with ``00dc``/``00db`` frame
+chunks, word-aligned), hands MJPEG frames to ``core/jpeg.py``, and
+surfaces the video strf BITMAPINFOHEADER so raw DIB frames can reuse
+``core/bmp.py``.  The encoders write the same shapes so round-trips
+are self-contained.
 
 Deliberately tolerant on decode (real muxers vary): meta comes from
 the first ``avih`` chunk found; frames are any ``..dc``/``..db``
@@ -53,10 +55,12 @@ def decode_avi(payload: bytes) -> tuple[list[bytes], dict]:
     end = min(len(payload), 8 + riff_size)
 
     meta = {"width": None, "height": None, "n_frames": 0,
-            "us_per_frame": None, "handler": None}
+            "us_per_frame": None, "handler": None, "strf": None}
     frames: list[bytes] = []
+    in_vids = False
 
     def walk(start: int, stop: int) -> None:
+        nonlocal in_vids
         for fourcc, body, size in riff_chunks(payload, start, stop):
             if fourcc == b"LIST":
                 list_type = payload[body:body + 4]
@@ -68,8 +72,15 @@ def decode_avi(payload: bytes) -> tuple[list[bytes], dict]:
                 meta.update(width=int(w), height=int(h),
                             n_frames=int(total), us_per_frame=int(uspf))
             elif fourcc == b"strh" and size >= 8:
-                if payload[body:body + 4] == b"vids":
+                in_vids = payload[body:body + 4] == b"vids"
+                if in_vids:
                     meta["handler"] = payload[body + 4:body + 8]
+            elif fourcc == b"strf" and size >= 40 and in_vids:
+                # the video stream format is a BITMAPINFOHEADER (+
+                # palette) — rawvideo (BI_RGB) frames are headerless
+                # pixel arrays whose geometry only lives here
+                meta["strf"] = payload[body:body + size]
+                in_vids = False
             elif fourcc[2:4] in (b"dc", b"db") and size > 0:
                 frames.append(payload[body:body + size])
 
@@ -140,4 +151,52 @@ def encode_avi_mjpeg(jpeg_frames: list[bytes], width: int, height: int,
         b"00dc" + struct.pack("<III", 0x10, off, size)
         for off, size in index)
     body = b"AVI " + hdrl + movi + chunk(b"idx1", idx1)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_avi_raw8(frames: list, fps: int = 10) -> bytes:
+    """Grayscale (h, w) uint8 arrays → an uncompressed (BI_RGB
+    'rawvideo') AVI: 8-bit palettized DIB frames, bottom-up rows
+    padded to 4 bytes, geometry + gray palette in the strf
+    BITMAPINFOHEADER — the legacy capture format old crawls carry."""
+    if not frames:
+        raise ValueError("cannot encode an AVI with zero frames")
+    h, w = frames[0].shape
+    stride = (w + 3) & ~3
+    n = len(frames)
+
+    def dib(a) -> bytes:
+        rows = bytearray()
+        for y in range(h - 1, -1, -1):          # bottom-up
+            rows += bytes(bytearray(a[y].tobytes()).ljust(stride, b"\0"))
+        return bytes(rows)
+
+    raw = [dib(f) for f in frames]
+    frame_size = stride * h
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, frame_size * fps, 0, 0x10, n, 0, 1,
+        frame_size, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack("<I", 0)
+            + struct.pack("<HH", 0, 0)
+            + struct.pack("<8I", 0, 1, fps, 0, n, frame_size,
+                          0xFFFFFFFF, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    palette = b"".join(struct.pack("<BBBB", v, v, v, 0)
+                       for v in range(256))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                       frame_size, 0, 0, 0, 0) + palette
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"movi"
+    for f in raw:
+        movi_body += chunk(b"00db", f)
+    body = b"AVI " + hdrl + chunk(b"LIST", movi_body)
     return b"RIFF" + struct.pack("<I", len(body)) + body

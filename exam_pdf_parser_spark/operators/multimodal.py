@@ -823,17 +823,29 @@ def encode_video_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
 
 
 def decode_video(payload: bytes) -> list[np.ndarray]:
-    """REAL video decode for MJPEG-in-AVI: RIFF walk (``core/avi.py``)
-    hands each ``00dc`` frame chunk to the stdlib JPEG decoder — no
-    video library.  Every other container (mp4/webm/mkv — inter-frame
-    codecs with no stdlib path) stays a fail-loud stub for SAMPLE
-    decode; their header metadata (dims, duration, track kinds) parses
-    via ``parse_meta`` (``core/mp4.py``, ``core/ebml.py``)."""
+    """REAL video decode for AVI: RIFF walk (``core/avi.py``) hands
+    each frame chunk to the stdlib JPEG decoder (MJPEG), or — when the
+    stream format declares BI_RGB 'rawvideo' — wraps the headerless
+    DIB pixel array with its strf BITMAPINFOHEADER as a BMP, reusing
+    the tested 1/4/8/16/24/32-bpp depth matrix.  Every other container
+    (mp4/webm/mkv — inter-frame codecs with no stdlib path) stays a
+    fail-loud stub for SAMPLE decode; their header metadata (dims,
+    duration, track kinds) parses via ``parse_meta`` (``core/mp4.py``,
+    ``core/ebml.py``)."""
     from ..core.avi import decode_avi
     from ..core.gif import GIF_SIGS, decode_gif_frames
 
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-        frames, _ = decode_avi(payload)
+        frames, meta = decode_avi(payload)
+        strf = meta.get("strf")
+        if strf is not None and strf[16:20] == b"\x00\x00\x00\x00":
+            # biCompression == BI_RGB: raw DIB frames.  A BMP file is
+            # exactly BITMAPFILEHEADER + this strf (header+palette) +
+            # the pixel array, so synthesize one per frame.
+            off = 14 + len(strf)
+            return [decode_image(
+                b"BM" + struct.pack("<IHHI", off + len(f), 0, 0, off)
+                + strf + f) for f in frames]
         return [decode_image(f) for f in frames]
     if payload[:6] in GIF_SIGS:
         # animated GIF: canvas-composited frames (transparency and

@@ -2731,3 +2731,71 @@ def test_lossless_jpeg_in_tiff_strip():
     blob = bytes(out + strip)
 
     assert np.array_equal(decode_tiff_gray(blob), grid.astype(np.uint8))
+
+
+def test_rawvideo_avi_decode():
+    """Uncompressed (BI_RGB 'rawvideo') AVI: frames are headerless DIB
+    pixel arrays — bottom-up rows, 4-byte stride — whose geometry
+    lives only in the stream's BITMAPINFOHEADER.  The decoder wraps
+    strf+frame as a BMP per frame, so 8-bit palettized round-trips
+    pixel-exactly and a hand-built 24-bit BGR variant lands on the
+    truecolor channel-mean path."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from exam_pdf_parser_spark.core.avi import decode_avi, encode_avi_raw8
+    from exam_pdf_parser_spark.operators.multimodal import decode_video
+
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, size=(5, 6)).astype(np.uint8)
+              for _ in range(3)]                 # w=6: stride pads to 8
+    blob = encode_avi_raw8(frames)
+    _, meta = decode_avi(blob)
+    assert meta["handler"] == b"DIB "
+    assert meta["strf"] is not None
+    dec = decode_video(blob)
+    assert len(dec) == 3
+    for got, want in zip(dec, frames):
+        assert np.array_equal(got, want)
+
+    # 24-bit BGR rawvideo, container built by hand (no palette):
+    # pixel (b,g,r) reduces by the BMP truecolor channel mean
+    h, w = 2, 3
+    stride = (w * 3 + 3) & ~3                    # 9 -> 12
+    px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    rows = b"".join(
+        px[y].tobytes().ljust(stride, b"\0")
+        for y in range(h - 1, -1, -1))
+
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body \
+            + (b"\0" if len(body) & 1 else b"")
+
+    def lst(t, body):
+        return chunk(b"LIST", t + body)
+
+    avih = struct.pack("<14I", 100_000, 0, 0, 0x10, 1, 0, 1,
+                       stride * h, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"\0\0\0\0" + struct.pack("<I", 0)
+            + struct.pack("<HH", 0, 0)
+            + struct.pack("<8I", 0, 1, 10, 0, 1, stride * h,
+                          0xFFFFFFFF, 0) + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       stride * h, 0, 0, 0, 0)
+    body = (b"AVI "
+            + lst(b"hdrl", chunk(b"avih", avih)
+                  + lst(b"strl", chunk(b"strh", strh)
+                        + chunk(b"strf", strf)))
+            + lst(b"movi", chunk(b"00db", rows)))
+    blob24 = b"RIFF" + struct.pack("<I", len(body)) + body
+    (got,) = decode_video(blob24)
+    want = px.astype(np.float64).mean(axis=2).astype(np.uint8)
+    assert np.array_equal(got, want)
+
+    # a short raw frame is a per-payload decode error (quarantined
+    # upstream), not a silent wrong-shape image
+    bad = blob24.replace(rows, rows[:-8] , 1)
+    with pytest.raises(ValueError):
+        decode_video(bad)
