@@ -271,6 +271,13 @@ def decode_audio_any(payload: bytes) -> tuple[np.ndarray, int]:
         from .flac import decode_flac
 
         return decode_flac(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        # an AVI's interleaved audio track: synthesized into a WAV
+        # (auds strf IS a WAVEFORMATEX) and re-dispatched through the
+        # same matrix
+        from .avi import avi_audio_wav
+
+        return decode_audio_any(avi_audio_wav(payload))
     raise NotImplementedError(
         "only WAV (PCM/µ-law/a-law/IMA-ADPCM), AIFF, AU and FLAC "
         "decode natively; mp3/ogg/aac need perceptual codecs whose "

@@ -55,12 +55,14 @@ def decode_avi(payload: bytes) -> tuple[list[bytes], dict]:
     end = min(len(payload), 8 + riff_size)
 
     meta = {"width": None, "height": None, "n_frames": 0,
-            "us_per_frame": None, "handler": None, "strf": None}
+            "us_per_frame": None, "handler": None, "strf": None,
+            "audio_strf": None, "audio": None}
     frames: list[bytes] = []
-    in_vids = False
+    audio: list[bytes] = []
+    stream = None                    # fccType of the current strl
 
     def walk(start: int, stop: int) -> None:
-        nonlocal in_vids
+        nonlocal stream
         for fourcc, body, size in riff_chunks(payload, start, stop):
             if fourcc == b"LIST":
                 list_type = payload[body:body + 4]
@@ -72,26 +74,55 @@ def decode_avi(payload: bytes) -> tuple[list[bytes], dict]:
                 meta.update(width=int(w), height=int(h),
                             n_frames=int(total), us_per_frame=int(uspf))
             elif fourcc == b"strh" and size >= 8:
-                in_vids = payload[body:body + 4] == b"vids"
-                if in_vids:
+                stream = payload[body:body + 4]
+                if stream == b"vids":
                     meta["handler"] = payload[body + 4:body + 8]
-            elif fourcc == b"strf" and size >= 40 and in_vids:
-                # the video stream format is a BITMAPINFOHEADER (+
-                # palette) — rawvideo (BI_RGB) frames are headerless
-                # pixel arrays whose geometry only lives here
-                meta["strf"] = payload[body:body + size]
-                in_vids = False
+            elif fourcc == b"strf":
+                if stream == b"vids" and size >= 40:
+                    # the video stream format is a BITMAPINFOHEADER
+                    # (+ palette) — rawvideo (BI_RGB) frames are
+                    # headerless pixel arrays whose geometry only
+                    # lives here
+                    meta["strf"] = payload[body:body + size]
+                elif stream == b"auds" and size >= 16:
+                    # WAVEFORMATEX: becomes the fmt chunk of the
+                    # synthesized WAV in avi_audio_wav
+                    meta["audio_strf"] = payload[body:body + size]
+                stream = None
             elif fourcc[2:4] in (b"dc", b"db") and size > 0:
                 frames.append(payload[body:body + size])
+            elif fourcc[2:4] == b"wb" and size > 0:
+                audio.append(payload[body:body + size])
 
     walk(12, end)
     if meta["width"] is None:
         raise ValueError("AVI without avih header")
-    if not frames:
-        raise ValueError("AVI with no video frame chunks")
+    if audio:
+        meta["audio"] = b"".join(audio)
+    if not frames and meta["audio"] is None:
+        raise ValueError("AVI with no video or audio chunks")
     if not meta["n_frames"]:
         meta["n_frames"] = len(frames)
     return frames, meta
+
+
+def avi_audio_wav(payload: bytes) -> bytes:
+    """Extract an AVI's interleaved audio track as a WAV payload: the
+    ``auds`` strf is verbatim a WAVEFORMATEX (= the WAV fmt chunk
+    body), and the ``..wb`` chunk run concatenated in file order is
+    the data chunk — so the existing WAV matrix (PCM, G.711,
+    IMA-ADPCM) decodes it with no new codec."""
+    _, meta = decode_avi(payload)
+    strf, data = meta["audio_strf"], meta["audio"]
+    if strf is None or data is None:
+        raise ValueError("AVI without an audio stream")
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    body = b"WAVE" + chunk(b"fmt ", strf) + chunk(b"data", data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def avi_meta(payload: bytes) -> dict | None:

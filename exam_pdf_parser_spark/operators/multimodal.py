@@ -704,7 +704,9 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     float64 samples in [-1, 1], sample rate).  Supported: WAV with
     PCM 8/16/24/32-bit, G.711 µ-law/a-law, and IMA-ADPCM (the
     RIFF fmt chunk is walked directly — the stdlib ``wave`` module
-    refuses non-PCM); AIFF/AIFF-C; Sun AU (µ-law/a-law/PCM).
+    refuses non-PCM); AIFF/AIFF-C; Sun AU (µ-law/a-law/PCM); FLAC;
+    and an AVI's interleaved audio track (reassembled as a WAV from
+    the auds WAVEFORMATEX + ``..wb`` chunks, then re-dispatched).
     Multi-channel input is averaged to mono.  mp3/ogg/aac need
     perceptual codecs with no stdlib path — they raise loudly."""
     from ..core.audio import decode_audio_any
@@ -837,6 +839,8 @@ def decode_video(payload: bytes) -> list[np.ndarray]:
 
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         frames, meta = decode_avi(payload)
+        if not frames:
+            raise ValueError("AVI with no video frame chunks")
         strf = meta.get("strf")
         if strf is not None and strf[16:20] == b"\x00\x00\x00\x00":
             # biCompression == BI_RGB: raw DIB frames.  A BMP file is

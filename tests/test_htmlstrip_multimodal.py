@@ -2799,3 +2799,85 @@ def test_rawvideo_avi_decode():
     bad = blob24.replace(rows, rows[:-8] , 1)
     with pytest.raises(ValueError):
         decode_video(bad)
+
+
+def test_avi_audio_track_extraction():
+    """An AVI's interleaved ``..wb`` audio chunks + the ``auds``
+    WAVEFORMATEX reassemble into a WAV and decode through the existing
+    PCM matrix: samples concatenate across chunks in file order,
+    video+audio AVIs serve both tracks, and the no-audio /
+    no-video degenerate containers fail loud per track."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from exam_pdf_parser_spark.core.avi import encode_avi_raw8
+    from exam_pdf_parser_spark.operators.multimodal import (
+        decode_audio, decode_video,
+    )
+
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body \
+            + (b"\0" if len(body) & 1 else b"")
+
+    def lst(t, body):
+        return chunk(b"LIST", t + body)
+
+    samples = np.arange(-6000, 6000, 137, dtype=np.int16)
+    pcm = samples.tobytes()
+    cut = (len(pcm) // 4) * 2                    # split on a sample edge
+    wavefmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    a_strh = (b"auds" + b"\0\0\0\0" + struct.pack("<I", 0)
+              + struct.pack("<HH", 0, 0)
+              + struct.pack("<8I", 0, 1, 8000, 0, len(samples), 2,
+                            0xFFFFFFFF, 0) + struct.pack("<4H", 0, 0, 0, 0))
+
+    frame = np.full((2, 4), 90, np.uint8)
+    vid = encode_avi_raw8([frame])
+    # audio-only AVI: video decode fails loud, audio decodes
+    avih = struct.pack("<14I", 100_000, 0, 0, 0x10, 0, 0, 1,
+                       0, 0, 0, 0, 0, 0, 0)
+    body = (b"AVI "
+            + lst(b"hdrl", chunk(b"avih", avih)
+                  + lst(b"strl", chunk(b"strh", a_strh)
+                        + chunk(b"strf", wavefmt)))
+            + lst(b"movi", chunk(b"01wb", pcm[:cut])
+                  + chunk(b"01wb", pcm[cut:])))
+    audio_only = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    x, rate = decode_audio(audio_only)
+    assert rate == 8000
+    assert np.array_equal(x, samples.astype(np.float64) / 32768.0)
+    with pytest.raises(ValueError, match="no video frame"):
+        decode_video(audio_only)
+
+    # video+audio AVI: two strl lists in one hdrl, interleaved movi
+    v_strh = (b"vids" + b"DIB " + struct.pack("<I", 0)
+              + struct.pack("<HH", 0, 0)
+              + struct.pack("<8I", 0, 1, 10, 0, 1, 8, 0xFFFFFFFF, 0)
+              + struct.pack("<4H", 0, 0, 4, 2))
+    palette = b"".join(struct.pack("<BBBB", v, v, v, 0)
+                       for v in range(256))
+    v_strf = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 0,
+                         8, 0, 0, 0, 0) + palette
+    dib = frame[1].tobytes() + frame[0].tobytes()     # bottom-up, w=4
+    both_body = (b"AVI "
+                 + lst(b"hdrl", chunk(b"avih", avih)
+                       + lst(b"strl", chunk(b"strh", v_strh)
+                             + chunk(b"strf", v_strf))
+                       + lst(b"strl", chunk(b"strh", a_strh)
+                             + chunk(b"strf", wavefmt)))
+                 + lst(b"movi", chunk(b"00db", dib)
+                       + chunk(b"01wb", pcm[:cut])
+                       + chunk(b"01wb", pcm[cut:])))
+    both = b"RIFF" + struct.pack("<I", len(both_body)) + both_body
+    x2, rate2 = decode_audio(both)
+    assert rate2 == 8000
+    assert np.array_equal(x2, x)
+    (f0,) = decode_video(both)
+    assert np.array_equal(f0, frame)
+
+    # video-only AVI has no audio stream
+    with pytest.raises(ValueError, match="audio stream"):
+        decode_audio(vid)
