@@ -278,6 +278,8 @@ def decode_audio_any(payload: bytes) -> tuple[np.ndarray, int]:
         from .avi import avi_audio_wav
 
         return decode_audio_any(avi_audio_wav(payload))
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return _decode_bmff_audio(payload)
     raise NotImplementedError(
         "only WAV (PCM/µ-law/a-law/IMA-ADPCM), AIFF, AU and FLAC "
         "decode natively; mp3/ogg/aac need perceptual codecs whose "
@@ -374,3 +376,42 @@ def encode_au(samples: np.ndarray, rate: int, codec: str = "ulaw") -> bytes:
         raise ValueError(codec)
     return (b".snd" + struct.pack(">5I", 24, len(data), enc, rate, 1)
             + data)
+
+
+def _decode_bmff_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM-family audio tracks in ISO BMFF (MP4/MOV/M4A): the stbl
+    sample table (``core/mp4.py``) yields raw PCM runs in file order;
+    codecs 'sowt' (LE s16), 'twos' (BE signed 8/16), 'raw ' (unsigned
+    8-bit) and G.711 'ulaw'/'alaw' decode with the WAV machinery.
+    Perceptual codecs (AAC) raise — no stdlib path."""
+    from .mp4 import mp4_tracks
+
+    tracks = [t for t in mp4_tracks(payload) if t["kind"] == "soun"]
+    if not tracks:
+        raise ValueError("BMFF without an audio track")
+    t = tracks[0]
+    raw = b"".join(payload[o:o + s] for o, s in t["samples"])
+    codec = t["codec"]
+    nch = max(1, t["channels"] or 1)
+    rate = t["rate"]
+    bits = t["sample_bits"] or 16
+    if not rate:
+        raise ValueError("BMFF audio track without a sample rate")
+    if codec == "sowt":
+        x = _pcm_to_float(raw, 16, little=True)
+    elif codec == "twos":
+        # big-endian SIGNED at either depth (8-bit 'twos' is signed,
+        # unlike WAV's unsigned 8-bit convention)
+        x = (np.frombuffer(raw, np.int8).astype(np.float64) / 128.0
+             if bits == 8 else _pcm_to_float(raw, bits, little=False))
+    elif codec == "raw ":
+        x = _pcm_to_float(raw, 8)
+    elif codec == "ulaw":
+        x = _pcm_to_float(audioop.ulaw2lin(raw, 2), 16)
+    elif codec == "alaw":
+        x = _pcm_to_float(audioop.alaw2lin(raw, 2), 16)
+    else:
+        raise NotImplementedError(
+            f"BMFF audio codec {codec!r} is a perceptual codec with "
+            "no stdlib path — fail-loud by design")
+    return _to_mono(x, nch), rate

@@ -1,13 +1,18 @@
-"""ISO BMFF (MP4/MOV/3GP/M4A) header metadata — stdlib-only box walk.
+"""ISO BMFF (MP4/MOV/3GP/M4A) metadata and sample tables — stdlib-only
+box walk.
 
-No sample decode: BMFF video payloads need inter-frame codecs
-(H.264/HEVC/AV1) with no stdlib implementation, so pixel decode stays
-fail-loud in ``operators.multimodal.decode_video``.  This module closes
-the METADATA half the way the WebP/MP3/Ogg headers were closed —
-dimensions from ``trak/tkhd``, duration from ``moov/mvhd``, per-track
-handler kinds from ``trak/mdia/hdlr`` — against the published ISO
-14496-12 box layout (public spec; no reference-repo counterpart
-exists: /root/reference contains no media parsing at all).
+Metadata (``mp4_meta``): dimensions from ``trak/tkhd``, duration from
+``moov/mvhd``, per-track handler kinds from ``trak/mdia/hdlr`` —
+against the published ISO 14496-12 box layout (public spec; no
+reference-repo counterpart exists: /root/reference contains no media
+parsing at all).
+
+Sample extraction (``mp4_tracks``): the stbl tables are pure container
+math, so INTRA-frame tracks decode with codecs the repo already ships
+— MJPEG ('jpeg') video via ``core/jpeg.py`` and PCM-family audio
+('sowt'/'twos'/'raw '/'ulaw'/'alaw') via ``core/audio.py``.
+Inter-frame video (H.264/HEVC/AV1) and perceptual audio (AAC) have no
+stdlib implementation and stay fail-loud at the dispatch sites.
 
 Robustness contract (shared with core/{tiff,bmp,audio}.py): a
 non-BMFF payload returns None; a BMFF payload that is truncated or
@@ -115,3 +120,118 @@ def mp4_meta(payload: bytes) -> dict | None:
     else:
         out["kind"] = "video"       # BMFF default presentation
     return out
+
+
+def mp4_tracks(payload: bytes) -> list[dict]:
+    """Per-track sample tables from the ISO 14496-12 stbl boxes —
+    pure container math (stsd codec entry, stsz sizes, stsc
+    sample-to-chunk map, stco/co64 chunk offsets), no codec.  This is
+    what makes intra-frame tracks (MJPEG video, PCM-family audio)
+    decodable with the codecs the repo already ships, while
+    inter-frame codecs stay fail-loud at the dispatch site.
+
+    Returns ``[{kind, codec, channels, sample_bits, rate, samples:
+    [(abs_offset, size), ...]}, ...]`` — audio fields are None for
+    video tracks.  Unlike ``mp4_meta`` (a never-raise probe), this is
+    a decode path: malformed or inconsistent tables raise
+    ``ValueError`` for upstream quarantine."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF payload")
+
+    def find(start, end, fourcc):
+        for f, s, e in _boxes(payload, start, end):
+            if f == fourcc:
+                return s, e
+        return None
+
+    def u16(p):
+        return int.from_bytes(payload[p:p + 2], "big")
+
+    def u32(p):
+        return int.from_bytes(payload[p:p + 4], "big")
+
+    moov = find(0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("BMFF without moov (init segment?)")
+    tracks: list[dict] = []
+    for f2, s2, e2 in _boxes(payload, *moov):
+        if f2 != b"trak":
+            continue
+        mdia = find(s2, e2, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = find(*mdia, b"hdlr")
+        kind = (payload[hdlr[0] + 8:hdlr[0] + 12].decode("latin-1")
+                if hdlr else "")
+        minf = find(*mdia, b"minf")
+        stbl = find(*minf, b"stbl") if minf else None
+        if stbl is None:
+            continue
+        stsd = find(*stbl, b"stsd")
+        stsz = find(*stbl, b"stsz")
+        stsc = find(*stbl, b"stsc")
+        stco = find(*stbl, b"stco") or find(*stbl, b"co64")
+        if not (stsd and stsz and stsc and stco):
+            raise ValueError("stbl missing a sample table box")
+        # stsd first entry: codec fourcc (+ audio params for soun)
+        p = stsd[0]
+        if u32(p + 4) < 1 or stsd[1] - p < 16:
+            raise ValueError("empty stsd")
+        entry = p + 8
+        codec = payload[entry + 4:entry + 8].decode("latin-1")
+        channels = bits = rate = None
+        if kind == "soun" and stsd[1] - entry >= 36:
+            channels = u16(entry + 24)
+            bits = u16(entry + 26)
+            rate = u32(entry + 32) >> 16      # 16.16 fixed
+        # stsz: uniform size or per-sample table
+        p = stsz[0]
+        uniform, n = u32(p + 4), u32(p + 8)
+        if uniform:
+            sizes = [uniform] * n
+        else:
+            if stsz[1] - p - 12 < 4 * n:
+                raise ValueError("truncated stsz")
+            sizes = [u32(p + 12 + 4 * i) for i in range(n)]
+        # stco/co64 chunk offsets (absolute into the file)
+        p = stco[0]
+        wide = payload[stco[0] - 8:stco[0] - 4] == b"co64"
+        n_chunks = u32(p + 4)
+        step = 8 if wide else 4
+        if stco[1] - p - 8 < step * n_chunks:
+            raise ValueError("truncated chunk offset table")
+        offs = [int.from_bytes(payload[p + 8 + step * i:
+                                       p + 8 + step * (i + 1)], "big")
+                for i in range(n_chunks)]
+        # stsc rules: (first_chunk, samples_per_chunk) runs
+        p = stsc[0]
+        n_rules = u32(p + 4)
+        if stsc[1] - p - 8 < 12 * n_rules:
+            raise ValueError("truncated stsc")
+        rules = [(u32(p + 8 + 12 * i), u32(p + 12 + 12 * i))
+                 for i in range(n_rules)]
+        samples: list[tuple[int, int]] = []
+        k = 0
+        for ci in range(1, n_chunks + 1):
+            spc = 0
+            for first, cnt in rules:
+                if first <= ci:
+                    spc = cnt
+                else:
+                    break
+            off = offs[ci - 1]
+            for _ in range(spc):
+                if k >= n:
+                    break
+                if off + sizes[k] > len(payload):
+                    raise ValueError("sample range outside the payload")
+                samples.append((off, sizes[k]))
+                off += sizes[k]
+                k += 1
+        if k != n:
+            raise ValueError(
+                f"sample table inconsistent: {k} of {n} samples mapped")
+        tracks.append({"kind": kind, "codec": codec,
+                       "channels": channels, "sample_bits": bits,
+                       "rate": rate, "samples": samples})
+    return tracks

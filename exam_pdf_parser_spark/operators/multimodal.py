@@ -855,10 +855,25 @@ def decode_video(payload: bytes) -> list[np.ndarray]:
         # animated GIF: canvas-composited frames (transparency and
         # disposal honored) — a single-frame GIF yields one frame
         return decode_gif_frames(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        from ..core.mp4 import mp4_tracks
+
+        vids = [t for t in mp4_tracks(payload) if t["kind"] == "vide"]
+        mj = next((t for t in vids if t["codec"] == "jpeg"), None)
+        if mj is not None:
+            # MJPEG-in-BMFF: every stbl sample is a whole JPEG stream
+            return [decode_image(payload[o:o + s])
+                    for o, s in mj["samples"]]
+        codecs = sorted({t["codec"] for t in vids})
+        raise NotImplementedError(
+            f"BMFF video codec(s) {codecs or ['<none>']} are "
+            "inter-frame codecs with no stdlib path; only MJPEG "
+            "('jpeg') sample tracks decode — fail-loud by design")
     raise NotImplementedError(
-        "only MJPEG-in-AVI and animated GIF decode natively "
-        "(core/{avi,gif,jpeg}.py); mp4/webm/mkv need real inter-frame "
-        "codecs absent from this environment — fail-loud by design")
+        "only MJPEG/rawvideo-in-AVI, MJPEG-in-BMFF and animated GIF "
+        "decode natively (core/{avi,mp4,gif,jpeg}.py); other "
+        "containers need real inter-frame codecs absent from this "
+        "environment — fail-loud by design")
 
 
 VIDEO_FRAME_FEATURE_SCHEMA = StructType([

@@ -524,9 +524,13 @@ def test_mjpeg_avi_round_trip():
         assert float(np.mean(np.abs(
             d.astype(float) - f.astype(float)))) < 4.0
 
-    # non-AVI containers remain loud stubs (no silent wrong output)
-    with pytest.raises(NotImplementedError):
+    # a moov-less BMFF shell is structurally incomplete (ValueError,
+    # quarantined upstream) now that intra-frame BMFF tracks decode;
+    # non-BMFF unknown containers remain loud NotImplementedError stubs
+    with pytest.raises(ValueError):
         decode_video(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x1aE\xdf\xa3" + b"\x00" * 64)   # EBML/webm
     # structurally broken AVI raises ValueError (quarantined upstream)
     with pytest.raises(ValueError):
         decode_video(b"RIFF\x10\x00\x00\x00AVI " + b"\x00" * 16)
@@ -2881,3 +2885,95 @@ def test_avi_audio_track_extraction():
     # video-only AVI has no audio stream
     with pytest.raises(ValueError, match="audio stream"):
         decode_audio(vid)
+
+
+def test_mp4_intra_frame_sample_decode():
+    """ISO BMFF sample extraction is pure container math: a hand-built
+    MP4 with an MJPEG ('jpeg') video track (one chunk, two samples —
+    within-chunk offsets advance by sample size) and a 'twos' BE-PCM
+    audio track split across two chunks with different
+    samples-per-chunk rules decodes with the codecs the repo already
+    ships.  Inter-frame codecs and inconsistent tables fail loud."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from exam_pdf_parser_spark.core.jpeg import (
+        decode_jpeg_gray, encode_jpeg_gray,
+    )
+    from exam_pdf_parser_spark.operators.multimodal import (
+        decode_audio, decode_video,
+    )
+
+    def box(fourcc, body):
+        return struct.pack(">I", len(body) + 8) + fourcc + body
+
+    def u32(v):
+        return struct.pack(">I", v)
+
+    def u16(v):
+        return struct.pack(">H", v)
+
+    rng = np.random.RandomState(5)
+    imgs = [rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+            for _ in range(2)]
+    j = [encode_jpeg_gray(im) for im in imgs]
+    samples = np.arange(-500, 500, 100, dtype=">i2")      # 10 BE samples
+    pcm = samples.tobytes()
+
+    ftyp = box(b"ftyp", b"isom" + u32(0) + b"isom")
+    off_j1 = len(ftyp) + 8
+    off_j2 = off_j1 + len(j[0])
+    off_pcm = off_j2 + len(j[1])
+    mdat = box(b"mdat", j[0] + j[1] + pcm)
+
+    def hdlr(kind):
+        return box(b"hdlr", u32(0) + b"\0\0\0\0" + kind + b"\0" * 12)
+
+    def trak(kind, stbl_boxes):
+        return box(b"trak", box(b"mdia", hdlr(kind) + box(
+            b"minf", box(b"stbl", b"".join(stbl_boxes)))))
+
+    v_entry = u32(86) + b"jpeg" + b"\0" * 78
+    vtrak = trak(b"vide", [
+        box(b"stsd", u32(0) + u32(1) + v_entry),
+        box(b"stsz", u32(0) + u32(0) + u32(2)
+            + u32(len(j[0])) + u32(len(j[1]))),
+        box(b"stsc", u32(0) + u32(1) + u32(1) + u32(2) + u32(1)),
+        box(b"stco", u32(0) + u32(1) + u32(off_j1)),
+    ])
+    a_entry = (u32(36) + b"twos" + b"\0" * 6 + u16(1)
+               + u16(0) + u16(0) + u32(0)
+               + u16(1) + u16(16) + u16(0) + u16(0)
+               + u32(8000 << 16))
+    atrak = trak(b"soun", [
+        box(b"stsd", u32(0) + u32(1) + a_entry),
+        box(b"stsz", u32(0) + u32(2) + u32(10)),     # uniform 2 bytes
+        box(b"stsc", u32(0) + u32(2)
+            + u32(1) + u32(6) + u32(1)               # chunk 1: 6
+            + u32(2) + u32(4) + u32(1)),             # chunk 2: 4
+        box(b"stco", u32(0) + u32(2)
+            + u32(off_pcm) + u32(off_pcm + 12)),
+    ])
+    blob = ftyp + mdat + box(b"moov", vtrak + atrak)
+
+    frames = decode_video(blob)
+    assert len(frames) == 2
+    for got, src in zip(frames, j):
+        assert np.array_equal(got, decode_jpeg_gray(src))
+
+    x, rate = decode_audio(blob)
+    assert rate == 8000
+    assert np.array_equal(
+        x, samples.astype(np.float64) / 32768.0)
+
+    # inter-frame codec: fail loud naming the codec
+    avc = blob.replace(b"jpeg" + b"\0" * 10, b"avc1" + b"\0" * 10)
+    with pytest.raises(NotImplementedError, match="avc1"):
+        decode_video(avc)
+
+    # inconsistent table: stsz says 11 samples, chunks map only 10
+    bad = blob.replace(u32(2) + u32(10), u32(2) + u32(11))
+    with pytest.raises(ValueError, match="inconsistent"):
+        decode_audio(bad)
