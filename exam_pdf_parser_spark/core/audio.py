@@ -280,6 +280,8 @@ def decode_audio_any(payload: bytes) -> tuple[np.ndarray, int]:
         return decode_audio_any(avi_audio_wav(payload))
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return _decode_bmff_audio(payload)
+    if payload[:4] == b"\x1aE\xdf\xa3":
+        return _decode_ebml_audio(payload)
     raise NotImplementedError(
         "only WAV (PCM/µ-law/a-law/IMA-ADPCM), AIFF, AU and FLAC "
         "decode natively; mp3/ogg/aac need perceptual codecs whose "
@@ -414,4 +416,54 @@ def _decode_bmff_audio(payload: bytes) -> tuple[np.ndarray, int]:
         raise NotImplementedError(
             f"BMFF audio codec {codec!r} is a perceptual codec with "
             "no stdlib path — fail-loud by design")
+    return _to_mono(x, nch), rate
+
+
+def _decode_ebml_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM-family audio tracks in Matroska/WebM: the Cluster frame
+    table (``core/ebml.py mkv_tracks``) yields raw runs in stream
+    order; ``A_PCM/INT/LIT`` (LE signed, 8-bit unsigned per WAV
+    convention), ``A_PCM/INT/BIG`` (BE signed incl. signed 8-bit, the
+    AIFF convention), ``A_PCM/FLOAT/IEEE`` (LE f32/f64) decode
+    directly, and ``A_MS/ACM`` re-dispatches through the WAV matrix
+    (CodecPrivate IS a WAVEFORMATEX — same move as ``avi_audio_wav``).
+    Perceptual codecs (A_VORBIS/A_OPUS/A_AAC) raise — no stdlib
+    path."""
+    from .ebml import mkv_tracks
+
+    tracks = [t for t in mkv_tracks(payload) if t["kind"] == "audio"]
+    if not tracks:
+        raise ValueError("EBML without an audio track")
+    t = tracks[0]
+    raw = b"".join(payload[o:o + s] for o, s in t["frames"])
+    codec = t["codec_id"]
+    nch = max(1, t["channels"] or 1)
+    rate = int(round(t["rate"] or 0))
+    bits = t["bit_depth"] or 16
+    if codec == "A_MS/ACM":
+        if len(t["codec_private"]) < 16:
+            raise ValueError("A_MS/ACM without a WAVEFORMATEX")
+
+        def chunk(fourcc: bytes, body: bytes) -> bytes:
+            pad = b"\x00" if len(body) & 1 else b""
+            return fourcc + struct.pack("<I", len(body)) + body + pad
+
+        body = (b"WAVE" + chunk(b"fmt ", t["codec_private"])
+                + chunk(b"data", raw))
+        return decode_audio_any(
+            b"RIFF" + struct.pack("<I", len(body)) + body)
+    if not rate:
+        raise ValueError("EBML audio track without a sample rate")
+    if codec == "A_PCM/INT/LIT":
+        x = _pcm_to_float(raw, bits, little=True)
+    elif codec == "A_PCM/INT/BIG":
+        x = (np.frombuffer(raw, np.int8).astype(np.float64) / 128.0
+             if bits == 8 else _pcm_to_float(raw, bits, little=False))
+    elif codec == "A_PCM/FLOAT/IEEE" and bits in (32, 64):
+        x = np.frombuffer(raw, "<f4" if bits == 32 else "<f8") \
+            .astype(np.float64)
+    else:
+        raise NotImplementedError(
+            f"Matroska audio codec {codec!r} is a perceptual codec "
+            "with no stdlib path — fail-loud by design")
     return _to_mono(x, nch), rate

@@ -1,17 +1,27 @@
-"""EBML (Matroska/WebM) header metadata — stdlib-only element walk.
+"""EBML (Matroska/WebM) metadata and frame tables — stdlib-only
+element walk.
 
-No sample decode: mkv/webm payloads carry inter-frame codecs (VP8/VP9/
-AV1/H.264) with no stdlib implementation, so pixel decode stays
-fail-loud in ``operators.multimodal.decode_video``.  This module
-closes the METADATA half: DocType from the EBML header, duration from
+Metadata (``ebml_meta``): DocType from the EBML header, duration from
 ``Segment/Info`` (TimestampScale × Duration), dimensions and track
 kinds from ``Segment/Tracks/TrackEntry`` — against the published
 Matroska element registry (public spec; no reference-repo counterpart
 exists).
 
-Robustness contract: a non-EBML payload returns None; a truncated or
-malformed EBML stream never raises — the walk clamps to the buffer and
-reports whatever was parsed.
+Frame extraction (``mkv_tracks``): the Cluster/Block walk (track
+vint, lacing modes none/Xiph/fixed/EBML) is pure container math, so
+INTRA-frame tracks decode with codecs the repo already ships — MJPEG
+(``V_MS/VFW/FOURCC`` with an 'MJPG' BITMAPINFOHEADER, or ``V_MJPEG``)
+via ``core/jpeg.py`` and PCM-family audio (``A_PCM/INT/{LIT,BIG}``,
+``A_PCM/FLOAT/IEEE``, ``A_MS/ACM`` PCM/G.711) via ``core/audio.py``.
+Inter-frame video (VP8/VP9/AV1/H.264) and perceptual audio
+(A_VORBIS/A_OPUS/A_AAC) have no stdlib implementation and stay
+fail-loud at the dispatch sites.
+
+Robustness contract: for ``ebml_meta`` a non-EBML payload returns
+None and a truncated or malformed stream never raises — the walk
+clamps to the buffer and reports whatever was parsed.  ``mkv_tracks``
+is a decode path: malformed block/lacing structure raises
+``ValueError`` for upstream quarantine.
 """
 
 from __future__ import annotations
@@ -37,6 +47,18 @@ _PIXEL_HEIGHT = 0xBA
 
 _TRACK_TYPE_VIDEO = 1
 _TRACK_TYPE_AUDIO = 2
+
+# frame-table elements (mkv_tracks)
+_TRACK_NUMBER = 0xD7
+_CODEC_ID = 0x86
+_CODEC_PRIVATE = 0x63A2
+_SAMPLING_FREQ = 0xB5
+_CHANNELS = 0x9F
+_BIT_DEPTH = 0x6264
+_CLUSTER = 0x1F43B675
+_SIMPLE_BLOCK = 0xA3
+_BLOCK_GROUP = 0xA0
+_BLOCK = 0xA1
 
 
 def _vint(buf: bytes, pos: int, keep_marker: bool):
@@ -79,6 +101,25 @@ def _elements(buf: bytes, pos: int, end: int):
 
 def _uint(buf: bytes, s: int, e: int) -> int:
     return int.from_bytes(buf[s:e], "big")
+
+
+def _lace_vint(buf: bytes, pos: int, end: int):
+    """Marker-cleared vint WITHOUT the all-ones→unknown-size mapping
+    (track numbers and lace sizes have no streaming semantics; the
+    all-ones pattern is an ordinary value there).  Returns
+    ``(value, length, next_pos)``; raises on truncation."""
+    if pos >= end or buf[pos] == 0:
+        raise ValueError("truncated vint in Block")
+    b0, length = buf[pos], 1
+    mask = 0x80
+    while not (b0 & mask):
+        mask >>= 1
+        length += 1
+    if pos + length > end:
+        raise ValueError("truncated vint in Block")
+    val = int.from_bytes(buf[pos:pos + length], "big") \
+        & ((1 << (7 * length)) - 1)
+    return val, length, pos + length
 
 
 def ebml_meta(payload: bytes) -> dict | None:
@@ -142,3 +183,142 @@ def ebml_meta(payload: bytes) -> dict | None:
     else:
         out["kind"] = "video"       # Matroska default presentation
     return out
+
+
+def _block_frames(buf: bytes, s: int, e: int) -> tuple[int, list]:
+    """Parse one (Simple)Block body: returns ``(track_number,
+    [(abs_offset, size), ...])`` honoring all four lacing modes
+    (none / Xiph / fixed-size / EBML).  Malformed structure raises
+    ``ValueError``."""
+    track, _, p = _lace_vint(buf, s, e)
+    if track <= 0 or p + 3 > e:
+        raise ValueError("truncated Block header")
+    p += 3                          # 2-byte rel. timestamp + flags
+    lacing = (buf[p - 1] >> 1) & 0x3
+    if lacing == 0:                 # no lacing: one frame to body end
+        return track, [(p, e - p)]
+    if p >= e:
+        raise ValueError("laced Block without a frame count")
+    n = buf[p] + 1
+    p += 1
+    sizes: list[int] = []
+    if lacing == 2:                 # fixed-size
+        total = e - p
+        if n == 0 or total % n:
+            raise ValueError("fixed lacing does not divide the body")
+        sizes = [total // n] * n
+    elif lacing == 1:               # Xiph: 255-run + terminator each
+        for _ in range(n - 1):
+            sz = 0
+            while True:
+                if p >= e:
+                    raise ValueError("truncated Xiph lace sizes")
+                sz += buf[p]
+                stop = buf[p] < 255
+                p += 1
+                if stop:
+                    break
+            sizes.append(sz)
+        sizes.append(e - p - sum(sizes))
+    elif n == 1:                    # EBML lacing, single frame: no
+        sizes.append(e - p)         # size fields at all
+    else:                           # EBML: first unsigned, then deltas
+        first, _, p = _lace_vint(buf, p, e)
+        sizes.append(first)
+        for _ in range(n - 2):
+            raw, length, p = _lace_vint(buf, p, e)
+            # signed vint: stored value minus (2^(7*len-1) - 1)
+            sizes.append(sizes[-1] + raw - ((1 << (7 * length - 1)) - 1))
+        sizes.append(e - p - sum(sizes))
+    frames = []
+    for sz in sizes:
+        if sz < 0 or p + sz > e:
+            raise ValueError("lace sizes exceed the Block body")
+        frames.append((p, sz))
+        p += sz
+    return track, frames
+
+
+def mkv_tracks(payload: bytes) -> list[dict]:
+    """Per-track frame tables from the Matroska/WebM Cluster walk —
+    pure container math (TrackEntry codec identity, SimpleBlock/Block
+    frame extents under all four lacing modes), no codec.  This is
+    what makes intra-frame tracks (MJPEG video, PCM-family audio)
+    decodable with the codecs the repo already ships, while
+    inter-frame codecs stay fail-loud at the dispatch site.
+
+    Returns ``[{kind ('video'/'audio'/''), codec_id, codec_private,
+    channels, rate, bit_depth, frames: [(abs_offset, size), ...]},
+    ...]`` — audio fields are None for video tracks, frames are in
+    stream order.  Unlike ``ebml_meta`` (a never-raise probe), this is
+    a decode path: malformed tables raise ``ValueError`` for upstream
+    quarantine."""
+    if payload[:4] != _EBML_MAGIC:
+        raise ValueError("not an EBML payload")
+    tracks: dict[int, dict] = {}
+    blocks: list[tuple[int, int]] = []
+    saw_tracks = False
+    for eid, s, e in _elements(payload, 0, len(payload)):
+        if eid != _SEGMENT:
+            continue
+        for eid2, s2, e2 in _elements(payload, s, e):
+            if eid2 == _TRACKS:
+                saw_tracks = True
+                for eid3, s3, e3 in _elements(payload, s2, e2):
+                    if eid3 != _TRACK_ENTRY:
+                        continue
+                    t = {"kind": "", "codec_id": "",
+                         "codec_private": b"", "channels": None,
+                         "rate": None, "bit_depth": None, "frames": []}
+                    num = None
+                    for eid4, s4, e4 in _elements(payload, s3, e3):
+                        if eid4 == _TRACK_NUMBER:
+                            num = _uint(payload, s4, e4)
+                        elif eid4 == _TRACK_TYPE:
+                            tt = _uint(payload, s4, e4)
+                            t["kind"] = ("video"
+                                         if tt == _TRACK_TYPE_VIDEO
+                                         else "audio"
+                                         if tt == _TRACK_TYPE_AUDIO
+                                         else "")
+                        elif eid4 == _CODEC_ID:
+                            t["codec_id"] = payload[s4:e4] \
+                                .split(b"\x00")[0].decode("latin-1")
+                        elif eid4 == _CODEC_PRIVATE:
+                            t["codec_private"] = payload[s4:e4]
+                        elif eid4 == _AUDIO_EL:
+                            for eid5, s5, e5 in _elements(
+                                    payload, s4, e4):
+                                if eid5 == _SAMPLING_FREQ \
+                                        and e5 - s5 in (4, 8):
+                                    fmt = ">f" if e5 - s5 == 4 else ">d"
+                                    (t["rate"],) = struct.unpack(
+                                        fmt, payload[s5:e5])
+                                elif eid5 == _CHANNELS:
+                                    t["channels"] = _uint(
+                                        payload, s5, e5)
+                                elif eid5 == _BIT_DEPTH:
+                                    t["bit_depth"] = _uint(
+                                        payload, s5, e5)
+                    if num is None:
+                        raise ValueError(
+                            "TrackEntry without a TrackNumber")
+                    tracks[num] = t
+            elif eid2 == _CLUSTER:
+                # buffer — a Cluster may legally precede Tracks
+                for eid3, s3, e3 in _elements(payload, s2, e2):
+                    if eid3 == _SIMPLE_BLOCK:
+                        blocks.append((s3, e3))
+                    elif eid3 == _BLOCK_GROUP:
+                        blocks.extend(
+                            (s4, e4) for eid4, s4, e4 in
+                            _elements(payload, s3, e3)
+                            if eid4 == _BLOCK)
+    if not saw_tracks:
+        raise ValueError("EBML without a Segment/Tracks element")
+    for s4, e4 in blocks:
+        num, frames = _block_frames(payload, s4, e4)
+        if num not in tracks:
+            raise ValueError(f"Block for unknown track {num}")
+        tracks[num]["frames"].extend(frames)
+    return [tracks[k] for k in sorted(tracks)]

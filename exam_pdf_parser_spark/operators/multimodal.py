@@ -869,11 +869,30 @@ def decode_video(payload: bytes) -> list[np.ndarray]:
             f"BMFF video codec(s) {codecs or ['<none>']} are "
             "inter-frame codecs with no stdlib path; only MJPEG "
             "('jpeg') sample tracks decode — fail-loud by design")
+    if payload[:4] == b"\x1aE\xdf\xa3":
+        from ..core.ebml import mkv_tracks
+
+        vids = [t for t in mkv_tracks(payload) if t["kind"] == "video"]
+        mj = next(
+            (t for t in vids
+             if t["codec_id"] == "V_MJPEG"
+             or (t["codec_id"] == "V_MS/VFW/FOURCC"
+                 and t["codec_private"][16:20] == b"MJPG")), None)
+        if mj is not None:
+            # MJPEG-in-Matroska: every Block frame is a whole JPEG
+            return [decode_image(payload[o:o + s])
+                    for o, s in mj["frames"]]
+        codecs = sorted({t["codec_id"] for t in vids})
+        raise NotImplementedError(
+            f"Matroska video codec(s) {codecs or ['<none>']} are "
+            "inter-frame codecs with no stdlib path; only MJPEG "
+            "(V_MJPEG / VFW 'MJPG') tracks decode — fail-loud by "
+            "design")
     raise NotImplementedError(
-        "only MJPEG/rawvideo-in-AVI, MJPEG-in-BMFF and animated GIF "
-        "decode natively (core/{avi,mp4,gif,jpeg}.py); other "
-        "containers need real inter-frame codecs absent from this "
-        "environment — fail-loud by design")
+        "only MJPEG/rawvideo-in-AVI, MJPEG-in-BMFF/Matroska and "
+        "animated GIF decode natively (core/{avi,mp4,ebml,gif,jpeg}"
+        ".py); other containers need real inter-frame codecs absent "
+        "from this environment — fail-loud by design")
 
 
 VIDEO_FRAME_FEATURE_SCHEMA = StructType([

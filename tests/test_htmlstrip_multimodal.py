@@ -524,13 +524,16 @@ def test_mjpeg_avi_round_trip():
         assert float(np.mean(np.abs(
             d.astype(float) - f.astype(float)))) < 4.0
 
-    # a moov-less BMFF shell is structurally incomplete (ValueError,
-    # quarantined upstream) now that intra-frame BMFF tracks decode;
-    # non-BMFF unknown containers remain loud NotImplementedError stubs
+    # moov-less BMFF / Tracks-less EBML shells are structurally
+    # incomplete (ValueError, quarantined upstream) now that
+    # intra-frame tracks decode in both containers; genuinely unknown
+    # containers remain loud NotImplementedError stubs
     with pytest.raises(ValueError):
         decode_video(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 64)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_video(b"\x1aE\xdf\xa3" + b"\x00" * 64)   # EBML/webm
+    with pytest.raises(NotImplementedError):
+        decode_video(b"FLV\x01" + b"\x00" * 64)         # unknown
     # structurally broken AVI raises ValueError (quarantined upstream)
     with pytest.raises(ValueError):
         decode_video(b"RIFF\x10\x00\x00\x00AVI " + b"\x00" * 16)
@@ -2977,3 +2980,125 @@ def test_mp4_intra_frame_sample_decode():
     bad = blob.replace(u32(2) + u32(10), u32(2) + u32(11))
     with pytest.raises(ValueError, match="inconsistent"):
         decode_audio(bad)
+
+
+def test_mkv_intra_frame_sample_decode():
+    """Matroska/WebM frame extraction is pure container math: a
+    hand-built MKV with an MJPEG video track (V_MS/VFW/FOURCC +
+    'MJPG' BITMAPINFOHEADER; unlaced SimpleBlocks) and an
+    A_PCM/INT/LIT audio track whose frames exercise ALL THREE lacing
+    modes (Xiph in a SimpleBlock, EBML in a BlockGroup/Block,
+    fixed-size) decodes with the codecs the repo already ships.
+    A_MS/ACM re-dispatches its WAVEFORMATEX CodecPrivate through the
+    WAV matrix; inter-frame codecs and broken lacing fail loud."""
+    import audioop
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from exam_pdf_parser_spark.core.jpeg import (
+        decode_jpeg_gray, encode_jpeg_gray,
+    )
+    from exam_pdf_parser_spark.operators.multimodal import (
+        decode_audio, decode_video,
+    )
+
+    def el(eid, body):
+        # size vint: 1-byte (<=126) or 2-byte (<=16382) wire forms
+        if len(body) <= 126:
+            size = bytes([0x80 | len(body)])
+        else:
+            assert len(body) <= 16382
+            size = struct.pack(">H", 0x4000 | len(body))
+        return eid + size + body
+
+    def uint(v):
+        return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+    rng = np.random.RandomState(11)
+    imgs = [rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+            for _ in range(2)]
+    j = [encode_jpeg_gray(im) for im in imgs]
+
+    # BITMAPINFOHEADER with biCompression='MJPG' at offset 16
+    bih = struct.pack("<IiiHH4sIiiII", 40, 16, 16, 1, 24, b"MJPG",
+                      0, 0, 0, 0, 0)
+    vtrack = el(b"\xae",                            # TrackEntry
+                el(b"\xd7", uint(1))                # TrackNumber
+                + el(b"\x83", uint(1))              # TrackType video
+                + el(b"\x86", b"V_MS/VFW/FOURCC")   # CodecID
+                + el(b"\x63\xa2", bih))             # CodecPrivate
+    atrack = el(b"\xae",
+                el(b"\xd7", uint(2))
+                + el(b"\x83", uint(2))
+                + el(b"\x86", b"A_PCM/INT/LIT")
+                + el(b"\xe1",                       # Audio
+                     el(b"\xb5", struct.pack(">f", 8000.0))
+                     + el(b"\x9f", uint(1))
+                     + el(b"\x62\x64", uint(16))))
+    tracks = el(b"\x16\x54\xae\x6b", vtrack + atrack)
+
+    pcm = np.arange(-1200, 1200, 100, dtype="<i2")  # 24 LE samples
+    raw = pcm.tobytes()                             # 48 bytes
+    # SimpleBlock flags: 0x80 keyframe; lacing bits 0x06 = mode<<1
+    # Xiph lacing (flags 0x82): frames of 6, 10, 8 bytes over raw[:24]
+    xiph = (b"\x82" + b"\x00\x00" + b"\x82" + b"\x02"
+            + bytes([6, 10]) + raw[:24])
+    # EBML lacing (flags 0x86): frames 2, 4, 2 over raw[24:32] —
+    # first size vint 0x82 (=2), one signed 1-byte delta vint
+    # 0x80|(2+63) (= +2 -> 4), last implied
+    ebml_block = (b"\x82" + b"\x00\x00" + b"\x86" + b"\x02"
+                  + bytes([0x82, 0x80 | (2 + 63)]) + raw[24:32])
+    # fixed-size lacing (flags 0x84): two 8-byte frames over raw[32:]
+    fixed = b"\x82" + b"\x00\x00" + b"\x84" + b"\x01" + raw[32:]
+    vb = [b"\x81" + b"\x00\x00" + b"\x80" + js for js in j]
+    cluster1 = el(b"\x1f\x43\xb6\x75",
+                  el(b"\xa3", vb[0]) + el(b"\xa3", xiph))
+    cluster2 = el(b"\x1f\x43\xb6\x75",
+                  el(b"\xa3", vb[1])
+                  + el(b"\xa0", el(b"\xa1", ebml_block))
+                  + el(b"\xa3", fixed))
+    header = el(b"\x1a\x45\xdf\xa3", el(b"\x42\x82", b"matroska"))
+    segment = el(b"\x18\x53\x80\x67", tracks + cluster1 + cluster2)
+    blob = header + segment
+
+    frames = decode_video(blob)
+    assert len(frames) == 2
+    for got, src in zip(frames, j):
+        assert np.array_equal(got, decode_jpeg_gray(src))
+
+    x, rate = decode_audio(blob)
+    assert rate == 8000
+    assert np.array_equal(x, pcm.astype(np.float64) / 32768.0)
+
+    # A_MS/ACM: CodecPrivate is a WAVEFORMATEX; µ-law (tag 7) decodes
+    # through the WAV matrix byte-for-byte like a .wav of the same data
+    ulaw = audioop.lin2ulaw(raw, 2)
+    wfx = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    acm_track = el(b"\xae",
+                   el(b"\xd7", uint(2))
+                   + el(b"\x83", uint(2))
+                   + el(b"\x86", b"A_MS/ACM")
+                   + el(b"\x63\xa2", wfx)
+                   + el(b"\xe1", el(b"\x9f", uint(1))))
+    acm_blk = b"\x82" + b"\x00\x00" + b"\x80" + ulaw
+    acm = header + el(b"\x18\x53\x80\x67",
+                      el(b"\x16\x54\xae\x6b", acm_track)
+                      + el(b"\x1f\x43\xb6\x75", el(b"\xa3", acm_blk)))
+    xa, ra = decode_audio(acm)
+    assert ra == 8000
+    exp = np.frombuffer(audioop.ulaw2lin(ulaw, 2), "<i2") \
+        .astype(np.float64) / 32768.0
+    assert np.array_equal(xa, exp)
+
+    # inter-frame codec: fail loud naming the codec id
+    vp9 = blob.replace(b"V_MS/VFW/FOURCC", b"V_VP9" + b"\x00" * 10)
+    with pytest.raises(NotImplementedError, match="V_VP9"):
+        decode_video(vp9)
+    with pytest.raises(NotImplementedError, match="A_VORBIS"):
+        decode_audio(blob.replace(b"A_PCM/INT/LIT",
+                                  b"A_VORBIS" + b"\x00" * 5))
+    # Xiph sizes exceeding the body: ValueError (quarantined upstream)
+    with pytest.raises(ValueError):
+        decode_audio(blob.replace(bytes([6, 10]), bytes([6, 200])))
