@@ -122,6 +122,57 @@ def _lace_vint(buf: bytes, pos: int, end: int):
     return val, length, pos + length
 
 
+def _enc_vint_size(n: int) -> bytes:
+    """Encode a size as an EBML vint (shortest wire form)."""
+    for length in range(1, 9):
+        # all-ones is reserved for "unknown size"; step up a length
+        if n < (1 << (7 * length)) - 1:
+            return (n | (1 << (7 * length))).to_bytes(length, "big")
+    raise ValueError("size too large for an EBML vint")
+
+
+def _el(eid: bytes, body: bytes) -> bytes:
+    return eid + _enc_vint_size(len(body)) + body
+
+
+def encode_mkv_mjpeg(jpeg_frames: list[bytes], width: int, height: int,
+                     fps: int = 10) -> bytes:
+    """Forward writer: wrap whole JPEG streams as a ``V_MJPEG`` video
+    track in a minimal Matroska file — unlaced SimpleBlocks in one
+    Cluster, real Info (TimestampScale × Duration) and Video
+    (PixelWidth/PixelHeight) so ``ebml_meta`` reports dims and
+    duration.  Exists (like ``encode_avi_mjpeg`` / ``encode_flac``) to
+    generate test vectors and the mixed-format corpus; it is NOT a
+    general-purpose muxer."""
+    if not jpeg_frames:
+        raise ValueError("encode_mkv_mjpeg needs at least one frame")
+
+    def uint(v: int) -> bytes:
+        return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+    header = _el(_EBML_MAGIC, _el(b"\x42\x82", b"matroska"))
+    info = _el(b"\x15\x49\xa9\x66",
+               _el(b"\x2a\xd7\xb1", uint(1_000_000))     # 1 ms ticks
+               + _el(b"\x44\x89", struct.pack(
+                   ">d", len(jpeg_frames) * 1000.0 / fps)))
+    track = _el(b"\xae",
+                _el(b"\xd7", uint(1))                    # TrackNumber
+                + _el(b"\x83", uint(_TRACK_TYPE_VIDEO))
+                + _el(b"\x86", b"V_MJPEG")
+                + _el(b"\xe0",                           # Video
+                      _el(b"\xb0", uint(width))
+                      + _el(b"\xba", uint(height))))
+    tracks = _el(b"\x16\x54\xae\x6b", track)
+    # SimpleBlock: track vint 1, relative timestamp, keyframe flag,
+    # no lacing — one whole JPEG per block
+    blocks = b"".join(
+        _el(b"\xa3", b"\x81" + struct.pack(">h", i * 1000 // fps)
+            + b"\x80" + f)
+        for i, f in enumerate(jpeg_frames))
+    cluster = _el(b"\x1f\x43\xb6\x75", blocks)
+    return header + _el(b"\x18\x53\x80\x67", info + tracks + cluster)
+
+
 def ebml_meta(payload: bytes) -> dict | None:
     """Header metadata for an EBML (mkv/webm) payload, or None if the
     payload does not start with the EBML magic.

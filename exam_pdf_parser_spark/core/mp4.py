@@ -51,6 +51,56 @@ def _boxes(buf: bytes, start: int, end: int):
         pos += size
 
 
+def _box(fourcc: bytes, body: bytes) -> bytes:
+    return (len(body) + 8).to_bytes(4, "big") + fourcc + body
+
+
+def encode_mp4_mjpeg(jpeg_frames: list[bytes], width: int, height: int,
+                     fps: int = 10) -> bytes:
+    """Forward writer: wrap whole JPEG streams as an MJPEG ('jpeg')
+    video track in a minimal ISO BMFF file — one mdat chunk, per-sample
+    stsz, a single stsc rule, real mvhd/tkhd so ``mp4_meta`` reports
+    dims and duration.  Exists (like ``encode_avi_mjpeg`` /
+    ``encode_flac``) to generate test vectors and the mixed-format
+    corpus; it is NOT a general-purpose muxer."""
+    if not jpeg_frames:
+        raise ValueError("encode_mp4_mjpeg needs at least one frame")
+
+    def u32(v):
+        return int(v).to_bytes(4, "big")
+
+    def u16(v):
+        return int(v).to_bytes(2, "big")
+
+    ftyp = _box(b"ftyp", b"isom" + u32(0) + b"isom")
+    mdat = _box(b"mdat", b"".join(jpeg_frames))
+    off0 = len(ftyp) + 8                       # first sample offset
+
+    timescale = 1000
+    duration = len(jpeg_frames) * timescale // fps
+    # identity transform matrix (16.16 / 2.30 fixed point)
+    matrix = (u32(0x10000) + u32(0) * 3 + u32(0x10000) + u32(0) * 3
+              + u32(0x40000000))
+    mvhd = _box(b"mvhd", u32(0) + u32(0) + u32(0) + u32(timescale)
+                + u32(duration) + u32(0x10000) + u16(0x100) + b"\0" * 10
+                + matrix + b"\0" * 24 + u32(2))
+    tkhd = _box(b"tkhd", b"\0\0\0\x07" + u32(0) + u32(0) + u32(1)
+                + u32(0) + u32(duration) + b"\0" * 16 + matrix
+                + u32(width << 16) + u32(height << 16))
+    entry = u32(86) + b"jpeg" + b"\0" * 78
+    stbl = _box(b"stbl",
+                _box(b"stsd", u32(0) + u32(1) + entry)
+                + _box(b"stsz", u32(0) + u32(0) + u32(len(jpeg_frames))
+                       + b"".join(u32(len(f)) for f in jpeg_frames))
+                + _box(b"stsc", u32(0) + u32(1)
+                       + u32(1) + u32(len(jpeg_frames)) + u32(1))
+                + _box(b"stco", u32(0) + u32(1) + u32(off0)))
+    hdlr = _box(b"hdlr", u32(0) + b"\0\0\0\0" + b"vide" + b"\0" * 12)
+    mdia = _box(b"mdia", hdlr + _box(b"minf", stbl))
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+    return ftyp + mdat + moov
+
+
 def mp4_meta(payload: bytes) -> dict | None:
     """Header metadata for an ISO BMFF payload, or None if the payload
     is not BMFF (no ``ftyp`` box at the head).

@@ -993,15 +993,19 @@ def real_media_corpus(spark: SparkSession, n: int, seed: int = 42,
     """Deterministic media table that rotates through the REAL
     encoders this repo carries — the shape of a mixed crawl batch:
     images cycle PNG/GIF/JPEG/TIFF (codec-rotated)/BMP, audio cycles
-    WAV-PCM/µ-law/IMA-ADPCM/FLAC/AIFF/AU, video is MJPEG-AVI.
-    Every payload round-trips through parse_meta and
-    its kind's feature operator (see ``test_real_media_corpus_mixed``
+    WAV-PCM/µ-law/IMA-ADPCM/FLAC/AIFF/AU, video cycles the four
+    container paths MJPEG-AVI / rawvideo-AVI / MJPEG-in-BMFF /
+    MJPEG-in-Matroska.  Every payload round-trips through parse_meta
+    and its kind's feature operator (see ``test_real_media_corpus_mixed``
     for the end-to-end drive)."""
     from ..core.audio import encode_aiff, encode_au, encode_wav
+    from ..core.avi import encode_avi_raw8
     from ..core.bmp import encode_bmp_gray
+    from ..core.ebml import encode_mkv_mjpeg
     from ..core.flac import encode_flac
     from ..core.gif import encode_gif_gray
     from ..core.jpeg import encode_jpeg_gray
+    from ..core.mp4 import encode_mp4_mjpeg
     from ..core.png import encode_png_gray
     from ..core.tiff import encode_tiff_gray
 
@@ -1045,6 +1049,13 @@ def real_media_corpus(spark: SparkSession, n: int, seed: int = 42,
             return kind, encode_au(sine, 8000, "pcm16")
         frames = [np.full((16, 16), (f * 37 + i) % 255, np.uint8)
                   for f in range(3 + i % 4)]
+        enc = (i // 3) % 4
+        if enc == 1:
+            return kind, encode_avi_raw8(frames, fps=10)
+        if enc >= 2:
+            jf = [encode_jpeg_gray(f) for f in frames]
+            mux = encode_mp4_mjpeg if enc == 2 else encode_mkv_mjpeg
+            return kind, mux(jf, 16, 16, fps=10)
         return kind, encode_video_avi(frames, fps=10)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

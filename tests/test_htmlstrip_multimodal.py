@@ -1736,8 +1736,10 @@ def test_real_media_corpus_mixed(spark):
     """A mixed batch of REAL formats — the shape of a crawl's media
     partition — flows through every stage: metadata for all rows,
     pixel features for every image, audio features for every audio
-    row (incl. FLAC), frame stats for every AVI.  Nothing quarantines
-    and every format family is actually present."""
+    row (incl. FLAC), frame stats for every video across all FOUR
+    container paths (MJPEG-AVI, rawvideo-AVI, MJPEG-in-BMFF,
+    MJPEG-in-Matroska).  Nothing quarantines and every format family
+    is actually present."""
     from exam_pdf_parser_spark.operators.multimodal import (
         extract_metadata, image_pixel_features, real_media_corpus,
         video_frame_features, wav_audio_features,
@@ -1767,6 +1769,21 @@ def test_real_media_corpus_mixed(spark):
             media.filter("kind = 'video'")).toPandas()
         assert (vid["valid"] == "ok").all()
         assert vid.groupby("media_id").size().between(3, 6).all()
+
+        # all four video container paths are actually present
+        def container(payload):
+            b = bytes(payload)
+            if b[:4] == b"RIFF":
+                return "avi"
+            if b[4:8] == b"ftyp":
+                return "mp4"
+            if b[:4] == b"\x1aE\xdf\xa3":
+                return "mkv"
+            return "?"
+
+        vids = media.filter("kind = 'video'") \
+            .select("payload").toPandas()["payload"]
+        assert set(vids.map(container)) == {"avi", "mp4", "mkv"}
     finally:
         media.unpersist()
 
@@ -2980,6 +2997,55 @@ def test_mp4_intra_frame_sample_decode():
     bad = blob.replace(u32(2) + u32(10), u32(2) + u32(11))
     with pytest.raises(ValueError, match="inconsistent"):
         decode_audio(bad)
+
+
+def test_mp4_mkv_forward_writers_roundtrip():
+    """The minimal BMFF/Matroska muxers (corpus generators, test-vector
+    writers) round-trip through the independent readers: container
+    metadata reports the real dims/duration and every MJPEG sample
+    decodes byte-identical to the bare JPEG stream."""
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.ebml import (
+        ebml_meta, encode_mkv_mjpeg,
+    )
+    from exam_pdf_parser_spark.core.jpeg import (
+        decode_jpeg_gray, encode_jpeg_gray,
+    )
+    from exam_pdf_parser_spark.core.mp4 import encode_mp4_mjpeg, mp4_meta
+    from exam_pdf_parser_spark.operators.multimodal import (
+        decode_video, parse_meta,
+    )
+
+    rng = np.random.RandomState(17)
+    imgs = [rng.randint(0, 256, size=(16, 24)).astype(np.uint8)
+            for _ in range(5)]
+    j = [encode_jpeg_gray(im) for im in imgs]
+
+    mp4 = encode_mp4_mjpeg(j, 24, 16, fps=10)
+    m = mp4_meta(mp4)
+    assert (m["kind"], m["width"], m["height"], m["duration_ms"],
+            m["n_video_tracks"], m["complete"]) == \
+        ("video", 24, 16, 500, 1, True)
+    for got, src in zip(decode_video(mp4), j, strict=True):
+        assert np.array_equal(got, decode_jpeg_gray(src))
+    assert parse_meta(mp4)["valid"] == "ok"
+
+    mkv = encode_mkv_mjpeg(j, 24, 16, fps=10)
+    m = ebml_meta(mkv)
+    assert (m["doctype"], m["kind"], m["width"], m["height"],
+            m["duration_ms"], m["n_video_tracks"]) == \
+        ("matroska", "video", 24, 16, 500, 1)
+    for got, src in zip(decode_video(mkv), j, strict=True):
+        assert np.array_equal(got, decode_jpeg_gray(src))
+    assert parse_meta(mkv)["valid"] == "ok"
+
+    # a frame large enough to need a multi-byte EBML size vint still
+    # blocks correctly (the 1-byte wire form caps at 126)
+    big = encode_jpeg_gray(
+        rng.randint(0, 256, size=(64, 64)).astype(np.uint8))
+    [got] = decode_video(encode_mkv_mjpeg([big], 64, 64))
+    assert np.array_equal(got, decode_jpeg_gray(big))
 
 
 def test_mkv_intra_frame_sample_decode():
