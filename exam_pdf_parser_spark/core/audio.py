@@ -407,6 +407,13 @@ def _decode_bmff_audio(payload: bytes) -> tuple[np.ndarray, int]:
         x = (np.frombuffer(raw, np.int8).astype(np.float64) / 128.0
              if bits == 8 else _pcm_to_float(raw, bits, little=False))
     elif codec == "raw ":
+        # 'raw ' is the QuickTime offset-binary (unsigned) 8-bit
+        # description; 16-bit PCM uses 'sowt'/'twos'.  Refuse other
+        # depths loudly rather than decode them as 8-bit noise.
+        if bits != 8:
+            raise NotImplementedError(
+                f"BMFF 'raw ' audio with {bits}-bit samples has no "
+                "defined stdlib mapping — fail-loud by design")
         x = _pcm_to_float(raw, 8)
     elif codec == "ulaw":
         x = _pcm_to_float(audioop.ulaw2lin(raw, 2), 16)
@@ -443,15 +450,9 @@ def _decode_ebml_audio(payload: bytes) -> tuple[np.ndarray, int]:
     if codec == "A_MS/ACM":
         if len(t["codec_private"]) < 16:
             raise ValueError("A_MS/ACM without a WAVEFORMATEX")
+        from .avi import build_wav
 
-        def chunk(fourcc: bytes, body: bytes) -> bytes:
-            pad = b"\x00" if len(body) & 1 else b""
-            return fourcc + struct.pack("<I", len(body)) + body + pad
-
-        body = (b"WAVE" + chunk(b"fmt ", t["codec_private"])
-                + chunk(b"data", raw))
-        return decode_audio_any(
-            b"RIFF" + struct.pack("<I", len(body)) + body)
+        return decode_audio_any(build_wav(t["codec_private"], raw))
     if not rate:
         raise ValueError("EBML audio track without a sample rate")
     if codec == "A_PCM/INT/LIT":

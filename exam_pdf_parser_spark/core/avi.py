@@ -25,6 +25,24 @@ AVI_RIFF_SIG = b"RIFF"
 AVI_FORM = b"AVI "
 
 
+def riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    """One word-aligned RIFF chunk (the writer-side inverse of
+    ``riff_chunks``) — the single home for the size/padding arithmetic
+    shared by the AVI encoders and the WAV synthesizers."""
+    pad = b"\x00" if len(body) & 1 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def build_wav(fmt_body: bytes, data: bytes) -> bytes:
+    """WAVEFORMATEX body + raw sample data → a complete RIFF/WAVE
+    payload, so any source that surfaces those two pieces (AVI ``auds``
+    streams, Matroska ``A_MS/ACM`` tracks) re-dispatches through the
+    one tested WAV decode matrix."""
+    body = (b"WAVE" + riff_chunk(b"fmt ", fmt_body)
+            + riff_chunk(b"data", data))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def riff_chunks(buf: bytes, start: int, end: int):
     """Yield (fourcc, body_start, body_size) over a RIFF chunk run,
     honoring word alignment and clamping corrupt lengths to the
@@ -116,13 +134,7 @@ def avi_audio_wav(payload: bytes) -> bytes:
     strf, data = meta["audio_strf"], meta["audio"]
     if strf is None or data is None:
         raise ValueError("AVI without an audio stream")
-
-    def chunk(fourcc: bytes, body: bytes) -> bytes:
-        pad = b"\x00" if len(body) & 1 else b""
-        return fourcc + struct.pack("<I", len(body)) + body + pad
-
-    body = b"WAVE" + chunk(b"fmt ", strf) + chunk(b"data", data)
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    return build_wav(strf, data)
 
 
 def avi_meta(payload: bytes) -> dict | None:
@@ -151,10 +163,7 @@ def encode_avi_mjpeg(jpeg_frames: list[bytes], width: int, height: int,
         raise ValueError("cannot encode an AVI with zero frames")
     n = len(jpeg_frames)
     max_size = max(len(f) for f in jpeg_frames)
-
-    def chunk(fourcc: bytes, body: bytes) -> bytes:
-        pad = b"\x00" if len(body) & 1 else b""
-        return fourcc + struct.pack("<I", len(body)) + body + pad
+    chunk = riff_chunk
 
     def lst(list_type: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", list_type + body)
@@ -204,10 +213,7 @@ def encode_avi_raw8(frames: list, fps: int = 10) -> bytes:
 
     raw = [dib(f) for f in frames]
     frame_size = stride * h
-
-    def chunk(fourcc: bytes, body: bytes) -> bytes:
-        pad = b"\x00" if len(body) & 1 else b""
-        return fourcc + struct.pack("<I", len(body)) + body + pad
+    chunk = riff_chunk
 
     def lst(list_type: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", list_type + body)

@@ -356,15 +356,25 @@ def mkv_tracks(payload: bytes) -> list[dict]:
                             "TrackEntry without a TrackNumber")
                     tracks[num] = t
             elif eid2 == _CLUSTER:
-                # buffer — a Cluster may legally precede Tracks
-                for eid3, s3, e3 in _elements(payload, s2, e2):
-                    if eid3 == _SIMPLE_BLOCK:
-                        blocks.append((s3, e3))
-                    elif eid3 == _BLOCK_GROUP:
-                        blocks.extend(
-                            (s4, e4) for eid4, s4, e4 in
-                            _elements(payload, s3, e3)
-                            if eid4 == _BLOCK)
+                # buffer — a Cluster may legally precede Tracks.
+                # Streamed Matroska writes UNKNOWN-SIZE Clusters, whose
+                # body then extends to the Segment end and swallows all
+                # later Clusters as child elements — walk those too
+                # (iteratively: each nested Cluster contains the next,
+                # so recursion depth would equal the Cluster count).
+                stack = [(s2, e2)]
+                while stack:
+                    cs, ce = stack.pop()
+                    for eid3, s3, e3 in _elements(payload, cs, ce):
+                        if eid3 == _SIMPLE_BLOCK:
+                            blocks.append((s3, e3))
+                        elif eid3 == _BLOCK_GROUP:
+                            blocks.extend(
+                                (s4, e4) for eid4, s4, e4 in
+                                _elements(payload, s3, e3)
+                                if eid4 == _BLOCK)
+                        elif eid3 == _CLUSTER:
+                            stack.append((s3, e3))
     if not saw_tracks:
         raise ValueError("EBML without a Segment/Tracks element")
     for s4, e4 in blocks:

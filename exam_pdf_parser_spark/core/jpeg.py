@@ -537,7 +537,11 @@ def _decode_lossless_scan(data: bytes, start: int, scan: list[dict],
       * the first sample of the scan — and of each restart interval,
         which must be independently decodable — predicts
         ``2^(P - Pt - 1)``;
-      * the rest of the first line uses Ra (the left neighbor);
+      * the rest of the first line of the scan AND of each restart
+        interval uses Ra (the left neighbor) — H.1.2: "the
+        one-dimensional horizontal predictor (Ra) is used for the
+        first line of samples at the start of the scan and at the
+        beginning of each restart interval";
       * the first sample of every other line uses Rb (above);
       * everywhere else the scan's selected predictor 1-7 applies,
         with the spec's arithmetic right shifts (Python ``>>`` on
@@ -555,12 +559,14 @@ def _decode_lossless_scan(data: bytes, start: int, scan: list[dict],
     tables = [c["dc"] for c in scan]
     nc = len(scan)
     fresh = [True] * nc          # next sample takes the default pred
+    restart_y = 0                # row where the current interval began
     mcu = 0
     for y in range(h):
         for x in range(w):
             if restart and mcu and mcu % restart == 0:
                 br.align_restart()
                 fresh = [True] * nc
+                restart_y = y    # this row is the interval's first line
             mcu += 1
             for ci in range(nc):
                 t = br.huff(tables[ci])
@@ -574,8 +580,11 @@ def _decode_lossless_scan(data: bytes, start: int, scan: list[dict],
                 if fresh[ci]:
                     px = half
                     fresh[ci] = False
-                elif y == 0:
-                    px = int(p[0, x - 1])
+                elif y == restart_y:
+                    # first line of the scan / restart interval: Ra
+                    # (x >= 1 here — the interval's first sample took
+                    # the default prediction above)
+                    px = int(p[y, x - 1])
                 elif x == 0:
                     px = int(p[y - 1, 0])
                 elif predictor == 1:

@@ -220,7 +220,9 @@ def mp4_tracks(payload: bytes) -> list[dict]:
         stsd = find(*stbl, b"stsd")
         stsz = find(*stbl, b"stsz")
         stsc = find(*stbl, b"stsc")
-        stco = find(*stbl, b"stco") or find(*stbl, b"co64")
+        stco, wide = find(*stbl, b"stco"), False
+        if stco is None:
+            stco, wide = find(*stbl, b"co64"), True
         if not (stsd and stsz and stsc and stco):
             raise ValueError("stbl missing a sample table box")
         # stsd first entry: codec fourcc (+ audio params for soun)
@@ -238,6 +240,10 @@ def mp4_tracks(payload: bytes) -> list[dict]:
         p = stsz[0]
         uniform, n = u32(p + 4), u32(p + 8)
         if uniform:
+            # bound BEFORE materializing: a hostile header claiming
+            # 2^32 samples must quarantine, not OOM the executor
+            if uniform * n > len(payload):
+                raise ValueError("stsz claims more bytes than the file")
             sizes = [uniform] * n
         else:
             if stsz[1] - p - 12 < 4 * n:
@@ -245,7 +251,6 @@ def mp4_tracks(payload: bytes) -> list[dict]:
             sizes = [u32(p + 12 + 4 * i) for i in range(n)]
         # stco/co64 chunk offsets (absolute into the file)
         p = stco[0]
-        wide = payload[stco[0] - 8:stco[0] - 4] == b"co64"
         n_chunks = u32(p + 4)
         step = 8 if wide else 4
         if stco[1] - p - 8 < step * n_chunks:

@@ -2504,9 +2504,10 @@ def _encode_lossless(planes, predictor, pt=0, prec=8, restart=0,
     int arrays of POINT-TRANSFORMED samples (decoder output is
     plane << pt).  Diffs follow H.1.2: default ``2^(P-Pt-1)`` for the
     scan's (and each restart interval's) first sample per component,
-    Ra across the first line, Rb down the first column, else the
-    selected predictor; differences are encoded modulo 65536 with
-    category 16 = +32768 carrying no extra bits."""
+    Ra across the first line OF THE SCAN AND OF EACH RESTART INTERVAL
+    (H.1.2), Rb down the first column, else the selected predictor;
+    differences are encoded modulo 65536 with category 16 = +32768
+    carrying no extra bits."""
     import struct
 
     import numpy as np
@@ -2541,6 +2542,7 @@ def _encode_lossless(planes, predictor, pt=0, prec=8, restart=0,
     bw = _LosslessBW()
     half = 1 << (prec - pt - 1)
     fresh = [True] * nc
+    restart_y = 0
     mcu = 0
     rst = 0
     for y in range(h):
@@ -2549,13 +2551,14 @@ def _encode_lossless(planes, predictor, pt=0, prec=8, restart=0,
                 bw.restart(rst)
                 rst = (rst + 1) & 7
                 fresh = [True] * nc
+                restart_y = y
             mcu += 1
             for ci, p in enumerate(planes):
                 if fresh[ci]:
                     px = half
                     fresh[ci] = False
-                elif y == 0:
-                    px = int(p[0, x - 1])
+                elif y == restart_y:
+                    px = int(p[y, x - 1])
                 elif x == 0:
                     px = int(p[y - 1, 0])
                 elif predictor == 1:
@@ -2659,6 +2662,28 @@ def test_lossless_jpeg_hand_vectors():
     blob = bytes(headers(1, 1, predictor=1, prec=12, pt=2) + bw.flush()
                  + b"\xff\xd9")
     assert decode_jpeg_gray(blob)[0, 0] == 158
+
+    # predictor 4 with DRI=4 (restart at the start of row 1): H.1.2 —
+    # the remainder of each restart interval's FIRST LINE predicts
+    # with Ra, not the selected predictor.  Hand trace: row 0 =
+    # 130,125,128,120 (default then Ra); after RST0, s10 = 128+7 =
+    # 135 (default), then Ra: s11 = 135-4 = 131, s12 = 131+6 = 137,
+    # s13 = 137-2 = 135.  (Predictor 4 would give s11 = Ra+Rb-Rc + d
+    # = 135+125-130-4 = 126 — the vector distinguishes the rules.)
+    hdr = bytes(headers(2, 4, predictor=4))
+    sos = hdr.rfind(b"\xff\xda")
+    hdr = (hdr[:sos] + b"\xff\xdd" + struct.pack(">HH", 4, 4)
+           + hdr[sos:])
+    bw = _LosslessBW()
+    for d in (2, -5, 3, -8):
+        put_diff(bw, d)
+    bw.restart(0)
+    for d in (7, -4, 6, -2):
+        put_diff(bw, d)
+    blob = hdr + bw.flush() + b"\xff\xd9"
+    want = np.array([[130, 125, 128, 120], [135, 131, 137, 135]],
+                    np.uint8)
+    assert np.array_equal(decode_jpeg_gray(blob), want)
 
 
 def test_lossless_jpeg_roundtrip_all_predictors():
@@ -3046,6 +3071,112 @@ def test_mp4_mkv_forward_writers_roundtrip():
         rng.randint(0, 256, size=(64, 64)).astype(np.uint8))
     [got] = decode_video(encode_mkv_mjpeg([big], 64, 64))
     assert np.array_equal(got, decode_jpeg_gray(big))
+
+
+def test_container_hardening_review_fixes():
+    """Review regressions pinned: (a) co64 64-bit chunk offsets parse
+    (the fourcc probe read the size field, so co64 was silently
+    treated as 32-bit stco); (b) a hostile uniform-stsz sample count
+    quarantines via ValueError instead of materializing a ~4G-element
+    list (OOM); (c) streamed Matroska with UNKNOWN-SIZE Clusters
+    yields every Cluster's frames, not just the first; (d) BMFF
+    'raw ' audio with 16-bit samples fails loud instead of decoding
+    as 8-bit noise."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from exam_pdf_parser_spark.core.jpeg import (
+        decode_jpeg_gray, encode_jpeg_gray,
+    )
+    from exam_pdf_parser_spark.operators.multimodal import (
+        decode_audio, decode_video,
+    )
+
+    rng = np.random.RandomState(23)
+    imgs = [rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+            for _ in range(2)]
+    j = [encode_jpeg_gray(im) for im in imgs]
+
+    # (a) a hand-built container whose chunk offsets live in a co64
+    # (64-bit) table decodes identically to the stco form
+    def box(fourcc, body):
+        return struct.pack(">I", len(body) + 8) + fourcc + body
+
+    def u32(v):
+        return struct.pack(">I", v)
+
+    ftyp = box(b"ftyp", b"isom" + u32(0) + b"isom")
+    off0 = len(ftyp) + 8
+    mdat = box(b"mdat", j[0] + j[1])
+    stbl = (box(b"stsd", u32(0) + u32(1) + u32(86) + b"jpeg"
+                + b"\0" * 78)
+            + box(b"stsz", u32(0) + u32(0) + u32(2)
+                  + u32(len(j[0])) + u32(len(j[1])))
+            + box(b"stsc", u32(0) + u32(1) + u32(1) + u32(2) + u32(1))
+            + box(b"co64", u32(0) + u32(1) + struct.pack(">Q", off0)))
+    trak = box(b"trak", box(b"mdia", box(
+        b"hdlr", u32(0) + b"\0\0\0\0" + b"vide" + b"\0" * 12)
+        + box(b"minf", box(b"stbl", stbl))))
+    blob = ftyp + mdat + box(b"moov", trak)
+    frames = decode_video(blob)
+    assert len(frames) == 2
+    for got, src in zip(frames, j):
+        assert np.array_equal(got, decode_jpeg_gray(src))
+
+    # (b) hostile uniform stsz: claims 2^32-1 samples of 2 bytes —
+    # must raise, not allocate
+    evil = blob.replace(u32(0) + u32(0) + u32(2) + u32(len(j[0])),
+                        u32(0) + u32(2) + u32(0xFFFFFFFF)
+                        + u32(len(j[0])))
+    with pytest.raises(ValueError, match="more bytes than the file"):
+        decode_video(evil)
+
+    # (c) streamed Matroska: two UNKNOWN-SIZE Clusters (size vint
+    # 0xFF) — the second nests inside the first's clamped body and
+    # must still contribute its frame
+    def el(eid, body):
+        if len(body) <= 126:
+            size = bytes([0x80 | len(body)])
+        else:
+            assert len(body) <= 16382
+            size = struct.pack(">H", 0x4000 | len(body))
+        return eid + size + body
+
+    def uint(v):
+        return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+    vtrack = el(b"\xae", el(b"\xd7", uint(1)) + el(b"\x83", uint(1))
+                + el(b"\x86", b"V_MJPEG"))
+    tracks = el(b"\x16\x54\xae\x6b", vtrack)
+    blks = [el(b"\xa3", b"\x81\x00\x00\x80" + js) for js in j]
+    # unknown-size cluster: ID + size vint 0xFF, body runs on
+    clusters = (b"\x1f\x43\xb6\x75" + b"\xff" + blks[0]
+                + b"\x1f\x43\xb6\x75" + b"\xff" + blks[1])
+    header = el(b"\x1a\x45\xdf\xa3", el(b"\x42\x82", b"matroska"))
+    mkv = header + el(b"\x18\x53\x80\x67", tracks + clusters)
+    frames = decode_video(mkv)
+    assert len(frames) == 2
+    for got, src in zip(frames, j):
+        assert np.array_equal(got, decode_jpeg_gray(src))
+
+    # (d) 16-bit 'raw ' BMFF audio: no defined mapping — fail loud
+    a_entry = (u32(36) + b"raw " + b"\0" * 6 + struct.pack(">H", 1)
+               + struct.pack(">HH", 0, 0) + u32(0)
+               + struct.pack(">HHHH", 1, 16, 0, 0)
+               + u32(8000 << 16))
+    atrak = box(b"trak", box(b"mdia", box(
+        b"hdlr", u32(0) + b"\0\0\0\0" + b"soun" + b"\0" * 12)
+        + box(b"minf", box(b"stbl",
+              box(b"stsd", u32(0) + u32(1) + a_entry)
+              + box(b"stsz", u32(0) + u32(2) + u32(4))
+              + box(b"stsc", u32(0) + u32(1) + u32(1) + u32(4)
+                    + u32(1))
+              + box(b"stco", u32(0) + u32(1) + u32(off0))))))
+    aud = ftyp + mdat + box(b"moov", atrak)
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_audio(aud)
 
 
 def test_mkv_intra_frame_sample_decode():
