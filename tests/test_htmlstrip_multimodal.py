@@ -1555,9 +1555,13 @@ def test_codec_fuzz_no_hang_no_silent_success():
     from exam_pdf_parser_spark.core.png import decode_png_gray
     from exam_pdf_parser_spark.core.tiff import decode_tiff_gray
 
+    from exam_pdf_parser_spark.operators.multimodal import (
+        decode_audio, decode_video,
+    )
+
     decoders = [decode_png_gray, decode_gif_gray, decode_jpeg_gray,
                 decode_tiff_gray, decode_bmp_gray, decode_avi,
-                decode_audio_any]
+                decode_audio_any, decode_video, decode_audio]
     ok_errors = (ValueError, NotImplementedError, KeyError, IndexError,
                  EOFError, OSError, struct_error := __import__(
                      "struct").error, audioop.error, ZeroDivisionError,
@@ -1576,10 +1580,15 @@ def test_codec_fuzz_no_hang_no_silent_success():
     from exam_pdf_parser_spark.core.audio import encode_wav
     from exam_pdf_parser_spark.core.bmp import encode_bmp_gray
     from exam_pdf_parser_spark.core.tiff import encode_tiff_gray
+    from exam_pdf_parser_spark.core.ebml import encode_mkv_mjpeg
+    from exam_pdf_parser_spark.core.jpeg import encode_jpeg_gray
+    from exam_pdf_parser_spark.core.mp4 import encode_mp4_mjpeg
     img = np.arange(64, dtype=np.uint8).reshape(8, 8)
     sine = 0.2 * np.sin(np.arange(500) / 9.0)
+    jf = [encode_jpeg_gray(img)] * 2
     for blob in (encode_tiff_gray(img, codec="lzw"),
-                 encode_bmp_gray(img), encode_wav(sine, 8000, "adpcm")):
+                 encode_bmp_gray(img), encode_wav(sine, 8000, "adpcm"),
+                 encode_mp4_mjpeg(jf, 8, 8), encode_mkv_mjpeg(jf, 8, 8)):
         for _ in range(6):
             b = bytearray(blob)
             for _ in range(4):
