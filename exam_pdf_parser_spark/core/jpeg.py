@@ -619,8 +619,14 @@ def _reconstruct_lossless_gray(comps: list[dict], prec: int,
     independently), so they are RGB unless an Adobe APP14 declares
     YCbCr (transform 1, luma plane) — RGB reduces by the same
     mean-gray convention as the ink path.  2- and 4-component
-    lossless frames are CFA / ink mosaics whose demosaic has no
-    verifiable-in-sandbox vector: fail loud, quarantine upstream."""
+    lossless frames are CFA sensor mosaics (the Canon CR2 / DNG raw
+    shape): NO demosaic is attempted — the output is the raw mosaic
+    plane, components re-interleaved per column in the T.81
+    interleaved-MCU sample order (one sample per component per MCU,
+    so the physical row is ``c0 c1 [c2 c3] c0 c1 …`` and the real
+    raster width is SOF-width × nc, which the ``_jpeg_dims`` probe
+    mirrors).  That is pure container math — every output sample is
+    a decoded sample, none is interpolated."""
     maxv = float((1 << prec) - 1)
     planes = [c["plane"].astype(np.float64) for c in comps]
     if len(planes) == 1:
@@ -628,10 +634,12 @@ def _reconstruct_lossless_gray(comps: list[dict], prec: int,
     elif len(planes) == 3:
         g = (planes[0] if adobe and transform == 1
              else (planes[0] + planes[1] + planes[2]) / 3.0)
-    else:
-        raise NotImplementedError(
-            f"{len(planes)}-component lossless JPEG (CFA/ink mosaic) "
-            "not supported")
+    else:                       # 2/4-comp CFA mosaic: column interleave
+        h, w = planes[0].shape
+        nc = len(planes)
+        g = np.empty((h, w * nc), np.float64)
+        for i, p in enumerate(planes):
+            g[:, i::nc] = p
     return np.clip(np.rint(g * (255.0 / maxv)),
                    0.0, 255.0).astype(np.uint8)
 

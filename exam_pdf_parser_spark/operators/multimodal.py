@@ -168,6 +168,11 @@ def _jpeg_dims(payload: bytes) -> dict | None:
             if i + 9 > n:
                 return None
             h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+            if marker == 0xC3 and i + 10 <= n and payload[i + 9] in (2, 4):
+                # lossless CFA mosaic (CR2/DNG shape): the decoder
+                # re-interleaves nc samples per MCU, so the real
+                # raster width is SOF-width × nc
+                w *= payload[i + 9]
             from ..core.jpeg import exif_orientation
 
             if exif_orientation(payload) >= 5:   # transposing EXIF

@@ -2750,8 +2750,25 @@ def test_lossless_jpeg_color_and_failures():
         _encode_lossless([r, g, b], 1, adobe_transform=1))
     assert np.array_equal(dec, np.full((2, 2), 30, np.uint8))
 
-    with pytest.raises(NotImplementedError, match="2-component"):
-        decode_jpeg_gray(_encode_lossless([r, g], 1))
+    # 2/4-component lossless = CFA sensor mosaic (CR2/DNG shape):
+    # the decoder emits the RAW mosaic, components column-interleaved
+    # in T.81 MCU sample order — no demosaic, every output sample is
+    # a decoded sample.  Planes (2,2) of 30s and 60s interleave to a
+    # (2,4) plane 30,60,30,60.
+    dec = decode_jpeg_gray(_encode_lossless([r, g], 1))
+    assert np.array_equal(
+        dec, np.tile(np.array([30, 60], np.uint8), (2, 2)))
+    dec = decode_jpeg_gray(_encode_lossless([r, g, b, r], 1))
+    assert np.array_equal(
+        dec, np.tile(np.array([30, 60, 90, 30], np.uint8), (2, 2)))
+
+    # the dims probe mirrors the mosaic width (SOF width × nc)
+    from exam_pdf_parser_spark.operators.multimodal import parse_meta
+    m = parse_meta(_encode_lossless([r, g], 1))
+    assert (m["width"], m["height"]) == (4, 2)
+    dec2 = decode_jpeg_gray(_encode_lossless([r, g], 1))
+    assert (m["height"], m["width"]) == dec2.shape
+
     with pytest.raises(NotImplementedError, match="subsampled"):
         decode_jpeg_gray(_encode_lossless([r], 1, comp_hv=0x21))
     with pytest.raises(ValueError, match="lossless scan header"):
