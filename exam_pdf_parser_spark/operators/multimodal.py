@@ -49,8 +49,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, BinaryType, FloatType, IntegerType, LongType, StringType,
-    StructField, StructType,
+    ArrayType, BinaryType, BooleanType, FloatType, IntegerType,
+    LongType, StringType, StructField, StructType,
 )
 
 MAGIC = b"XMED1"
@@ -1147,3 +1147,211 @@ def resize_images(media: DataFrame, factor: int = 2) -> DataFrame:
                 yield pd.DataFrame(rows)
 
     return src.mapInPandas(run, MEDIA_SCHEMA)
+
+
+# --- Track inventory: the cheap routing pass before any decode ---------------
+
+TRACK_INVENTORY_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("container", StringType(), True),
+    StructField("track_idx", IntegerType(), True),
+    StructField("kind", StringType(), True),
+    StructField("codec", StringType(), True),
+    StructField("n_samples", IntegerType(), True),
+    StructField("decodable", BooleanType(), True),
+    StructField("valid", StringType(), False),
+])
+
+# WAVEFORMATEX tags the WAV decode matrix handles (PCM, G.711, IMA)
+_WAV_DECODABLE_TAGS = {0x0001, 0x0006, 0x0007, 0x0011}
+
+
+def track_inventory(payload: bytes) -> list[dict]:
+    """Per-track container inventory WITHOUT decoding any sample —
+    the cheap metadata pass a 100 TB crawl runs first, so the
+    expensive decode stage only ever sees payloads it can decode and
+    undecodable media is counted/routed, not discovered by exception.
+
+    Each row: ``{container, track_idx, kind, codec, n_samples,
+    decodable, valid}``.  ``decodable`` reflects this repo's shipped
+    codec matrix (header-level: an unusual in-stream feature can
+    still quarantine at decode time).  Malformed containers raise —
+    the Spark wrapper (``media_track_inventory``) quarantines them as
+    a single valid='corrupt' row."""
+
+    def row(container, idx, kind, codec, n, dec):
+        return {"container": container, "track_idx": idx, "kind": kind,
+                "codec": codec, "n_samples": n, "decodable": bool(dec),
+                "valid": "ok"}
+
+    # --- AVI: counting walk, no frame copies -------------------------
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from ..core.avi import riff_chunks
+
+        end = min(len(payload),
+                  8 + struct.unpack_from("<I", payload, 4)[0])
+        streams: list[dict] = []
+        counts: dict[int, int] = {}
+
+        def walk(s, e):
+            for fourcc, body, size in riff_chunks(payload, s, e):
+                if fourcc == b"LIST":
+                    lt = payload[body:body + 4]
+                    if lt in (b"hdrl", b"strl", b"movi", b"rec "):
+                        walk(body + 4, body + size)
+                elif fourcc == b"strh" and size >= 8:
+                    st = payload[body:body + 4]
+                    streams.append({
+                        "kind": ("video" if st == b"vids" else
+                                 "audio" if st == b"auds" else "other"),
+                        "codec": None, "tag": None})
+                elif fourcc == b"strf" and streams:
+                    s0 = streams[-1]
+                    if s0["kind"] == "video" and size >= 20:
+                        comp = payload[body + 16:body + 20]
+                        s0["codec"] = (
+                            "rawvideo" if comp == b"\x00\x00\x00\x00"
+                            else comp.decode("latin-1").strip("\0 ")
+                            .lower())
+                    elif s0["kind"] == "audio" and size >= 2:
+                        (tag,) = struct.unpack_from("<H", payload, body)
+                        if tag == 0xFFFE and size >= 40:
+                            (tag,) = struct.unpack_from(
+                                "<H", payload, body + 24)
+                        s0["tag"] = tag
+                        s0["codec"] = f"wav_0x{tag:04x}"
+                elif fourcc[2:4] in (b"dc", b"db", b"wb") \
+                        and fourcc[:2].isdigit():
+                    si = int(fourcc[:2])
+                    counts[si] = counts.get(si, 0) + 1
+
+        walk(12, end)
+        if not streams:
+            raise ValueError("AVI without stream headers")
+        return [row("avi", i, s0["kind"], s0["codec"], counts.get(i),
+                    s0["codec"] in ("mjpg", "rawvideo")
+                    if s0["kind"] == "video"
+                    else s0["tag"] in _WAV_DECODABLE_TAGS)
+                for i, s0 in enumerate(streams)]
+
+    # --- ISO BMFF: stbl walk ships (offset, size) tuples only --------
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        from ..core.mp4 import mp4_tracks
+
+        rows = []
+        for i, t in enumerate(mp4_tracks(payload)):
+            kind = ("video" if t["kind"] == "vide" else
+                    "audio" if t["kind"] == "soun" else "other")
+            if kind == "video":
+                dec = t["codec"] == "jpeg"
+            elif kind == "audio":
+                dec = (t["codec"] in ("sowt", "twos", "ulaw", "alaw")
+                       or (t["codec"] == "raw "
+                           and (t["sample_bits"] or 8) == 8))
+            else:
+                dec = False
+            rows.append(row("mp4", i, kind, t["codec"].strip(),
+                            len(t["samples"]), dec))
+        return rows
+
+    # --- Matroska/WebM: Cluster walk ships extents only --------------
+    if payload[:4] == b"\x1aE\xdf\xa3":
+        from ..core.ebml import mkv_tracks
+
+        rows = []
+        for i, t in enumerate(mkv_tracks(payload)):
+            kind = t["kind"] or "other"
+            cid = t["codec_id"]
+            if kind == "video":
+                dec = (cid == "V_MJPEG"
+                       or (cid == "V_MS/VFW/FOURCC"
+                           and t["codec_private"][16:20] == b"MJPG"))
+            elif kind == "audio":
+                if cid == "A_MS/ACM" and len(t["codec_private"]) >= 2:
+                    (tag,) = struct.unpack_from(
+                        "<H", t["codec_private"], 0)
+                    dec = tag in _WAV_DECODABLE_TAGS
+                else:
+                    dec = cid in ("A_PCM/INT/LIT", "A_PCM/INT/BIG",
+                                  "A_PCM/FLOAT/IEEE")
+            else:
+                dec = False
+            rows.append(row("mkv", i, kind, cid, len(t["frames"]), dec))
+        return rows
+
+    # --- single-track formats: magic → one row -----------------------
+    meta = parse_meta(payload)
+    if meta["valid"] != "ok" or meta["kind"] is None:
+        raise ValueError("unrecognized or corrupt media container")
+    n = meta.get("n_frames")
+    if payload[:5] == MAGIC:
+        return [row("synthetic", 0, meta["kind"], "xmed1", n, True)]
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return [row("png", 0, "image", "png", 1, True)]
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return [row("gif", 0, "image", "gif-lzw", n, True)]
+    if payload[:2] == b"\xff\xd8":
+        return [row("jpeg", 0, "image", "jpeg", 1, True)]
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return [row("tiff", 0, "image", "tiff", 1, True)]
+    if payload[:2] == b"BM":
+        return [row("bmp", 0, "image", "bmp", 1, True)]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        lossless = payload.find(b"VP8L", 12, 64) >= 0
+        return [row("webp", 0, "image",
+                    "vp8l" if lossless else "vp8", 1, lossless)]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from ..core.audio import wav_info
+
+        info = wav_info(payload) or {}
+        tag = info.get("format")
+        return [row("wav", 0, "audio",
+                    f"wav_0x{tag:04x}" if tag is not None else None,
+                    n, tag in _WAV_DECODABLE_TAGS)]
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        return [row("aiff", 0, "audio", "aiff", n, True)]
+    if payload[:4] == b".snd":
+        return [row("au", 0, "audio", "au", n, True)]
+    if payload[:4] == b"fLaC":
+        return [row("flac", 0, "audio", "flac", n, True)]
+    if payload[:4] == b"OggS":
+        codec = ("opus" if b"OpusHead" in payload[:128] else
+                 "vorbis" if b"vorbis" in payload[:128] else None)
+        return [row("ogg", 0, "audio", codec, n, False)]
+    if payload[:2] in (b"\xff\xfb", b"\xff\xfa", b"\xff\xf3",
+                       b"\xff\xf2", b"\xff\xe3") or payload[:3] == b"ID3":
+        return [row("mp3", 0, "audio", "mpeg-audio", n, False)]
+    if payload[:2] in (b"\xff\xf1", b"\xff\xf9"):
+        return [row("adts", 0, "audio", "aac", n, False)]
+    # parse_meta recognized it but no container branch did: report the
+    # kind without codec detail rather than invent one
+    return [row("unknown", 0, meta["kind"], None, n, False)]
+
+
+def media_track_inventory(media: DataFrame) -> DataFrame:
+    """Arrow-batched, zero-shuffle track inventory over a media table:
+    one row per container track with its codec identity, sample count
+    and shipped-codec decodability — the routing predicate that keeps
+    undecodable payloads out of the expensive decode stages at crawl
+    scale.  Malformed containers quarantine as one valid='corrupt'
+    row, never dropped."""
+    src = media.select("media_id", "payload")
+    cols = [f.name for f in TRACK_INVENTORY_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    for r in track_inventory(bytes(payload)):
+                        rows.append({"media_id": int(mid), **r})
+                except Exception:
+                    rows.append({
+                        "media_id": int(mid), "container": None,
+                        "track_idx": None, "kind": None, "codec": None,
+                        "n_samples": None, "decodable": None,
+                        "valid": "corrupt"})
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return src.mapInPandas(run, TRACK_INVENTORY_SCHEMA)

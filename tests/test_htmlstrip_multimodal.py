@@ -3099,6 +3099,60 @@ def test_mp4_mkv_forward_writers_roundtrip():
     assert np.array_equal(got, decode_jpeg_gray(big))
 
 
+def test_media_track_inventory(spark):
+    """The routing pass before any decode: per-track container/codec/
+    count/decodability rows without touching a single sample.  Every
+    corpus payload inventories ok and decodable (the corpus only uses
+    shipped codecs); stubbed codecs (VP9 video, lossy-VP8 WebP, MP3)
+    report decodable=false instead of surfacing as decode exceptions;
+    garbage quarantines as one corrupt row."""
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.ebml import encode_mkv_mjpeg
+    from exam_pdf_parser_spark.core.jpeg import encode_jpeg_gray
+    from exam_pdf_parser_spark.operators.multimodal import (
+        MEDIA_SCHEMA, media_track_inventory, real_media_corpus,
+        track_inventory,
+    )
+
+    media = real_media_corpus(spark, 45, partitions=3)
+    inv = media_track_inventory(media).toPandas()
+    assert set(inv["media_id"]) == set(range(45))
+    assert (inv["valid"] == "ok").all()
+    assert inv["decodable"].all()
+    assert {"avi", "mp4", "mkv"} <= set(inv["container"])
+    assert {"wav", "flac", "aiff", "au"} <= set(
+        inv[inv["kind"] == "audio"]["container"])
+    # the AVI counting walk reports real frame counts (3..6 frames)
+    avi_vid = inv[(inv["container"] == "avi") & (inv["kind"] == "video")]
+    assert avi_vid["n_samples"].between(3, 6).all()
+
+    # stubbed codecs are ROUTED (decodable=false), not exceptions
+    jf = [encode_jpeg_gray(np.full((8, 8), 7, np.uint8))]
+    vp9 = encode_mkv_mjpeg(jf, 8, 8).replace(
+        b"V_MJPEG", b"V_VP9\x00\x00")
+    [r] = track_inventory(vp9)
+    assert (r["container"], r["codec"], r["decodable"]) == \
+        ("mkv", "V_VP9", False)
+    import struct
+    vp8 = (b"RIFF" + struct.pack("<I", 40) + b"WEBP" + b"VP8 "
+           + struct.pack("<I", 20) + b"\x00" * 3 + b"\x9d\x01\x2a"
+           + struct.pack("<HH", 32, 24) + b"\x00" * 8)
+    [r] = track_inventory(vp8)
+    assert (r["codec"], r["decodable"]) == ("vp8", False)
+    mp3 = b"\xff\xfb\x90\x00" + b"\x00" * 413 + b"\xff\xfb\x90\x00" \
+        + b"\x00" * 413
+    [r] = track_inventory(mp3)
+    assert (r["container"], r["decodable"]) == ("mp3", False)
+
+    # garbage → one corrupt row through the Spark wrapper
+    bad = spark.createDataFrame(
+        [(99, "video", bytearray(b"garbage-not-a-container"))],
+        MEDIA_SCHEMA)
+    q = media_track_inventory(bad).toPandas()
+    assert len(q) == 1 and q.iloc[0]["valid"] == "corrupt"
+
+
 def test_container_hardening_review_fixes():
     """Review regressions pinned: (a) co64 64-bit chunk offsets parse
     (the fourcc probe read the size field, so co64 was silently
