@@ -408,9 +408,11 @@ def _decode_bmff_audio(payload: bytes) -> tuple[np.ndarray, int]:
              if bits == 8 else _pcm_to_float(raw, bits, little=False))
     elif codec == "raw ":
         # 'raw ' is the QuickTime offset-binary (unsigned) 8-bit
-        # description; 16-bit PCM uses 'sowt'/'twos'.  Refuse other
-        # depths loudly rather than decode them as 8-bit noise.
-        if bits != 8:
+        # description; 16-bit PCM uses 'sowt'/'twos'.  A missing/zero
+        # stsd bits field defaults to 8 (the definition) — matching
+        # track_inventory's decodability predicate — and any OTHER
+        # declared depth refuses loudly rather than decode as noise.
+        if (t["sample_bits"] or 8) != 8:
             raise NotImplementedError(
                 f"BMFF 'raw ' audio with {bits}-bit samples has no "
                 "defined stdlib mapping — fail-loud by design")

@@ -304,67 +304,73 @@ def mkv_tracks(payload: bytes) -> list[dict]:
     stream order.  Unlike ``ebml_meta`` (a never-raise probe), this is
     a decode path: malformed tables raise ``ValueError`` for upstream
     quarantine."""
+    from collections import deque
+
     if payload[:4] != _EBML_MAGIC:
         raise ValueError("not an EBML payload")
     tracks: dict[int, dict] = {}
     blocks: list[tuple[int, int]] = []
     saw_tracks = False
+
+    def parse_tracks(ts: int, te: int) -> None:
+        nonlocal saw_tracks
+        saw_tracks = True
+        for eid3, s3, e3 in _elements(payload, ts, te):
+            if eid3 != _TRACK_ENTRY:
+                continue
+            t = {"kind": "", "codec_id": "",
+                 "codec_private": b"", "channels": None,
+                 "rate": None, "bit_depth": None, "frames": []}
+            num = None
+            for eid4, s4, e4 in _elements(payload, s3, e3):
+                if eid4 == _TRACK_NUMBER:
+                    num = _uint(payload, s4, e4)
+                elif eid4 == _TRACK_TYPE:
+                    tt = _uint(payload, s4, e4)
+                    t["kind"] = ("video"
+                                 if tt == _TRACK_TYPE_VIDEO
+                                 else "audio"
+                                 if tt == _TRACK_TYPE_AUDIO
+                                 else "")
+                elif eid4 == _CODEC_ID:
+                    t["codec_id"] = payload[s4:e4] \
+                        .split(b"\x00")[0].decode("latin-1")
+                elif eid4 == _CODEC_PRIVATE:
+                    t["codec_private"] = payload[s4:e4]
+                elif eid4 == _AUDIO_EL:
+                    for eid5, s5, e5 in _elements(payload, s4, e4):
+                        if eid5 == _SAMPLING_FREQ \
+                                and e5 - s5 in (4, 8):
+                            fmt = ">f" if e5 - s5 == 4 else ">d"
+                            (t["rate"],) = struct.unpack(
+                                fmt, payload[s5:e5])
+                        elif eid5 == _CHANNELS:
+                            t["channels"] = _uint(payload, s5, e5)
+                        elif eid5 == _BIT_DEPTH:
+                            t["bit_depth"] = _uint(payload, s5, e5)
+            if num is None:
+                raise ValueError("TrackEntry without a TrackNumber")
+            tracks[num] = t
+
     for eid, s, e in _elements(payload, 0, len(payload)):
         if eid != _SEGMENT:
             continue
         for eid2, s2, e2 in _elements(payload, s, e):
             if eid2 == _TRACKS:
-                saw_tracks = True
-                for eid3, s3, e3 in _elements(payload, s2, e2):
-                    if eid3 != _TRACK_ENTRY:
-                        continue
-                    t = {"kind": "", "codec_id": "",
-                         "codec_private": b"", "channels": None,
-                         "rate": None, "bit_depth": None, "frames": []}
-                    num = None
-                    for eid4, s4, e4 in _elements(payload, s3, e3):
-                        if eid4 == _TRACK_NUMBER:
-                            num = _uint(payload, s4, e4)
-                        elif eid4 == _TRACK_TYPE:
-                            tt = _uint(payload, s4, e4)
-                            t["kind"] = ("video"
-                                         if tt == _TRACK_TYPE_VIDEO
-                                         else "audio"
-                                         if tt == _TRACK_TYPE_AUDIO
-                                         else "")
-                        elif eid4 == _CODEC_ID:
-                            t["codec_id"] = payload[s4:e4] \
-                                .split(b"\x00")[0].decode("latin-1")
-                        elif eid4 == _CODEC_PRIVATE:
-                            t["codec_private"] = payload[s4:e4]
-                        elif eid4 == _AUDIO_EL:
-                            for eid5, s5, e5 in _elements(
-                                    payload, s4, e4):
-                                if eid5 == _SAMPLING_FREQ \
-                                        and e5 - s5 in (4, 8):
-                                    fmt = ">f" if e5 - s5 == 4 else ">d"
-                                    (t["rate"],) = struct.unpack(
-                                        fmt, payload[s5:e5])
-                                elif eid5 == _CHANNELS:
-                                    t["channels"] = _uint(
-                                        payload, s5, e5)
-                                elif eid5 == _BIT_DEPTH:
-                                    t["bit_depth"] = _uint(
-                                        payload, s5, e5)
-                    if num is None:
-                        raise ValueError(
-                            "TrackEntry without a TrackNumber")
-                    tracks[num] = t
+                parse_tracks(s2, e2)
             elif eid2 == _CLUSTER:
                 # buffer — a Cluster may legally precede Tracks.
                 # Streamed Matroska writes UNKNOWN-SIZE Clusters, whose
                 # body then extends to the Segment end and swallows all
-                # later Clusters as child elements — walk those too
-                # (iteratively: each nested Cluster contains the next,
-                # so recursion depth would equal the Cluster count).
-                stack = [(s2, e2)]
-                while stack:
-                    cs, ce = stack.pop()
+                # later top-level elements as child elements — walk
+                # nested Clusters (FIFO: a LIFO stack would reverse
+                # sibling order and scramble the frame stream) and
+                # Tracks elements terminating the unknown-size body;
+                # iteratively, since each nested Cluster contains the
+                # next and recursion depth would equal the count.
+                queue = deque([(s2, e2)])
+                while queue:
+                    cs, ce = queue.popleft()
                     for eid3, s3, e3 in _elements(payload, cs, ce):
                         if eid3 == _SIMPLE_BLOCK:
                             blocks.append((s3, e3))
@@ -374,7 +380,9 @@ def mkv_tracks(payload: bytes) -> list[dict]:
                                 _elements(payload, s3, e3)
                                 if eid4 == _BLOCK)
                         elif eid3 == _CLUSTER:
-                            stack.append((s3, e3))
+                            queue.append((s3, e3))
+                        elif eid3 == _TRACKS:
+                            parse_tracks(s3, e3)
     if not saw_tracks:
         raise ValueError("EBML without a Segment/Tracks element")
     for s4, e4 in blocks:

@@ -634,12 +634,17 @@ def _reconstruct_lossless_gray(comps: list[dict], prec: int,
     elif len(planes) == 3:
         g = (planes[0] if adobe and transform == 1
              else (planes[0] + planes[1] + planes[2]) / 3.0)
-    else:                       # 2/4-comp CFA mosaic: column interleave
+    elif len(planes) in (2, 4):  # CFA mosaic: column interleave
         h, w = planes[0].shape
         nc = len(planes)
         g = np.empty((h, w * nc), np.float64)
         for i, p in enumerate(planes):
             g[:, i::nc] = p
+    else:
+        # no CFA layout defines 5+ sensor channels, and the dims
+        # probe only mirrors nc in (2, 4) — fail loud, don't guess
+        raise NotImplementedError(
+            f"{len(planes)}-component lossless JPEG not supported")
     return np.clip(np.rint(g * (255.0 / maxv)),
                    0.0, 255.0).astype(np.uint8)
 

@@ -1206,14 +1206,16 @@ def track_inventory(payload: bytes) -> list[dict]:
                                  "audio" if st == b"auds" else "other"),
                         "codec": None, "tag": None})
                 elif fourcc == b"strf" and streams:
+                    # size minimums mirror decode_avi's: a shorter strf
+                    # is dropped there, so it must not read decodable
                     s0 = streams[-1]
-                    if s0["kind"] == "video" and size >= 20:
+                    if s0["kind"] == "video" and size >= 40:
                         comp = payload[body + 16:body + 20]
                         s0["codec"] = (
                             "rawvideo" if comp == b"\x00\x00\x00\x00"
                             else comp.decode("latin-1").strip("\0 ")
                             .lower())
-                    elif s0["kind"] == "audio" and size >= 2:
+                    elif s0["kind"] == "audio" and size >= 16:
                         (tag,) = struct.unpack_from("<H", payload, body)
                         if tag == 0xFFFE and size >= 40:
                             (tag,) = struct.unpack_from(
@@ -1228,10 +1230,12 @@ def track_inventory(payload: bytes) -> list[dict]:
         walk(12, end)
         if not streams:
             raise ValueError("AVI without stream headers")
+        # decode_video/avi_audio_wav also need at least one chunk
         return [row("avi", i, s0["kind"], s0["codec"], counts.get(i),
-                    s0["codec"] in ("mjpg", "rawvideo")
-                    if s0["kind"] == "video"
-                    else s0["tag"] in _WAV_DECODABLE_TAGS)
+                    bool(counts.get(i))
+                    and (s0["codec"] in ("mjpg", "rawvideo")
+                         if s0["kind"] == "video"
+                         else s0["tag"] in _WAV_DECODABLE_TAGS))
                 for i, s0 in enumerate(streams)]
 
     # --- ISO BMFF: stbl walk ships (offset, size) tuples only --------
@@ -1245,9 +1249,11 @@ def track_inventory(payload: bytes) -> list[dict]:
             if kind == "video":
                 dec = t["codec"] == "jpeg"
             elif kind == "audio":
-                dec = (t["codec"] in ("sowt", "twos", "ulaw", "alaw")
-                       or (t["codec"] == "raw "
-                           and (t["sample_bits"] or 8) == 8))
+                # the decoder also demands a sample rate
+                dec = bool(t["rate"]) and (
+                    t["codec"] in ("sowt", "twos", "ulaw", "alaw")
+                    or (t["codec"] == "raw "
+                        and (t["sample_bits"] or 8) == 8))
             else:
                 dec = False
             rows.append(row("mp4", i, kind, t["codec"].strip(),
@@ -1267,13 +1273,21 @@ def track_inventory(payload: bytes) -> list[dict]:
                        or (cid == "V_MS/VFW/FOURCC"
                            and t["codec_private"][16:20] == b"MJPG"))
             elif kind == "audio":
-                if cid == "A_MS/ACM" and len(t["codec_private"]) >= 2:
+                if cid == "A_MS/ACM" and len(t["codec_private"]) >= 16:
+                    # rate/channels come from the WAVEFORMATEX itself
                     (tag,) = struct.unpack_from(
                         "<H", t["codec_private"], 0)
                     dec = tag in _WAV_DECODABLE_TAGS
+                elif cid in ("A_PCM/INT/LIT", "A_PCM/INT/BIG"):
+                    # mirror the decode path: rate required, PCM width
+                    # must be one the sample machinery ships
+                    dec = bool(t["rate"]) and \
+                        (t["bit_depth"] or 16) in (8, 16, 24, 32)
+                elif cid == "A_PCM/FLOAT/IEEE":
+                    dec = bool(t["rate"]) and \
+                        t["bit_depth"] in (32, 64)
                 else:
-                    dec = cid in ("A_PCM/INT/LIT", "A_PCM/INT/BIG",
-                                  "A_PCM/FLOAT/IEEE")
+                    dec = False
             else:
                 dec = False
             rows.append(row("mkv", i, kind, cid, len(t["frames"]), dec))
@@ -1297,7 +1311,15 @@ def track_inventory(payload: bytes) -> list[dict]:
     if payload[:2] == b"BM":
         return [row("bmp", 0, "image", "bmp", 1, True)]
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
-        lossless = payload.find(b"VP8L", 12, 64) >= 0
+        from ..core.avi import riff_chunks
+
+        # real chunk walk (not a byte scan): VP8X-extended files put
+        # ICCP/EXIF/ALPH before the frame chunk, and 'VP8L' can occur
+        # as data inside a lossy VP8 stream
+        end = min(len(payload),
+                  8 + struct.unpack_from("<I", payload, 4)[0])
+        fourccs = [f for f, _, _ in riff_chunks(payload, 12, end)]
+        lossless = b"VP8L" in fourccs
         return [row("webp", 0, "image",
                     "vp8l" if lossless else "vp8", 1, lossless)]
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -1305,13 +1327,28 @@ def track_inventory(payload: bytes) -> list[dict]:
 
         info = wav_info(payload) or {}
         tag = info.get("format")
+        dec = tag in _WAV_DECODABLE_TAGS and (
+            tag != 0x0001
+            or info.get("bits_per_sample") in (8, 16, 24, 32))
         return [row("wav", 0, "audio",
                     f"wav_0x{tag:04x}" if tag is not None else None,
-                    n, tag in _WAV_DECODABLE_TAGS)]
+                    n, dec)]
     if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
-        return [row("aiff", 0, "audio", "aiff", n, True)]
+        from ..core.audio import aiff_info
+
+        # aiff_info parses via the same stdlib module the decoder
+        # uses; an unsupported AIFC compression leaves rate None
+        info = aiff_info(payload) or {}
+        return [row("aiff", 0, "audio", "aiff", n,
+                    info.get("rate") is not None)]
     if payload[:4] == b".snd":
-        return [row("au", 0, "audio", "au", n, True)]
+        from ..core.audio import au_info
+
+        info = au_info(payload) or {}
+        return [row("au", 0, "audio",
+                    f"au_enc{info.get('encoding')}", n,
+                    info.get("encoding") in (1, 2, 3, 27)
+                    and bool(info.get("rate")))]
     if payload[:4] == b"fLaC":
         return [row("flac", 0, "audio", "flac", n, True)]
     if payload[:4] == b"OggS":

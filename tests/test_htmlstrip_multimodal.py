@@ -2769,6 +2769,10 @@ def test_lossless_jpeg_color_and_failures():
     dec2 = decode_jpeg_gray(_encode_lossless([r, g], 1))
     assert (m["height"], m["width"]) == dec2.shape
 
+    # 5+ components: no CFA layout defines them and the dims probe
+    # doesn't mirror the width — stays fail-loud
+    with pytest.raises(NotImplementedError, match="5-component"):
+        decode_jpeg_gray(_encode_lossless([r, g, b, r, g], 1))
     with pytest.raises(NotImplementedError, match="subsampled"):
         decode_jpeg_gray(_encode_lossless([r], 1, comp_hv=0x21))
     with pytest.raises(ValueError, match="lossless scan header"):
@@ -3145,6 +3149,27 @@ def test_media_track_inventory(spark):
     [r] = track_inventory(mp3)
     assert (r["container"], r["decodable"]) == ("mp3", False)
 
+    # VP8X-extended lossless WebP with a chunk BEFORE the frame: the
+    # chunk walk (not a byte scan) still finds VP8L → decodable
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    vp8x = chunk(b"VP8X", b"\x00" * 4
+                 + (15).to_bytes(3, "little")
+                 + (15).to_bytes(3, "little"))
+    body = b"WEBP" + vp8x + chunk(b"ICCP", b"\x00" * 40) \
+        + chunk(b"VP8L", b"\x2f" + b"\x00" * 12)
+    webpx = b"RIFF" + struct.pack("<I", len(body)) + body
+    [r] = track_inventory(webpx)
+    assert (r["codec"], r["decodable"]) == ("vp8l", True)
+
+    # AU with a non-PCM/G.711 encoding (G.721 = 23): routed, not True
+    au = b".snd" + struct.pack(">5I", 24, 100, 23, 8000, 1) \
+        + b"\x00" * 100
+    [r] = track_inventory(au)
+    assert (r["codec"], r["decodable"]) == ("au_enc23", False)
+
     # garbage → one corrupt row through the Spark wrapper
     bad = spark.createDataFrame(
         [(99, "video", bytearray(b"garbage-not-a-container"))],
@@ -3213,9 +3238,12 @@ def test_container_hardening_review_fixes():
     with pytest.raises(ValueError, match="more bytes than the file"):
         decode_video(evil)
 
-    # (c) streamed Matroska: two UNKNOWN-SIZE Clusters (size vint
-    # 0xFF) — the second nests inside the first's clamped body and
-    # must still contribute its frame
+    # (c) streamed Matroska: an UNKNOWN-SIZE Cluster (size vint 0xFF)
+    # whose clamped body swallows two later KNOWN-SIZE sibling
+    # Clusters — all three frames must come out IN STREAM ORDER (a
+    # LIFO walk would emit frame 3 before frame 2), and a Tracks
+    # element that terminates the unknown-size body must still be
+    # found (it is only reachable inside the cluster walk)
     def el(eid, body):
         if len(body) <= 126:
             size = bytes([0x80 | len(body)])
@@ -3227,18 +3255,31 @@ def test_container_hardening_review_fixes():
     def uint(v):
         return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
 
+    j3 = j + [encode_jpeg_gray(
+        rng.randint(0, 256, size=(16, 16)).astype(np.uint8))]
     vtrack = el(b"\xae", el(b"\xd7", uint(1)) + el(b"\x83", uint(1))
                 + el(b"\x86", b"V_MJPEG"))
     tracks = el(b"\x16\x54\xae\x6b", vtrack)
-    blks = [el(b"\xa3", b"\x81\x00\x00\x80" + js) for js in j]
+    blks = [el(b"\xa3", b"\x81\x00\x00\x80" + js) for js in j3]
     # unknown-size cluster: ID + size vint 0xFF, body runs on
     clusters = (b"\x1f\x43\xb6\x75" + b"\xff" + blks[0]
-                + b"\x1f\x43\xb6\x75" + b"\xff" + blks[1])
+                + el(b"\x1f\x43\xb6\x75", blks[1])
+                + el(b"\x1f\x43\xb6\x75", blks[2]))
     header = el(b"\x1a\x45\xdf\xa3", el(b"\x42\x82", b"matroska"))
     mkv = header + el(b"\x18\x53\x80\x67", tracks + clusters)
     frames = decode_video(mkv)
+    assert len(frames) == 3
+    for got, src in zip(frames, j3, strict=True):
+        assert np.array_equal(got, decode_jpeg_gray(src))
+
+    # Tracks AFTER the unknown-size Cluster (live-stream layout):
+    # the element ends the cluster body, so the walk must parse it
+    mkv2 = header + el(b"\x18\x53\x80\x67",
+                       b"\x1f\x43\xb6\x75" + b"\xff" + blks[0]
+                       + blks[1] + tracks)
+    frames = decode_video(mkv2)
     assert len(frames) == 2
-    for got, src in zip(frames, j):
+    for got, src in zip(frames, j3[:2], strict=True):
         assert np.array_equal(got, decode_jpeg_gray(src))
 
     # (d) 16-bit 'raw ' BMFF audio: no defined mapping — fail loud
@@ -3257,6 +3298,12 @@ def test_container_hardening_review_fixes():
     aud = ftyp + mdat + box(b"moov", atrak)
     with pytest.raises(NotImplementedError, match="16-bit"):
         decode_audio(aud)
+    # and the routing pass agrees: the same track reads decodable=False
+    from exam_pdf_parser_spark.operators.multimodal import (
+        track_inventory,
+    )
+    [r] = track_inventory(aud)
+    assert (r["codec"], r["decodable"]) == ("raw", False)
 
 
 def test_mkv_intra_frame_sample_decode():
