@@ -400,10 +400,19 @@ def _decode_bmff_audio(payload: bytes) -> tuple[np.ndarray, int]:
     if not rate:
         raise ValueError("BMFF audio track without a sample rate")
     if codec == "sowt":
+        # 'sowt' IS 16-bit LE by definition; a track declaring any
+        # other depth is malformed — refuse loudly rather than
+        # reinterpret the bytes (mirrors track_inventory's predicate)
+        if bits != 16:
+            raise NotImplementedError(
+                f"BMFF 'sowt' audio declaring {bits}-bit samples is "
+                "malformed — 'sowt' is 16-bit by definition")
         x = _pcm_to_float(raw, 16, little=True)
     elif codec == "twos":
-        # big-endian SIGNED at either depth (8-bit 'twos' is signed,
-        # unlike WAV's unsigned 8-bit convention)
+        # big-endian SIGNED at any _pcm_to_float depth (8-bit 'twos'
+        # is signed, unlike WAV's unsigned 8-bit convention); other
+        # declared depths (e.g. 20) raise inside _pcm_to_float, and
+        # track_inventory routes them decodable=false to match
         x = (np.frombuffer(raw, np.int8).astype(np.float64) / 128.0
              if bits == 8 else _pcm_to_float(raw, bits, little=False))
     elif codec == "raw ":

@@ -66,6 +66,13 @@ def decode_avi(payload: bytes) -> tuple[list[bytes], dict]:
     Meta keys: width, height, n_frames (from ``avih``; n_frames falls
     back to the counted movi chunks when the header lies or is 0),
     us_per_frame, handler (the strh fccHandler, e.g. ``b'MJPG'``).
+
+    Multi-stream AVIs decode their FIRST video and FIRST audio
+    stream: strf/frames/audio are matched to that stream's strl index
+    via the movi chunk ids (``NNdc``/``NNdb``/``NNwb``), so a second
+    video stream with a different codec or geometry never leaks its
+    chunks into the first stream's decode (``track_inventory`` still
+    reports every stream).
     """
     if payload[:4] != AVI_RIFF_SIG or payload[8:12] != AVI_FORM:
         raise ValueError("not a RIFF/AVI payload")
@@ -78,9 +85,12 @@ def decode_avi(payload: bytes) -> tuple[list[bytes], dict]:
     frames: list[bytes] = []
     audio: list[bytes] = []
     stream = None                    # fccType of the current strl
+    si = -1                          # strl index == movi chunk-id NN
+    video_si = None                  # first vids stream index
+    audio_si = None                  # first auds stream index
 
     def walk(start: int, stop: int) -> None:
-        nonlocal stream
+        nonlocal stream, si, video_si, audio_si
         for fourcc, body, size in riff_chunks(payload, start, stop):
             if fourcc == b"LIST":
                 list_type = payload[body:body + 4]
@@ -92,25 +102,36 @@ def decode_avi(payload: bytes) -> tuple[list[bytes], dict]:
                 meta.update(width=int(w), height=int(h),
                             n_frames=int(total), us_per_frame=int(uspf))
             elif fourcc == b"strh" and size >= 8:
+                si += 1
                 stream = payload[body:body + 4]
-                if stream == b"vids":
+                if stream == b"vids" and video_si is None:
+                    video_si = si
                     meta["handler"] = payload[body + 4:body + 8]
+                elif stream == b"auds" and audio_si is None:
+                    audio_si = si
             elif fourcc == b"strf":
-                if stream == b"vids" and size >= 40:
+                # geometry/format kept only for the FIRST stream of
+                # its kind — chunk collection below matches the same
+                # index, so later streams never mix into this decode
+                if stream == b"vids" and si == video_si and size >= 40:
                     # the video stream format is a BITMAPINFOHEADER
                     # (+ palette) — rawvideo (BI_RGB) frames are
                     # headerless pixel arrays whose geometry only
                     # lives here
                     meta["strf"] = payload[body:body + size]
-                elif stream == b"auds" and size >= 16:
+                elif stream == b"auds" and si == audio_si and size >= 16:
                     # WAVEFORMATEX: becomes the fmt chunk of the
                     # synthesized WAV in avi_audio_wav
                     meta["audio_strf"] = payload[body:body + size]
                 stream = None
-            elif fourcc[2:4] in (b"dc", b"db") and size > 0:
-                frames.append(payload[body:body + size])
-            elif fourcc[2:4] == b"wb" and size > 0:
-                audio.append(payload[body:body + size])
+            elif fourcc[2:4] in (b"dc", b"db") and size > 0 \
+                    and fourcc[:2].isdigit():
+                if int(fourcc[:2]) == video_si:
+                    frames.append(payload[body:body + size])
+            elif fourcc[2:4] == b"wb" and size > 0 \
+                    and fourcc[:2].isdigit():
+                if int(fourcc[:2]) == audio_si:
+                    audio.append(payload[body:body + size])
 
     walk(12, end)
     if meta["width"] is None:

@@ -164,7 +164,17 @@ def encode_mkv_mjpeg(jpeg_frames: list[bytes], width: int, height: int,
                       + _el(b"\xba", uint(height))))
     tracks = _el(b"\x16\x54\xae\x6b", track)
     # SimpleBlock: track vint 1, relative timestamp, keyframe flag,
-    # no lacing — one whole JPEG per block
+    # no lacing — one whole JPEG per block.  All blocks share one
+    # Cluster (timestamp base 0), so the signed-16-bit relative
+    # timestamp caps the writer at ~32767 ms of frames — fail loudly
+    # instead of letting struct.pack raise an opaque struct.error
+    last_ts = (len(jpeg_frames) - 1) * 1000 // fps
+    if last_ts > 0x7FFF:
+        raise ValueError(
+            f"encode_mkv_mjpeg: {len(jpeg_frames)} frames at fps={fps} "
+            f"needs a relative timestamp of {last_ts} ms, past the "
+            "signed-16-bit SimpleBlock limit of one Cluster — this "
+            "test-vector writer does not split clusters")
     blocks = b"".join(
         _el(b"\xa3", b"\x81" + struct.pack(">h", i * 1000 // fps)
             + b"\x80" + f)

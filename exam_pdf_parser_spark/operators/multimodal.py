@@ -1249,9 +1249,17 @@ def track_inventory(payload: bytes) -> list[dict]:
             if kind == "video":
                 dec = t["codec"] == "jpeg"
             elif kind == "audio":
-                # the decoder also demands a sample rate
+                # the decoder also demands a sample rate, and the PCM
+                # widths mirror _decode_bmff_audio exactly: 'twos'
+                # ships the depths _pcm_to_float handles, 'sowt' is
+                # 16-bit by definition (any other declared depth
+                # refuses loudly in the decoder)
                 dec = bool(t["rate"]) and (
-                    t["codec"] in ("sowt", "twos", "ulaw", "alaw")
+                    t["codec"] in ("ulaw", "alaw")
+                    or (t["codec"] == "twos"
+                        and (t["sample_bits"] or 16) in (8, 16, 24, 32))
+                    or (t["codec"] == "sowt"
+                        and (t["sample_bits"] or 16) == 16)
                     or (t["codec"] == "raw "
                         and (t["sample_bits"] or 8) == 8))
             else:

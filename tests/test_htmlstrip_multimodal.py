@@ -2921,8 +2921,8 @@ def test_avi_audio_track_extraction():
             + lst(b"hdrl", chunk(b"avih", avih)
                   + lst(b"strl", chunk(b"strh", a_strh)
                         + chunk(b"strf", wavefmt)))
-            + lst(b"movi", chunk(b"01wb", pcm[:cut])
-                  + chunk(b"01wb", pcm[cut:])))
+            + lst(b"movi", chunk(b"00wb", pcm[:cut])
+                  + chunk(b"00wb", pcm[cut:])))
     audio_only = b"RIFF" + struct.pack("<I", len(body)) + body
 
     x, rate = decode_audio(audio_only)
@@ -3426,3 +3426,149 @@ def test_mkv_intra_frame_sample_decode():
     # Xiph sizes exceeding the body: ValueError (quarantined upstream)
     with pytest.raises(ValueError):
         decode_audio(blob.replace(bytes([6, 10]), bytes([6, 200])))
+
+
+def _mini_mp4_audio(codec: bytes, bits: int, pcm: bytes,
+                    sample_size: int) -> bytes:
+    """Minimal audio-only ISO BMFF: one soun trak, one chunk, uniform
+    sample size — just enough stbl for mp4_tracks."""
+    import struct
+
+    def box(fourcc, body):
+        return struct.pack(">I", len(body) + 8) + fourcc + body
+
+    def u32(v):
+        return struct.pack(">I", v)
+
+    def u16(v):
+        return struct.pack(">H", v)
+
+    ftyp = box(b"ftyp", b"isom" + u32(0) + b"isom")
+    off = len(ftyp) + 8
+    mdat = box(b"mdat", pcm)
+    n = len(pcm) // sample_size
+    entry = (u32(36) + codec + b"\0" * 6 + u16(1)
+             + u16(0) + u16(0) + u32(0)
+             + u16(1) + u16(bits) + u16(0) + u16(0)
+             + u32(8000 << 16))
+    hdlr = box(b"hdlr", u32(0) + b"\0\0\0\0" + b"soun" + b"\0" * 12)
+    stbl = (box(b"stsd", u32(0) + u32(1) + entry)
+            + box(b"stsz", u32(0) + u32(sample_size) + u32(n))
+            + box(b"stsc", u32(0) + u32(1) + u32(1) + u32(n) + u32(1))
+            + box(b"stco", u32(0) + u32(1) + u32(off)))
+    trak = box(b"trak", box(b"mdia", hdlr + box(
+        b"minf", box(b"stbl", stbl))))
+    return ftyp + mdat + box(b"moov", trak)
+
+
+def test_bmff_pcm_depth_mirror():
+    """ADVICE r6: the BMFF audio decodability mirror pins PCM widths
+    to what _decode_bmff_audio actually ships — a 'twos' track
+    declaring 20-bit and a 'sowt' track declaring 24-bit both route
+    decodable=false AND refuse loudly at decode time (mirror and
+    decode path agree on both sides); 'twos' 24-bit is a positive
+    control through the new width set."""
+    import numpy as np
+    import pytest
+
+    from exam_pdf_parser_spark.operators.multimodal import (
+        decode_audio, track_inventory,
+    )
+
+    blob20 = _mini_mp4_audio(b"twos", 20, b"\0" * 10, 5)
+    [r] = track_inventory(blob20)
+    assert (r["kind"], r["decodable"]) == ("audio", False)
+    with pytest.raises(NotImplementedError, match="20-bit"):
+        decode_audio(blob20)
+
+    blob_sowt = _mini_mp4_audio(b"sowt", 24, b"\0" * 12, 3)
+    [r] = track_inventory(blob_sowt)
+    assert r["decodable"] is False
+    with pytest.raises(NotImplementedError, match="sowt"):
+        decode_audio(blob_sowt)
+
+    samples = np.array([-(1 << 22), 0, 1 << 20, (1 << 23) - 1])
+    raw = b"".join((int(v) & 0xFFFFFF).to_bytes(3, "big")
+                   for v in samples)
+    blob = _mini_mp4_audio(b"twos", 24, raw, 3)
+    [r] = track_inventory(blob)
+    assert r["decodable"] is True
+    x, rate = decode_audio(blob)
+    assert rate == 8000
+    np.testing.assert_allclose(x, samples / 8388608.0)
+
+
+def test_mkv_writer_timestamp_guard():
+    """ADVICE r6: encode_mkv_mjpeg keeps every SimpleBlock in one
+    Cluster with signed-16-bit relative timestamps; past ~327 frames
+    at fps=10 it must fail with a clear ValueError, not an opaque
+    struct.error."""
+    import numpy as np
+    import pytest
+
+    from exam_pdf_parser_spark.core.ebml import encode_mkv_mjpeg
+    from exam_pdf_parser_spark.core.jpeg import encode_jpeg_gray
+    from exam_pdf_parser_spark.operators.multimodal import decode_video
+
+    jf = encode_jpeg_gray(np.full((8, 8), 3, np.uint8))
+    with pytest.raises(ValueError, match="SimpleBlock"):
+        encode_mkv_mjpeg([jf] * 330, 8, 8, fps=10)
+    assert len(decode_video(encode_mkv_mjpeg([jf] * 3, 8, 8))) == 3
+
+
+def test_multistream_avi_first_video_stream_wins():
+    """ADVICE r6: a two-video-stream AVI (MJPEG stream 0 + rawvideo
+    stream 1 with different geometry) decodes ONLY stream 0's chunks
+    under stream 0's strf — stream 1's strf must not override the
+    geometry/codec decision and its chunks must not mix in.
+    track_inventory still reports both streams."""
+    import struct
+
+    import numpy as np
+
+    from exam_pdf_parser_spark.core.avi import riff_chunk
+    from exam_pdf_parser_spark.core.jpeg import (
+        decode_jpeg_gray, encode_jpeg_gray,
+    )
+    from exam_pdf_parser_spark.operators.multimodal import (
+        decode_video, track_inventory,
+    )
+
+    rng = np.random.RandomState(11)
+    jpg = encode_jpeg_gray(rng.randint(0, 256, (16, 16)).astype(np.uint8))
+
+    def lst(t, b):
+        return riff_chunk(b"LIST", t + b)
+
+    avih = struct.pack("<14I", 100_000, 0, 0, 0x10, 1, 0, 2,
+                       0, 16, 16, 0, 0, 0, 0)
+    strh0 = (b"vids" + b"MJPG" + struct.pack("<I", 0)
+             + struct.pack("<HH", 0, 0)
+             + struct.pack("<8I", 0, 1, 10, 0, 1, len(jpg),
+                           0xFFFFFFFF, 0)
+             + struct.pack("<4H", 0, 0, 16, 16))
+    strf0 = struct.pack("<IiiHH4sI4i", 40, 16, 16, 1, 24, b"MJPG",
+                        16 * 16 * 3, 0, 0, 0, 0)
+    strh1 = (b"vids" + b"\x00\x00\x00\x00" + struct.pack("<I", 0)
+             + struct.pack("<HH", 0, 0)
+             + struct.pack("<8I", 0, 1, 10, 0, 1, 8, 0xFFFFFFFF, 0)
+             + struct.pack("<4H", 0, 0, 4, 2))
+    strf1 = struct.pack("<IiiHH4sI4i", 40, 4, 2, 1, 8,
+                        b"\x00\x00\x00\x00", 8, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", riff_chunk(b"avih", avih)
+               + lst(b"strl", riff_chunk(b"strh", strh0)
+                     + riff_chunk(b"strf", strf0))
+               + lst(b"strl", riff_chunk(b"strh", strh1)
+                     + riff_chunk(b"strf", strf1)))
+    movi = riff_chunk(b"LIST", b"movi"
+                      + riff_chunk(b"00dc", jpg)
+                      + riff_chunk(b"01dc", b"\xAA" * 8))
+    body = b"AVI " + hdrl + movi
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    [frame] = decode_video(blob)
+    assert np.array_equal(frame, decode_jpeg_gray(jpg))
+
+    inv = track_inventory(blob)
+    assert [(r["kind"], r["codec"], r["n_samples"]) for r in inv] == \
+        [("video", "mjpg", 1), ("video", "rawvideo", 1)]
