@@ -38,7 +38,17 @@ from ..core.assemble import (
     annotate_block_texts, assemble_text, decode_payload, encode_payload,
 )
 from ..core.detector import detect_regions
+from ..core.shard import DEFAULT_SHARD_SPANS, shard_row
 from .extract import EXTRACT_SCHEMA
+
+# EXTRACT_SCHEMA + the shard coordinates (core/shard.py): emitted when
+# giant-output sharding is enabled so no single output row can exceed
+# task memory at the bucketed write
+SHARDED_EXTRACT_SCHEMA = StructType(
+    EXTRACT_SCHEMA.fields + [
+        StructField("shard_idx", IntegerType(), False),
+        StructField("n_shards", IntegerType(), False),
+    ])
 
 PAGED_SCHEMA = StructType([
     StructField("url", StringType(), False),
@@ -77,9 +87,20 @@ def paged_corpus_df(spark: SparkSession, n_docs: int, seed: int = 42,
     return spark.range(0, n_docs, 1, parts).mapInPandas(gen, PAGED_SCHEMA)
 
 
-def extract_paged(paged: DataFrame, min_q: int = 1, max_q: int = 50) -> DataFrame:
+def extract_paged(paged: DataFrame, min_q: int = 1, max_q: int = 50,
+                  shard_chars: int | None = None,
+                  shard_spans: int | None = None) -> DataFrame:
     """(url, page_idx, page_html) → EXTRACT_SCHEMA rows, byte-identical
-    to ``extract()`` over the equivalent whole-doc table."""
+    to ``extract()`` over the equivalent whole-doc table.
+
+    ``shard_chars`` (opt-in, round-7 ask #1): bound the OUTPUT row size
+    — a document whose assembled text exceeds ``shard_chars`` chars or
+    whose span list exceeds ``shard_spans`` (default
+    ``core.shard.DEFAULT_SHARD_SPANS``) is emitted as multiple
+    SHARDED_EXTRACT_SCHEMA rows under the ``core/shard.py`` rule, so the
+    durable write never has to materialize one hundreds-of-MB row
+    (the measured ~250 MB/slot OOM).  Byte identity holds under the
+    documented reassembly rule (:func:`reassemble_sharded`)."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # stage A: heavy zlib+json decode, embarrassingly parallel per PAGE
@@ -106,21 +127,33 @@ def extract_paged(paged: DataFrame, min_q: int = 1, max_q: int = 50) -> DataFram
 
     decoded = paged.mapInPandas(decode, _DECODED_SCHEMA)
 
+    sharding = shard_chars is not None
+    if sharding and shard_spans is None:
+        shard_spans = DEFAULT_SHARD_SPANS
+    out_schema = SHARDED_EXTRACT_SCHEMA if sharding else EXTRACT_SCHEMA
+
+    def _rows(row: dict) -> pd.DataFrame:
+        # single exit point: apply the shard rule (or pass through) so
+        # the quarantine path and the ok path emit the same shape
+        if sharding:
+            return pd.DataFrame(shard_row(row, shard_chars, shard_spans))
+        return pd.DataFrame([row])
+
     def detect(key, pdf: pd.DataFrame) -> pd.DataFrame:
         # stage B: the url-keyed stateful scan over rebuilt pages.
         # Same quarantine contract as extract(): nothing a document
         # contains may fail the task.
         url = key[0]
         try:
-            return _detect_one(url, pdf)
+            return _rows(_detect_one(url, pdf))
         except Exception as e:
-            return pd.DataFrame([{
+            return _rows({
                 "url": url, "extracted_text": None, "spans": [],
                 "status": "error",
                 "error": f"{type(e).__name__}: {e}"[:500],
-            }])
+            })
 
-    def _detect_one(url: str, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _detect_one(url: str, pdf: pd.DataFrame) -> dict:
         pages = []
         corrupt = False
         errs: list[str] = []
@@ -138,14 +171,14 @@ def extract_paged(paged: DataFrame, min_q: int = 1, max_q: int = 50) -> DataFram
                 continue               # decodable doc with zero pages
             pages.append(page)
         if corrupt and not pages:
-            return pd.DataFrame([{
+            return {
                 "url": url, "extracted_text": None, "spans": [],
                 "status": "error",
                 "error": errs[0] if errs else "all pages undecodable",
-            }])
+            }
         annotate_block_texts(pages)  # single text pass, as in extract()
         regions = detect_regions(pages, min_q, max_q)
-        return pd.DataFrame([{
+        return {
             "url": url,
             "extracted_text": assemble_text(pages),
             "spans": [{
@@ -159,9 +192,44 @@ def extract_paged(paged: DataFrame, min_q: int = 1, max_q: int = 50) -> DataFram
             } for r in regions],
             "status": "ok" if not corrupt else "partial",
             "error": None if not corrupt else "some pages undecodable",
-        }])
+        }
 
-    return decoded.groupBy("url").applyInPandas(detect, EXTRACT_SCHEMA)
+    return decoded.groupBy("url").applyInPandas(detect, out_schema)
+
+
+def reassemble_sharded(df: DataFrame) -> DataFrame:
+    """SHARDED_EXTRACT_SCHEMA rows → one EXTRACT_SCHEMA row per url,
+    under the ``core/shard.py`` reassembly rule: text chunks and span
+    slices concatenated in ``shard_idx`` order; single-shard rows pass
+    through (preserving a null error text).
+
+    This is the VERIFICATION / small-consumer side of the contract —
+    it deliberately rebuilds the giant row, so it must only run where
+    that row fits (tests, spot-checks).  Scale consumers should read
+    the sharded shape directly: ``spans`` slices explode to the same
+    flat span table without reassembly, and text chunks stream."""
+    from pyspark.sql import functions as F
+
+    parts = F.array_sort(F.collect_list(F.struct(
+        F.col("shard_idx"),
+        F.col("extracted_text").alias("t"),
+        F.col("spans").alias("s"))))
+    agg = df.groupBy("url").agg(
+        parts.alias("parts"),
+        F.max("n_shards").alias("n_shards"),
+        F.first("status").alias("status"),
+        F.first("error").alias("error"),
+    )
+    # n_shards == 1: pass the chunk through untouched (it may be NULL —
+    # concat_ws would coerce it to "")
+    text = F.when(F.col("n_shards") == 1,
+                  F.element_at("parts", 1)["t"]).otherwise(
+        F.concat_ws("", F.transform("parts", lambda p: p["t"])))
+    return agg.select(
+        "url",
+        text.alias("extracted_text"),
+        F.flatten(F.transform("parts", lambda p: p["s"])).alias("spans"),
+        "status", "error")
 
 
 # --- automatic giant-doc routing ---------------------------------------------
@@ -228,7 +296,9 @@ ROUTED_SCHEMA = StructType(
 
 def extract_auto(documents: DataFrame, min_q: int = 1, max_q: int = 50,
                  giant_bytes: int = GIANT_BYTES,
-                 with_timing: bool = False) -> DataFrame:
+                 with_timing: bool = False,
+                 shard_chars: int | None = None,
+                 shard_spans: int | None = None) -> DataFrame:
     """Size-routed extraction in a SINGLE source scan: one
     ``mapInPandas`` router reads each document once — ordinary
     documents are extracted in place (the zero-shuffle whole-doc path,
@@ -258,6 +328,16 @@ def extract_auto(documents: DataFrame, min_q: int = 1, max_q: int = 50,
     many extractions in one session must do the same or accumulate
     disk-backed cache blocks.
 
+    ``shard_chars`` (round-7 ask #1, opt-in): bound every OUTPUT row
+    under the ``core/shard.py`` rule — output gains
+    ``(shard_idx, n_shards)`` and rows above the thresholds split.
+    Applied on BOTH branches: the giant branch (where the measured
+    ~250 MB/slot write OOM lives) and the ordinary branch — a payload
+    small enough to dodge the ``giant_bytes`` router can still expand
+    to a giant output (zlib bombs), so the row-size guarantee must not
+    depend on the routing decision.  Byte identity holds under
+    :func:`reassemble_sharded`.
+
     ``with_timing=True`` appends ``proc_us`` (matching
     ``extract(with_timing=True)``, the manifest pipeline's per-bucket
     metric source): measured per ordinary document in the router;
@@ -274,11 +354,18 @@ def extract_auto(documents: DataFrame, min_q: int = 1, max_q: int = 50,
     from .extract import extract_one_row
 
     docs = documents.select("url", "html")
+    sharding = shard_chars is not None
+    if sharding and shard_spans is None:
+        shard_spans = DEFAULT_SHARD_SPANS
     schema = ROUTED_SCHEMA
+    if sharding:
+        schema = StructType(
+            schema.fields + [StructField("shard_idx", IntegerType(), False),
+                             StructField("n_shards", IntegerType(), False)])
     if with_timing:
         from pyspark.sql.types import LongType
         schema = StructType(
-            ROUTED_SCHEMA.fields + [StructField("proc_us", LongType())])
+            schema.fields + [StructField("proc_us", LongType())])
     cols = [f.name for f in schema.fields]
 
     # bounded emit: flush accumulated rows every CHUNK so one
@@ -304,9 +391,21 @@ def extract_auto(documents: DataFrame, min_q: int = 1, max_q: int = 50,
                     r = extract_one_row(url, blob, min_q, max_q)
                     r["page_idx"] = None
                     r["page_html"] = None
-                    if with_timing:
-                        r["proc_us"] = (time.perf_counter_ns() - t0) // 1000
-                    rows.append(r)
+                    proc = (time.perf_counter_ns() - t0) // 1000
+                    # sharding applies here too (zlib-bomb guard: a
+                    # small payload can expand to a giant output row);
+                    # proc_us lands on shard 0 only so the per-url sum
+                    # stays the document's actual time
+                    shards = (shard_row(r, shard_chars, shard_spans)
+                              if sharding else [r])
+                    for s in shards:
+                        if with_timing:
+                            s["proc_us"] = proc if s.get(
+                                "shard_idx", 0) == 0 else 0
+                        rows.append(s)
+                        if len(rows) >= chunk_rows:
+                            yield _frame(rows)
+                            rows = []
                 else:
                     page_rows = _page_rows_of(url, blob)
                     explode_us = (time.perf_counter_ns() - t0) // 1000
@@ -316,6 +415,12 @@ def extract_auto(documents: DataFrame, min_q: int = 1, max_q: int = 50,
                             "status": _PAGE_STATUS, "error": None,
                             "page_idx": idx, "page_html": payload,
                         }
+                        if sharding:
+                            # placeholder coordinates; the page rows are
+                            # dropped before extract_paged re-emits real
+                            # shard coordinates for the giant's output
+                            row["shard_idx"] = 0
+                            row["n_shards"] = 1
                         if with_timing:
                             # stamp the explode cost on the FIRST page
                             # row only, so the per-url sum stays the
@@ -333,15 +438,18 @@ def extract_auto(documents: DataFrame, min_q: int = 1, max_q: int = 50,
 
     routed = docs.mapInPandas(route, schema).persist(
         StorageLevel.MEMORY_AND_DISK)
-    done_cols = [f.name for f in EXTRACT_SCHEMA.fields] + (
-        ["proc_us"] if with_timing else [])
+    done_cols = ([f.name for f in EXTRACT_SCHEMA.fields]
+                 + (["shard_idx", "n_shards"] if sharding else [])
+                 + (["proc_us"] if with_timing else []))
     done = routed.filter(F.col("status") != _PAGE_STATUS).select(*done_cols)
     # repartition AFTER the router: one giant doc's pages must spread
     # across tasks (the whole point of the route); the shuffle moves
     # only the rare giant payloads
     giant_pages = routed.filter(F.col("status") == _PAGE_STATUS).select(
         "url", "page_idx", "page_html").repartition("url", "page_idx")
-    giant_done = extract_paged(giant_pages, min_q, max_q)
+    giant_done = extract_paged(giant_pages, min_q, max_q,
+                               shard_chars=shard_chars,
+                               shard_spans=shard_spans)
     if with_timing:
         # the giant docs' router explode time, re-attached per url;
         # the distributed decode/detect cost is deliberately NOT
@@ -349,6 +457,12 @@ def extract_auto(documents: DataFrame, min_q: int = 1, max_q: int = 50,
         giant_us = (routed.filter(F.col("status") == _PAGE_STATUS)
                     .groupBy("url").agg(F.sum("proc_us").alias("proc_us")))
         giant_done = giant_done.join(giant_us, "url", "left")
+        if sharding:
+            # the join stamps every shard of a giant url — keep it on
+            # shard 0 only so per-url cpu sums don't scale with n_shards
+            giant_done = giant_done.withColumn(
+                "proc_us", F.when(F.col("shard_idx") == 0,
+                                  F.col("proc_us")).otherwise(F.lit(0)))
     result = done.unionByName(giant_done)
     # cache-lifetime handle: long-lived sessions should release the
     # routed materialization once the result has been consumed —

@@ -223,6 +223,7 @@ def run_extraction(
     max_q: int = 50,
     route_giants: bool = False,
     compact_after: int | None = 64,
+    shard_chars: int | None = None,
 ) -> dict:
     """Execute (or resume) a bucketed extraction run.
 
@@ -236,6 +237,16 @@ def run_extraction(
     router's explode only (see ``extract_auto``), so giant-heavy
     buckets UNDERSTATE cpu_ms — docs/sec and error metrics are exact
     either way.
+
+    ``shard_chars`` (requires ``route_giants=True``; round-7 ask #1):
+    bound every output ROW — documents whose extracted text / span
+    list exceed the threshold write as multiple
+    ``(shard_idx, n_shards)`` rows under the ``core/shard.py`` rule,
+    so the bucketed write never materializes one hundreds-of-MB row
+    (the measured ~250 MB/slot OOM at 8g × 32 slots).  Reassembly =
+    ``operators.extract_paged.reassemble_sharded``; manifest metrics
+    stay per-DOCUMENT (docs_in/errors count shard 0 only, rows_out
+    sums span slices — a partition of the unsharded list).
 
     ``compact_after`` (retention policy, default 64): after this run's
     commit, if the manifest directory holds more than that many
@@ -257,17 +268,23 @@ def run_extraction(
     # instead of joining back to the input (saves a full shuffle), then
     # co-locate each bucket in one task so partitionBy writes one file
     # per bucket dir instead of (tasks × buckets) small files.
+    if shard_chars is not None and not route_giants:
+        raise ValueError("shard_chars requires route_giants=True "
+                         "(sharding lives on the routed path)")
     if route_giants:
         from ..operators.extract_paged import extract_auto
-        extracted = extract_auto(pending, min_q, max_q, with_timing=True)
+        extracted = extract_auto(pending, min_q, max_q, with_timing=True,
+                                 shard_chars=shard_chars)
     else:
         extracted = extract(pending, min_q, max_q, with_timing=True)
     out = extracted.withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int"))
 
     ext_path = os.path.join(out_dir, "extracted")
-    (out.select("url", "extracted_text", "spans", "status", "error",
-                "proc_us", "bucket")
+    out_cols = ["url", "extracted_text", "spans", "status", "error"] \
+        + (["shard_idx", "n_shards"] if shard_chars is not None else []) \
+        + ["proc_us", "bucket"]
+    (out.select(*out_cols)
         .repartition(n_buckets, F.col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(ext_path))
     wall_ms = int((time.perf_counter() - t0) * 1000)
@@ -295,16 +312,23 @@ def run_extraction(
     cpu_col = (F.sum(F.coalesce(F.col("proc_us"), F.lit(0)))
                if "proc_us" in written.columns
                else F.lit(0).cast("long"))
+    # sharded output: a document is counted once via its shard-0 row
+    # (unsharded rows ARE shard 0; rows from pre-shard directories read
+    # shard_idx as NULL — coalesce keeps them counted).  rows_out sums
+    # span-slice sizes, a partition of the unsharded list, so it is
+    # shard-invariant by construction.
+    doc0 = (F.coalesce(F.col("shard_idx"), F.lit(0)) == 0) \
+        if "shard_idx" in written.columns else F.lit(True)
     pending_buckets = sorted(set(range(n_buckets)) - done)
     stats = {
         r["bucket"]: r
         for r in written.filter(F.col("bucket").isin(pending_buckets))
         .groupBy("bucket")
         .agg(
-            F.count("*").alias("docs_in"),
+            F.sum(F.when(doc0, 1).otherwise(0)).alias("docs_in"),
             F.sum(F.size("spans")).alias("rows_out"),
-            F.sum(F.when(F.col("status") == "error", 1).otherwise(0))
-            .alias("errors"),
+            F.sum(F.when(doc0 & (F.col("status") == "error"), 1)
+                  .otherwise(0)).alias("errors"),
             cpu_col.alias("cpu_us"),
         ).collect()
     } if pending_buckets else {}

@@ -10,7 +10,16 @@ heap, asserting
   * the page-parallel path engages — the router's cache holds exactly
     n_pages ``__page__`` rows for the giant.
 
-Usage: python scripts/giant_stress_bench.py [n_pages] [n_docs]
+Usage: python scripts/giant_stress_bench.py [n_pages] [n_docs] [--shard]
+
+``--shard`` (round-7 ask #1) turns on engine-side giant-output
+sharding (``run_extraction(shard_chars=...)`` at the core/shard.py
+defaults): the giant's output writes as bounded ``(shard_idx,
+n_shards)`` rows instead of one hundreds-of-MB row, so THIS mode must
+run green at the exact config that OOM'd unsharded (8g heap ×
+local[32], ~250 MB/slot) — byte identity then asserted through
+``reassemble_sharded``.
+
 Prints one JSON line; results recorded in BENCH_SCALING.md.
 """
 
@@ -105,9 +114,15 @@ def main() -> None:
     from exam_pdf_parser_spark.session import get_spark
     from exam_pdf_parser_spark.sources.manifest import run_extraction
 
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
-    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 120_000
+    args = [a for a in sys.argv[1:] if a != "--shard"]
+    shard = "--shard" in sys.argv[1:]
+    n_pages = int(args[0]) if len(args) > 0 else 50_000
+    n_docs = int(args[1]) if len(args) > 1 else 120_000
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shard_chars = None
+    if shard:
+        from exam_pdf_parser_spark.core.shard import DEFAULT_SHARD_CHARS
+        shard_chars = DEFAULT_SHARD_CHARS
 
     spark = get_spark("giant-stress", master=f"local[{cpus}]",
                       shuffle_partitions=int(cpus))
@@ -146,33 +161,62 @@ def main() -> None:
     shutil.rmtree(OUT_DIR, ignore_errors=True)
     t0 = time.perf_counter()
     s1 = run_extraction(spark, mixed, OUT_DIR, "giant-stress",
-                        n_buckets=64, route_giants=True)
+                        n_buckets=64, route_giants=True,
+                        shard_chars=shard_chars)
     wall = time.perf_counter() - t0
     mon.stop()
 
     written = spark.read.parquet(os.path.join(OUT_DIR, "extracted"))
-    giant_row = written.filter(F.col("url") == url_g).collect()
+    n_giant_shards = 1
+    if shard:
+        # reassemble DRIVER-side with the pure shard rule: the Spark
+        # helper (reassemble_sharded) would rebuild the giant row
+        # inside one agg task — the very allocation sharding exists to
+        # avoid; its byte-identity is pinned at test scale in
+        # tests/test_shard_giants.py
+        from exam_pdf_parser_spark.core.shard import reassemble_rows
+        g_rows = [r.asDict(recursive=True)
+                  for r in written.filter(F.col("url") == url_g).collect()]
+        n_giant_shards = len(g_rows)
+        assert n_giant_shards == g_rows[0]["n_shards"] > 1
+        assert all(len(r["extracted_text"]) * 4 + len(r["spans"]) * 400
+                   < 32_000_000 for r in g_rows)   # rows really bounded
+        for r in g_rows:
+            r.pop("proc_us", None)
+            r.pop("bucket", None)
+        giant_row = [reassemble_rows(g_rows)]
+    else:
+        giant_row = written.filter(F.col("url") == url_g).collect()
     assert len(giant_row) == 1 and giant_row[0]["status"] == "ok"
     bad_row = written.filter(
         F.col("url") == "https://bad.example/x").collect()
     assert len(bad_row) == 1 and bad_row[0]["status"] == "error"
 
     # byte identity vs the whole-doc path on the same payload
+    def span_tuples(spans):
+        # Row (unsharded collect) or dict (driver reassembly) — both
+        # preserve SPAN_STRUCT field order
+        return [tuple(s.values()) if isinstance(s, dict) else tuple(s)
+                for s in spans]
+
     ref = extract(gdf).collect()[0]
     got = giant_row[0]
     identical = (ref["extracted_text"] == got["extracted_text"]
-                 and [tuple(s) for s in ref["spans"]]
-                 == [tuple(s) for s in got["spans"]])
+                 and span_tuples(ref["spans"])
+                 == span_tuples(got["spans"]))
     assert identical, "routed giant diverged from whole-doc extract"
 
     t0 = time.perf_counter()
     s2 = run_extraction(spark, mixed, OUT_DIR, "giant-resume",
-                        n_buckets=64, route_giants=True)
+                        n_buckets=64, route_giants=True,
+                        shard_chars=shard_chars)
     resume = time.perf_counter() - t0
     assert s2["buckets_processed"] == 0
 
     print(json.dumps({
         "metric": "giant-doc-stress",
+        "shard_chars": shard_chars,
+        "giant_shards": n_giant_shards,
         "n_pages": n_pages,
         "giant_payload_mb": round(giant_mb, 1),
         "giant_decoded_mb": round(decoded_mb, 1),
