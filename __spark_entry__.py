@@ -218,18 +218,23 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _xoracle_sql() -> dict[str, str]:
-    """DuckDB twins for four extraction-family queries (round-6
-    promotion from rows-only).  The independent single-node Python
-    oracle (``core/oracle_x.py``) materializes its tables as committed
+    """DuckDB twins for six extraction-family queries (four promoted
+    round 6, two more — ``x_parsed_questions``, ``x_extract_doc_stats``
+    — round 7).  The independent single-node Python oracle
+    (``core/oracle_x.py``) materializes its tables as committed
     parquet at the gate scale (``scripts/make_xoracle_tables.py``,
     staleness-pinned by pytest); DuckDB then RECOMPUTES the relational
-    stage — the exam-info aggregation and the A/B compare full-outer
-    join — from the oracle's parsed tables, and serves the two outputs
-    whose kernels are not relational (SequenceMatcher scoring with
+    stage — the exam-info aggregation, the A/B compare full-outer
+    join, and the doc-stats span-count group-by + zero-preserving left
+    join — from the oracle's tables, and serves the outputs whose
+    kernels are not relational (SequenceMatcher scoring with
     Python-pinned float accumulation order; the 24-rule validation
-    cascade).  Valid only at sf0.01, the driver-gate scale — the other
-    five ``x_*`` queries stay rows-only here and all nine remain
-    hash-graded against the live oracle at BOTH scales in XCHECK."""
+    cascade; the parse kernel's direct field projection).  Valid only
+    at sf0.01, the driver-gate scale — the remaining three ``x_*``
+    queries (``x_extract_spans``, ``x_crop_manifest``,
+    ``x_boilerplate_strip``: layout-decode payloads DuckDB cannot
+    process) stay rows-only here and all nine remain hash-graded
+    against the live oracle at BOTH scales in XCHECK."""
     import os
 
     d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -284,6 +289,15 @@ def _xoracle_sql() -> dict[str, str]:
           ON s.url = coalesce(a.url, b.url)
          AND s.number = coalesce(a.number, b.number)
     """
+    doc_stats = f"""
+        SELECT d.url, d.text_len,
+               CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+               d.status
+        FROM read_parquet('{d}/extract_docs.parquet') d
+        LEFT JOIN (SELECT url, count(*) AS n_spans
+                   FROM read_parquet('{d}/span_urls.parquet')
+                   GROUP BY url) s USING (url)
+    """
     return {
         "x_exam_info": exam_info,
         "x_compare_configs": compare,
@@ -292,4 +306,7 @@ def _xoracle_sql() -> dict[str, str]:
         "x_validation_issues":
             f"SELECT * FROM "
             f"read_parquet('{d}/validation_issues.parquet')",
+        "x_extract_doc_stats": doc_stats,
+        "x_parsed_questions":
+            f"SELECT * FROM read_parquet('{d}/parsed_questions.parquet')",
     }

@@ -448,6 +448,14 @@ def build_xoracle_tables(sf_dir: str) -> dict[str, list[dict]]:
       kernel is 24 rule functions, not a relational plan — SQL
       re-derivation would either diverge bit-wise or re-implement the
       rules a third time.
+    * ``extract_docs`` / ``span_urls`` (round-7 promotion) — the
+      doc-level (url, text_len, status) and the span-level url list;
+      DuckDB RECOMPUTES ``x_extract_doc_stats``'s per-url span count
+      via group-by + left join (zero-span docs included).
+    * ``parsed_questions`` (round-7 promotion) — the full
+      ``x_parsed_questions`` projection, served as-is: every column is
+      the parse kernel's direct output (layout decode → region scan →
+      field regexes), nothing relational to recompute.
 
     Row order is deterministic (sorted keys) so the committed parquet
     is byte-stable under regeneration.
@@ -475,6 +483,7 @@ def build_xoracle_tables(sf_dir: str) -> dict[str, list[dict]]:
         return out
 
     compare = x_compare_configs(rows)
+    doc_stats = x_extract_doc_stats(rows)
     return {
         "parsed_a": parsed_tbl(_parsed_by_url(rows, max_q=50)),
         "parsed_b": parsed_tbl(_parsed_by_url(rows, max_q=20)),
@@ -484,4 +493,9 @@ def build_xoracle_tables(sf_dir: str) -> dict[str, list[dict]]:
             for r in compare],
         "eval_scores": x_eval_scores(rows),
         "validation_issues": x_validation_issues(rows),
+        "extract_docs": [
+            {"url": r["url"], "text_len": r["text_len"],
+             "status": r["status"]} for r in doc_stats],
+        "span_urls": [{"url": s["url"]} for s in x_extract_spans(rows)],
+        "parsed_questions": x_parsed_questions(rows),
     }
