@@ -105,6 +105,97 @@ def test_eval_single_shuffle_per_cogroup(spark):
     assert "FlatMapCoGroupsInPandas" in plan
 
 
+# --- round-7 ask #4: pinned per-query plan snapshots -------------------------
+
+# The documented quadratic exact tiers (hard-capped by assert_exact_tier
+# with a named scale twin) are the ONLY places a nested-loop join may
+# appear; everything else must stay hash/sort-merge/broadcast-hash.
+BNLJ_ALLOWED = {"ann_topk_dot", "embedding_near_dups"}
+
+# Headline-query plan pins at sf0.001 under the session config
+# (local[4], shuffle_partitions=4, AQE initial plan):
+# (data shuffles, broadcast exchanges, BHJ, SMJ, BNLJ).  These encode
+# the scale-safe shapes audited by hand each round — ids-only band
+# joins, no-BNLJ pigeonhole, fixed-dim broadcasts, the zero-exchange
+# extraction core.  A Spark upgrade or config change that silently
+# degrades a plan (e.g. a broadcast flipping to SMJ, a new shuffle in
+# the extraction path) fails HERE instead of surfacing as a bench
+# mystery two rounds later.  If a change is INTENTIONAL, re-pin and
+# say so in the commit message.
+HEADLINE_PLAN_PINS = {
+    # one shuffle: the groupBy(returnflag, linestatus) agg
+    "pricing_summary": (1, 0, 0, 0, 0),
+    # dims broadcast (region/nation force-bcast + customer picked by
+    # the planner at this sf); shuffles: join-key + final agg
+    "revenue_by_nation": (2, 3, 3, 0, 0),
+    # part dim broadcast; shuffles: agg + rank window
+    "top_parts_by_brand": (2, 1, 1, 0, 0),
+    # one shuffle: the per-entity window (carry-forward scan)
+    "events_carry_forward": (1, 0, 0, 0, 0),
+    # pure narrow column ops — zero exchanges end to end
+    "doc_token_stats": (0, 0, 0, 0, 0),
+    "doc_quality": (0, 0, 0, 0, 0),
+    # one shuffle: groupBy(md5) — the hash carries (doc_id, md5) only
+    "exact_dup_assignment": (1, 0, 0, 0, 0),
+    # banded ids-only self-join + candidate-restricted token aggs;
+    # the two SMJs are the band join + token re-join at initial plan
+    "minhash_lsh_pairs": (8, 2, 2, 2, 0),
+    # 7-chunk pigeonhole equi-join behind the hot-key guard — never a
+    # nested loop
+    "simhash_near_pairs": (5, 3, 3, 0, 0),
+    # the documented 25-query broadcast exact tier: its BNLJ is the
+    # contract (queries broadcast, corpus streamed once)
+    "ann_topk_dot": (1, 1, 0, 0, 1),
+    # zero-shuffle extraction core + narrow explode
+    "x_extract_spans": (0, 0, 0, 0, 0),
+}
+
+
+def _plan_counts(plan: str) -> tuple[int, int, int, int, int]:
+    shuffles = (plan.count("Exchange hashpartitioning")
+                + plan.count("Exchange rangepartitioning")
+                + plan.count("Exchange SinglePartition"))
+    return (shuffles,
+            plan.count("BroadcastExchange"),
+            plan.count("BroadcastHashJoin"),
+            plan.count("SortMergeJoin"),
+            plan.count("BroadcastNestedLoopJoin"))
+
+
+def test_headline_query_plans_pinned(spark):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    bad = {}
+    for name, want in HEADLINE_PLAN_PINS.items():
+        got = _plan_counts(_plan(q[name](spark, SF)))
+        if got != want:
+            bad[name] = {"want": want, "got": got}
+    assert not bad, (
+        "headline plan shape drifted (shuffles, bcasts, BHJ, SMJ, BNLJ) "
+        f"— re-pin only if intentional: {bad}")
+
+
+def test_no_scale_killers_in_any_query(spark):
+    """Universal sweep over the full 50-query registry: no
+    CartesianProduct anywhere, no row-at-a-time Python eval anywhere,
+    and nested-loop joins only inside the documented hard-capped exact
+    tiers (BNLJ_ALLOWED)."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    bad = []
+    for name, fn in q.items():
+        plan = _plan(fn(spark, SF))
+        if "CartesianProduct" in plan:
+            bad.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            bad.append(f"{name}: row-at-a-time Python UDF")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            bad.append(f"{name}: undocumented BroadcastNestedLoopJoin")
+    assert not bad, bad
+
+
 def test_time_partition_pruning(spark, tmp_path):
     """Iceberg-style time partitioning on the parquet substitute: a
     crawl-date predicate must prune at the PARTITION level (visible as
