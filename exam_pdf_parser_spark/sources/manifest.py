@@ -224,6 +224,7 @@ def run_extraction(
     route_giants: bool = False,
     compact_after: int | None = 64,
     shard_chars: int | None = None,
+    buckets: list[int] | None = None,
 ) -> dict:
     """Execute (or resume) a bucketed extraction run.
 
@@ -248,6 +249,14 @@ def run_extraction(
     stay per-DOCUMENT (docs_in/errors count shard 0 only, rows_out
     sums span slices — a partition of the unsharded list).
 
+    ``buckets`` (round-7): restrict THIS run to a bucket subset — the
+    operational shape of a sharded backfill ("process buckets 0–127
+    tonight"), and the natural long-lived-pipeline mode in which the
+    manifest accretes one commit file per slice run.  Buckets outside
+    the subset stay PENDING (no zero-row entries), so later runs pick
+    them up; buckets inside that turn out empty are still marked done.
+    Resume semantics inside the subset are unchanged.
+
     ``compact_after`` (retention policy, default 64): after this run's
     commit, if the manifest directory holds more than that many
     visible parquet files, :func:`compact_manifest` folds them into
@@ -261,7 +270,18 @@ def run_extraction(
     docs = with_bucket(documents, n_buckets)
 
     done = set(completed_buckets(spark, out_dir))
-    pending = docs if not done else docs.filter(~F.col("bucket").isin(*done))
+    # the id-space this run is responsible for: everything, or the
+    # caller's bucket slice (sharded backfill / slice-run mode)
+    scope = set(range(n_buckets)) if buckets is None \
+        else set(buckets) & set(range(n_buckets))
+    target = sorted(scope - done)
+    if buckets is None:
+        pending = docs if not done \
+            else docs.filter(~F.col("bucket").isin(*done))
+    elif target:
+        pending = docs.filter(F.col("bucket").isin(target))
+    else:
+        pending = docs.filter(F.lit(False))
 
     t0 = time.perf_counter()
     # bucket is a pure function of url — recompute it on the output
@@ -319,7 +339,7 @@ def run_extraction(
     # shard-invariant by construction.
     doc0 = (F.coalesce(F.col("shard_idx"), F.lit(0)) == 0) \
         if "shard_idx" in written.columns else F.lit(True)
-    pending_buckets = sorted(set(range(n_buckets)) - done)
+    pending_buckets = target
     stats = {
         r["bucket"]: r
         for r in written.filter(F.col("bucket").isin(pending_buckets))
@@ -362,7 +382,7 @@ def run_extraction(
     return {
         "run_id": run_id,
         "buckets_processed": len(pending_buckets),
-        "buckets_skipped": len(done),
+        "buckets_skipped": len(scope & done),
         "wall_ms": wall_ms,
         "compaction": compaction,
     }

@@ -432,3 +432,55 @@ def test_auto_compaction_trigger(spark, out_dir):
                         compact_after=3)
     assert s2["compaction"] is None       # under threshold: untouched
     assert sorted(completed_buckets(spark, out_dir)) == done
+
+
+def test_bucket_slice_runs_compose_to_full_run(spark, out_dir):
+    """round-7: ``buckets=`` restricts a run to its slice — outside
+    buckets stay PENDING (no zero-row stamp), slices compose to the
+    one-shot output byte for byte, and the manifest accretes one
+    commit file per slice (the accretion mode auto-compaction bounds)."""
+    import os
+
+    docs = corpus_df(spark, N_DOCS, partitions=4)
+
+    ref_dir = f"{out_dir}/oneshot"
+    run_extraction(spark, docs, ref_dir, "oneshot", n_buckets=N_BUCKETS)
+    want = (spark.read.parquet(f"{ref_dir}/extracted")
+            .select("url", "extracted_text", F.to_json("spans").alias("sp"))
+            .orderBy("url").collect())
+
+    sl_dir = f"{out_dir}/sliced"
+    s1 = run_extraction(spark, docs, sl_dir, "slice0",
+                        n_buckets=N_BUCKETS, buckets=[0, 1, 2])
+    assert s1["buckets_processed"] == 3
+    # buckets outside the slice are NOT marked done
+    assert sorted(completed_buckets(spark, sl_dir)) == [0, 1, 2]
+
+    # re-running the same slice is a no-op (resume semantics inside it)
+    s1b = run_extraction(spark, docs, sl_dir, "slice0b",
+                         n_buckets=N_BUCKETS, buckets=[0, 1, 2])
+    assert s1b["buckets_processed"] == 0
+    assert s1b["buckets_skipped"] == 3
+
+    # an overlapping second slice picks up only its pending part
+    s2 = run_extraction(spark, docs, sl_dir, "slice1",
+                        n_buckets=N_BUCKETS, buckets=[2, 3, 4, 5])
+    assert s2["buckets_processed"] == 3 and s2["buckets_skipped"] == 1
+    s3 = run_extraction(spark, docs, sl_dir, "slice2",
+                        n_buckets=N_BUCKETS, buckets=[6, 7])
+    assert s3["buckets_processed"] == 2
+
+    # one manifest commit file per slice run that processed anything
+    mdir = f"{sl_dir}/manifest"
+    files = [f for f in os.listdir(mdir)
+             if f.endswith(".parquet") and not f.startswith(".")]
+    assert len(files) == 3
+
+    got = (spark.read.parquet(f"{sl_dir}/extracted")
+           .select("url", "extracted_text", F.to_json("spans").alias("sp"))
+           .orderBy("url").collect())
+    assert got == want
+
+    # a final unrestricted resume finds nothing pending
+    s4 = run_extraction(spark, docs, sl_dir, "final", n_buckets=N_BUCKETS)
+    assert s4["buckets_processed"] == 0
