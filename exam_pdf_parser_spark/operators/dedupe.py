@@ -17,6 +17,8 @@ set sizes are ints; Jaccard is one IEEE division of two ints.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,7 +27,14 @@ from ..sources.io import load
 QUERIES: dict = {}
 ORACLE: dict[str, str] = {}
 
-PAIR_SCOPE = 200          # doc_id bound for pairwise demos
+# doc_id bound for pairwise demos.  Env-overridable (round-7 ask #6)
+# so the sf1-scale crosscheck (scripts/sf1_crosscheck.py) can widen
+# the SAME registered queries + their baked-in oracle SQL to a 10x
+# slice instead of duplicating them; the committed gate artifacts
+# always run with the env unset (=200).  Read once at import — the
+# oracle strings are f-string-baked at module load, so a post-import
+# change could never stay in lockstep.
+PAIR_SCOPE = int(os.environ.get("SPARK_GRAFT_PAIR_SCOPE", "200"))
 EXACT_TIER_MAX = 20_000   # hard row cap for all-pairs exact tiers
 
 
