@@ -2,13 +2,24 @@
 
 The audit trail for "is this the plan you'd want at 100 TB": pushed
 filters, broadcasts, shuffle counts, Python-eval placement.
+
+Round-7 ask #7: plans are captured at BOTH sf0.001 (the plan-shape
+test scale) and sf0.1 (the bench scale), and each query is EXECUTED
+(collect) before explain so the committed plan is the AQE-final one
+(``isFinalPlan=true``) — AQE's broadcast-vs-SMJ and coalesce decisions
+are runtime choices that a static explain cannot show.  A generated
+header table lists per-scale exchange counts and join strategies and
+flags any strategy flip between scales.
 """
 import io
 import os
+import re
 import sys
 from contextlib import redirect_stdout
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALES = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]
 
 AUDIT = [
     "pricing_summary", "revenue_by_nation", "top_parts_by_brand",
@@ -69,31 +80,97 @@ NOTES = {
         "+ narrow explode (pytest-asserted).",
 }
 
+_JOIN_NODES = re.compile(
+    r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+    r"BroadcastNestedLoopJoin|CartesianProduct)\b")
 
-def main() -> None:
-    import __spark_entry__ as e
-    from exam_pdf_parser_spark.session import get_spark
 
-    sf = "/root/testdata/sf0.001"
-    spark = get_spark("explain-audit", master="local[4]", shuffle_partitions=4)
-    q = e.queries()
-    out = ["# Physical plans (explain formatted), sf0.001\n"]
-    for name in AUDIT:
-        df = q[name](spark, sf)
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            df.explain("formatted")
-        plan = buf.getvalue()
-        n_exchange = plan.count("Exchange")
-        out.append(f"## {name}  (Exchange nodes: {n_exchange})\n")
-        if name in NOTES:
-            out.append(f"_Scale posture_: {NOTES[name]}\n")
-        out.append("```\n" + plan.strip()[:4000] + "\n```\n")
-    with open("PLANS.md", "w") as f:
-        f.write("\n".join(out))
-    print("PLANS.md written")
-    spark.stop()
+def _strategies(plan: str) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for m in _JOIN_NODES.finditer(plan):
+        out[m.group(1)] = out.get(m.group(1), 0) + 1
+    return out
+
+
+def capture(q, name: str, sf: str) -> tuple[str, int, dict[str, int]]:
+    """Execute the query (collect — the only action that finalizes the
+    DataFrame's OWN QueryExecution; count()/write() plan a different
+    one), then explain — the returned plan is the AQE-final one for
+    this input size.  Metrics are counted on the ``== Final Plan ==``
+    tree slice so the also-printed initial plan isn't double-counted;
+    non-adaptive plans (zero-exchange queries) have no markers and are
+    counted whole."""
+    df = q[name](spark, sf)
+    df.collect()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    tree = plan
+    if "== Final Plan ==" in plan:
+        tree = plan.split("== Final Plan ==")[1].split("== Initial Plan ==")[0]
+    n_shuffle = len(re.findall(r"(?<!Broadcast)Exchange \(", tree))
+    return plan, n_shuffle, _strategies(tree)
 
 
 if __name__ == "__main__":
-    main()
+    import __spark_entry__ as e
+    from exam_pdf_parser_spark.session import get_spark
+
+    spark = get_spark("explain-audit", master="local[8]",
+                      shuffle_partitions=8)
+    q = e.queries()
+    plans: dict[str, dict[str, tuple]] = {n: {} for n in AUDIT}
+    for sf in SCALES:
+        base = os.path.basename(sf)
+        for name in AUDIT:
+            plans[name][base] = capture(q, name, sf)
+
+    out = ["# Physical plans (explain formatted, AQE-final after a "
+           "collect() execution)\n",
+           "Captured per scale — sf0.001 (plan-shape test scale) and "
+           "sf0.1 (bench scale) — so AQE's runtime strategy choices "
+           "are visible at the size they actually run.\n"]
+
+    # cross-scale summary + flip detection
+    out.append("## Strategy summary (exchanges / join strategies per "
+               "scale)\n")
+    out.append("| query | sf0.001 | sf0.1 | flip |")
+    out.append("|---|---|---|---|")
+    flips = []
+    for name in AUDIT:
+        cells = []
+        for sf in SCALES:
+            base = os.path.basename(sf)
+            _, nex, strat = plans[name][base]
+            s = ", ".join(f"{k}x{v}" for k, v in sorted(strat.items()))
+            cells.append(f"{nex} exch; {s or 'no joins'}")
+        flip = plans[name]["sf0.001"][2] != plans[name]["sf0.1"][2]
+        if flip:
+            flips.append(name)
+        out.append(f"| {name} | {cells[0]} | {cells[1]} | "
+                   f"{'YES' if flip else '—'} |")
+    out.append("")
+    if flips:
+        out.append(f"**Join-strategy flips between scales**: "
+                   f"{', '.join(flips)} — see the per-scale plans "
+                   "below for which join changed.\n")
+    else:
+        out.append("**No join-strategy flips between scales** — every "
+                   "audited query keeps the same join strategies at "
+                   "100x the input; AQE variation is limited to "
+                   "partition coalescing.\n")
+
+    for sf in SCALES:
+        base = os.path.basename(sf)
+        out.append(f"\n# Plans at {base}\n")
+        for name in AUDIT:
+            plan, nex, _ = plans[name][base]
+            out.append(f"## {name} @ {base}  (Exchange nodes: {nex})\n")
+            if name in NOTES:
+                out.append(f"_Scale posture_: {NOTES[name]}\n")
+            out.append("```\n" + plan.strip()[:4000] + "\n```\n")
+    with open("PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print("PLANS.md written; flips:", flips)
+    spark.stop()
