@@ -210,13 +210,18 @@ def reassemble_sharded(df: DataFrame) -> DataFrame:
     flat span table without reassembly, and text chunks stream."""
     from pyspark.sql import functions as F
 
+    # NULL shard coordinates (rows read from a pre-shard directory
+    # under a sharded schema) mean "the row is the whole document":
+    # coalesce them to (0, 1) so such rows take the single-shard
+    # pass-through below instead of the concat path — which would
+    # silently coerce an error row's NULL text to "".
     parts = F.array_sort(F.collect_list(F.struct(
-        F.col("shard_idx"),
+        F.coalesce(F.col("shard_idx"), F.lit(0)).alias("shard_idx"),
         F.col("extracted_text").alias("t"),
         F.col("spans").alias("s"))))
     agg = df.groupBy("url").agg(
         parts.alias("parts"),
-        F.max("n_shards").alias("n_shards"),
+        F.max(F.coalesce(F.col("n_shards"), F.lit(1))).alias("n_shards"),
         F.first("status").alias("status"),
         F.first("error").alias("error"),
     )
@@ -430,9 +435,6 @@ def extract_auto(documents: DataFrame, min_q: int = 1, max_q: int = 50,
                         if len(rows) >= chunk_rows:
                             yield _frame(rows)
                             rows = []
-                if len(rows) >= chunk_rows:
-                    yield _frame(rows)
-                    rows = []
             if rows:
                 yield _frame(rows)
 

@@ -28,6 +28,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from ..operators.extract import extract
 
@@ -79,6 +80,31 @@ def completed_buckets(spark: SparkSession, out_dir: str,
                 return []
             time.sleep(0.05 * (i + 1))
     return []
+
+
+def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The reader consumers should use for ``{out_dir}/extracted``.
+
+    A directory accumulated across runs may MIX pre-shard and sharded
+    bucket files (``run_extraction`` gained ``shard_chars`` in round
+    7); plain ``spark.read.parquet`` infers the schema from one
+    arbitrary file footer, which on such a directory can silently
+    drop the ``shard_idx``/``n_shards`` columns — and a downstream
+    ``reassemble_sharded`` then truncates every sharded document to
+    its first chunk.  This reader merges footers instead
+    (``mergeSchema`` — one extra footer pass, worth it on a possibly
+    mixed directory; a dir written by a single run has a uniform
+    schema and never needs it) and normalizes missing/NULL shard
+    coordinates to ``(0, 1)`` — "this row is the whole document" —
+    so the output is always reassembly-safe."""
+    df = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out_dir, "extracted"))
+    if "shard_idx" in df.columns:
+        df = (df.withColumn(
+                  "shard_idx", F.coalesce("shard_idx", F.lit(0)))
+                .withColumn(
+                  "n_shards", F.coalesce("n_shards", F.lit(1))))
+    return df
 
 
 def _commit_manifest(out_dir: str, run_id: str, rows: list[tuple],
@@ -244,8 +270,11 @@ def run_extraction(
     list exceed the threshold write as multiple
     ``(shard_idx, n_shards)`` rows under the ``core/shard.py`` rule,
     so the bucketed write never materializes one hundreds-of-MB row
-    (the measured ~250 MB/slot OOM at 8g × 32 slots).  Reassembly =
-    ``operators.extract_paged.reassemble_sharded``; manifest metrics
+    (the measured ~250 MB/slot OOM at 8g × 32 slots).  Read the
+    output via :func:`read_extracted` (a mixed pre-shard/sharded
+    directory needs schema MERGE, not single-footer inference);
+    reassembly = ``operators.extract_paged.reassemble_sharded``
+    over that reader's output; manifest metrics
     stay per-DOCUMENT (docs_in/errors count shard 0 only, rows_out
     sums span slices — a partition of the unsharded list).
 
@@ -304,8 +333,8 @@ def run_extraction(
     out_cols = ["url", "extracted_text", "spans", "status", "error"] \
         + (["shard_idx", "n_shards"] if shard_chars is not None else []) \
         + ["proc_us", "bucket"]
-    (out.select(*out_cols)
-        .repartition(n_buckets, F.col("bucket"))
+    sel = out.select(*out_cols)
+    (sel.repartition(n_buckets, F.col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(ext_path))
     wall_ms = int((time.perf_counter() - t0) * 1000)
     if route_giants:
@@ -324,21 +353,28 @@ def run_extraction(
     # by run_id for timing; the column is run-level).  cpu_ms and
     # docs_per_cpu_sec ARE per-bucket: summed from the in-task per-doc
     # proc_us column — the north rule's per-partition throughput metric.
-    written = spark.read.parquet(ext_path)
-    # resuming a directory written before the timing column existed:
-    # old bucket files lack proc_us — report 0 cpu rather than failing
-    # coalesce: on a mixed old/new directory, old-bucket rows read
-    # proc_us as NULL — sum them as 0 instead of yielding NULL cpu
-    cpu_col = (F.sum(F.coalesce(F.col("proc_us"), F.lit(0)))
-               if "proc_us" in written.columns
-               else F.lit(0).cast("long"))
+    # read back under THIS run's explicit schema (all-nullable), never
+    # schema inference: the stats below only describe pending buckets —
+    # dirs the dynamic-partition overwrite just replaced with this
+    # run's files — so the write schema IS their schema.  Inference
+    # picks one arbitrary file footer, which on a mixed pre-shard /
+    # sharded directory can hide shard_idx (a 75-shard giant would
+    # count as docs_in=75), and fails outright when a slice run's
+    # buckets produced zero rows (a partitioned write of no data emits
+    # only _SUCCESS).  Files outside the pending buckets that lack a
+    # column (old pre-proc_us or pre-shard dirs) read it as NULL and
+    # are filtered out by the bucket predicate anyway.
+    read_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in sel.schema.fields])
+    written = spark.read.schema(read_schema).parquet(ext_path)
+    # coalesce: rows whose file lacks proc_us read NULL — sum as 0
+    cpu_col = F.sum(F.coalesce(F.col("proc_us"), F.lit(0)))
     # sharded output: a document is counted once via its shard-0 row
-    # (unsharded rows ARE shard 0; rows from pre-shard directories read
-    # shard_idx as NULL — coalesce keeps them counted).  rows_out sums
-    # span-slice sizes, a partition of the unsharded list, so it is
-    # shard-invariant by construction.
+    # (unsharded runs carry no shard_idx column — every row is the
+    # document).  rows_out sums span-slice sizes, a partition of the
+    # unsharded list, so it is shard-invariant by construction.
     doc0 = (F.coalesce(F.col("shard_idx"), F.lit(0)) == 0) \
-        if "shard_idx" in written.columns else F.lit(True)
+        if "shard_idx" in read_schema.fieldNames() else F.lit(True)
     pending_buckets = target
     stats = {
         r["bucket"]: r

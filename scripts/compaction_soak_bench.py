@@ -97,10 +97,14 @@ def main() -> None:
     t0 = time.perf_counter()
     for i in range(n_slices):
         before = visible_files()
+        # last slice absorbs the remainder so a non-divisor n_slices
+        # still covers every bucket (otherwise the tail stays pending
+        # and the "clean no-op resume" assert below fires spuriously)
+        hi = N_BUCKETS if i == n_slices - 1 else (i + 1) * per
         stats = run_extraction(
             spark, docs, OUT_SLICED, f"slice-{i:02d}",
             n_buckets=N_BUCKETS,
-            buckets=list(range(i * per, (i + 1) * per)),
+            buckets=list(range(i * per, hi)),
             compact_after=compact_after)
         if stats["compaction"] is not None:
             events.append({"after_slice": i,

@@ -103,9 +103,19 @@ def build_tables(con, src: str, out: str) -> dict[str, int]:
     for name, sql in defs.items():
         path = f"{out}/{name}.parquet"
         if not os.path.exists(path):
-            con.sql(f"COPY ({sql}) TO '{path}' (FORMAT PARQUET)")
+            # write-then-rename: a killed prior run must leave no
+            # torn file that a rerun's existence check would trust
+            tmp = f"{path}.tmp"
+            con.sql(f"COPY ({sql}) TO '{tmp}' (FORMAT PARQUET)")
+            os.replace(tmp, path)
         counts[name] = con.sql(
             f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
+        expect = con.sql(f"SELECT count(*) FROM ({sql})").fetchone()[0]
+        if counts[name] != expect:
+            raise SystemExit(
+                f"stale scratch table {path}: {counts[name]} rows on "
+                f"disk vs {expect} from the current recipe — delete "
+                f"the scratch dir and rerun")
     return counts
 
 

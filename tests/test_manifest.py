@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from exam_pdf_parser_spark.operators.extract import corpus_df
 from exam_pdf_parser_spark.sources.manifest import (
-    completed_buckets, run_extraction, with_bucket,
+    completed_buckets, read_extracted, run_extraction, with_bucket,
 )
 
 N_DOCS = 60
@@ -484,3 +484,81 @@ def test_bucket_slice_runs_compose_to_full_run(spark, out_dir):
     # a final unrestricted resume finds nothing pending
     s4 = run_extraction(spark, docs, sl_dir, "final", n_buckets=N_BUCKETS)
     assert s4["buckets_processed"] == 0
+
+
+def test_empty_slice_on_fresh_dir_marks_buckets_done(spark, out_dir):
+    """A slice whose buckets hold no documents must still commit
+    zero-row 'done' stamps — including on a FRESH out_dir, where the
+    partitioned write of no data emits only _SUCCESS and there is no
+    parquet file to infer a schema from (round-7 review fix: the
+    read-back uses the run's explicit write schema, never inference)."""
+    docs = corpus_df(spark, 4, partitions=2)
+    used = {r["bucket"] for r in with_bucket(docs, N_BUCKETS)
+            .select("bucket").distinct().collect()}
+    empty = sorted(set(range(N_BUCKETS)) - used)
+    assert empty, "4 docs cannot populate all 8 buckets"
+    s = run_extraction(spark, docs, out_dir, "empty-slice",
+                       n_buckets=N_BUCKETS, buckets=[empty[0]])
+    assert s["buckets_processed"] == 1
+    assert sorted(completed_buckets(spark, out_dir)) == [empty[0]]
+    s2 = run_extraction(spark, docs, out_dir, "again",
+                        n_buckets=N_BUCKETS, buckets=[empty[0]])
+    assert s2["buckets_processed"] == 0 and s2["buckets_skipped"] == 1
+
+
+def test_shard_toggle_on_existing_dir_keeps_doc_metrics(spark, out_dir):
+    """Resuming an out_dir whose earlier buckets were written UNSHARDED
+    with sharding enabled must still count DOCUMENTS, not shard rows,
+    in the new buckets' manifest stats.  Round-7 review fix: schema
+    INFERENCE on the mixed directory can pick a pre-shard footer and
+    lose shard_idx (docs_in would then count every shard); the
+    read-back now pins the run's explicit write schema."""
+    from tests.test_shard_giants import SHARD_CHARS, _giant_doc
+
+    url_g, html_g = _giant_doc()
+    mixed = corpus_df(spark, 12, partitions=2).select("url", "html") \
+        .unionByName(spark.createDataFrame(
+            [(url_g, html_g)], "url string, html binary")).persist()
+    gb = with_bucket(mixed, N_BUCKETS).filter(F.col("url") == url_g) \
+        .select("bucket").collect()[0]["bucket"]
+    others = [b for b in range(N_BUCKETS) if b != gb]
+
+    # pass 1: unsharded slice over every other bucket — leaves
+    # pre-shard footers (no shard_idx column) in the directory
+    run_extraction(spark, mixed, out_dir, "plain", n_buckets=N_BUCKETS,
+                   buckets=others)
+    # pass 2: resume the giant's bucket with sharding ON
+    run_extraction(spark, mixed, out_dir, "sharded", n_buckets=N_BUCKETS,
+                   buckets=[gb], route_giants=True, shard_chars=SHARD_CHARS)
+
+    n_docs = mixed.count()
+    docs_in_bucket = (with_bucket(mixed, N_BUCKETS)
+                      .filter(F.col("bucket") == gb).count())
+    written = read_extracted(spark, out_dir)
+    # the reader exposes the shard coordinates even though most of the
+    # directory's footers pre-date them (plain single-footer inference
+    # drops the columns here — the bug this reader exists to prevent)
+    assert {"shard_idx", "n_shards"} <= set(written.columns)
+    # the giant really sharded: more rows in its bucket than documents
+    assert written.filter(F.col("bucket") == gb).count() > docs_in_bucket
+    per_bucket = {r["bucket"]: r for r in
+                  spark.read.parquet(f"{out_dir}/manifest").collect()}
+    assert per_bucket[gb]["docs_in"] == docs_in_bucket
+    assert per_bucket[gb]["errors"] == 0
+    assert sum(r["docs_in"] for r in per_bucket.values()) == n_docs
+
+    # full-directory reassembly is byte-identical to the whole-doc
+    # reference across BOTH generations of bucket files
+    from exam_pdf_parser_spark.operators.extract import extract
+    from exam_pdf_parser_spark.operators.extract_paged import (
+        reassemble_sharded,
+    )
+    want = {r["url"]: r for r in extract(mixed).collect()}
+    back = {r["url"]: r for r in reassemble_sharded(
+        written.drop("proc_us", "bucket")).collect()}
+    assert set(back) == set(want)
+    for url, w in want.items():
+        assert back[url]["extracted_text"] == w["extracted_text"], url
+        assert [s.asDict() for s in back[url]["spans"]] == \
+               [s.asDict() for s in w["spans"]], url
+    mixed.unpersist()

@@ -202,3 +202,26 @@ def test_shard_chars_requires_route_giants(spark, tmp_path):
     with pytest.raises(ValueError, match="route_giants"):
         run_extraction(spark, docs, str(tmp_path / "x"), "r",
                        n_buckets=2, shard_chars=1000)
+
+
+def test_reassemble_tolerates_null_shard_coords(spark):
+    """Rows read from a pre-shard directory under a sharded schema
+    carry NULL shard coordinates — each such row IS the whole document
+    and must pass through untouched.  In particular an error row's
+    NULL text must not be coerced to "" by the concat path (round-7
+    review fix: NULL coords coalesce to (0, 1))."""
+    df = spark.createDataFrame(
+        [("e", None, [], "error", "Boom: x", None, None),
+         ("w", "whole doc", [(0,)], "ok", None, None, None),
+         ("s", "ab", [(0,)], "ok", None, 0, 2),
+         ("s", "cd", [(1,)], "ok", None, 1, 2)],
+        "url string, extracted_text string, "
+        "spans array<struct<region_idx:int>>, status string, "
+        "error string, shard_idx int, n_shards int")
+    back = {r["url"]: r for r in reassemble_sharded(df).collect()}
+    assert back["e"]["extracted_text"] is None
+    assert back["e"]["status"] == "error" and back["e"]["error"] == "Boom: x"
+    assert back["w"]["extracted_text"] == "whole doc"
+    assert [s["region_idx"] for s in back["w"]["spans"]] == [0]
+    assert back["s"]["extracted_text"] == "abcd"
+    assert [s["region_idx"] for s in back["s"]["spans"]] == [0, 1]
