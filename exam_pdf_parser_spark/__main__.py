@@ -5,7 +5,9 @@
     python -m exam_pdf_parser_spark validate  IN.parquet OUT_DIR
     python -m exam_pdf_parser_spark evaluate  IN.parquet OUT_DIR
     python -m exam_pdf_parser_spark crop      IN.parquet OUT_DIR
-    python -m exam_pdf_parser_spark run       IN.parquet OUT_DIR   (manifest+resume)
+    python -m exam_pdf_parser_spark run       IN.parquet OUT_DIR   (manifest+resume;
+        --route-giants --shard-chars N --bucket-slice 0-15 --compact-after K)
+    python -m exam_pdf_parser_spark reassemble RUN_DIR OUT.parquet (sharded -> whole docs)
     python -m exam_pdf_parser_spark curate    IN.parquet OUT_DIR   (dedup/quality/lang gates)
     python -m exam_pdf_parser_spark gen-corpus N OUT.parquet       (synthetic input)
 
@@ -27,7 +29,7 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="exam_pdf_parser_spark")
     ap.add_argument("command", choices=[
         "extract", "parse", "validate", "evaluate", "crop", "run",
-        "curate", "gen-corpus"])
+        "reassemble", "curate", "gen-corpus"])
     ap.add_argument("input", help="input parquet (or N for gen-corpus)")
     ap.add_argument("output", help="output directory / parquet path")
     ap.add_argument("--master", default=None)
@@ -41,6 +43,25 @@ def main(argv: list[str] | None = None) -> int:
         "--pdf", action="store_true",
         help="gen-corpus: emit the html column as REAL PDF bytes "
              "(core/pdf.py writer) instead of the XLAY1 container")
+    ap.add_argument(
+        "--route-giants", action="store_true",
+        help="run: size-route giant documents through the "
+             "page-parallel path inside the durable pipeline")
+    ap.add_argument(
+        "--shard-chars", type=int, default=0,
+        help="run: bound every output row (core/shard.py rule) — "
+             "documents past the threshold write as (shard_idx, "
+             "n_shards) rows; implies --route-giants; consume with "
+             "the reassemble command or sources.manifest.read_extracted")
+    ap.add_argument(
+        "--bucket-slice", default=None,
+        help="run: restrict this run to a bucket subset — '0-15', "
+             "'3,7,9' or a mix; other buckets stay pending for "
+             "later runs (sharded backfill)")
+    ap.add_argument(
+        "--compact-after", type=int, default=64,
+        help="run: fold the manifest into one file when it exceeds "
+             "this many visible parquet files")
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -78,6 +99,24 @@ def _dispatch(spark, args) -> int:
         df.write.mode("overwrite").parquet(args.output)
         print(json.dumps({"command": "gen-corpus", "docs": n,
                           "pdf": bool(getattr(args, "pdf", False)),
+                          "path": args.output}))
+        return 0
+
+    if args.command == "reassemble":
+        # RUN_DIR is a `run` output (possibly sharded, possibly a mix
+        # of pre-shard and sharded bucket generations) — read through
+        # the schema-merging reader, rebuild whole documents under the
+        # byte-identity rule.  Deliberately rebuilds the giant rows:
+        # a consumer that can't hold them should read the sharded
+        # shape directly instead.
+        from .operators.extract_paged import reassemble_sharded
+        from .sources.manifest import read_extracted
+
+        whole = reassemble_sharded(
+            read_extracted(spark, args.input).drop("proc_us", "bucket"))
+        whole.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"command": "reassemble", "docs": n,
                           "path": args.output}))
         return 0
 
@@ -164,8 +203,25 @@ def _dispatch(spark, args) -> int:
     if args.command == "run":
         from .sources.manifest import run_extraction
 
-        stats = run_extraction(spark, docs, args.output, args.run_id,
-                               n_buckets=args.buckets)
+        slice_arg = getattr(args, "bucket_slice", None)
+        bucket_subset = None
+        if slice_arg:
+            bucket_subset = []
+            for part in str(slice_arg).split(","):
+                if "-" in part:
+                    lo, hi = part.split("-", 1)
+                    bucket_subset.extend(range(int(lo), int(hi) + 1))
+                else:
+                    bucket_subset.append(int(part))
+        shard = getattr(args, "shard_chars", 0) or None
+        stats = run_extraction(
+            spark, docs, args.output, args.run_id,
+            n_buckets=args.buckets,
+            route_giants=bool(getattr(args, "route_giants", False)
+                              or shard),
+            compact_after=getattr(args, "compact_after", 64),
+            shard_chars=shard,
+            buckets=bucket_subset)
         print(json.dumps({"command": "run", **stats}))
         return 0
 
