@@ -22,6 +22,7 @@ Layout:
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import time
@@ -239,6 +240,43 @@ def compact_manifest(out_dir: str, _race_hook=None,
             "rows": merged.num_rows}
 
 
+def _check_run_meta(out_dir: str, n_buckets: int) -> None:
+    """Pin ``n_buckets`` to the output directory for its lifetime.
+
+    ``bucket = pmod(xxhash64(url), n_buckets)`` — resuming the same
+    directory with a DIFFERENT ``n_buckets`` re-maps every url to a
+    new bucket id while ``completed_buckets`` still reports ids from
+    the old mapping: documents get silently double-processed or
+    skipped and the per-bucket stats stop meaning anything.  First run
+    records the value in ``run_meta.json`` (atomic write-then-rename);
+    every later run must match or fails loudly.  Object-store paths
+    skip the guard (local-FS op, like compaction); a pre-existing dir
+    without the file (written before this guard) is stamped from the
+    current call — the same trust-the-caller semantics it always had.
+    """
+    if "://" in out_dir:
+        return
+    meta_path = os.path.join(out_dir, "run_meta.json")
+    try:
+        with open(meta_path) as f:
+            recorded = json.load(f).get("n_buckets")
+        if recorded != n_buckets:
+            raise ValueError(
+                f"out_dir {out_dir} was written with n_buckets="
+                f"{recorded}; resuming with n_buckets={n_buckets} "
+                "would re-map every url to a different bucket id and "
+                "silently double-process or skip documents — use the "
+                "recorded value, or a fresh out_dir")
+        return
+    except FileNotFoundError:
+        pass
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = f"{meta_path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)
+    os.replace(tmp, meta_path)
+
+
 def run_extraction(
     spark: SparkSession,
     documents: DataFrame,
@@ -295,6 +333,14 @@ def run_extraction(
     lose nothing; see :func:`compact_manifest`).  ``None`` disables;
     object-store paths skip it automatically (local-FS-only op).
     """
+    if buckets is not None:
+        bad = sorted(set(buckets) - set(range(n_buckets)))
+        if bad:
+            raise ValueError(
+                f"bucket slice ids {bad} are outside "
+                f"range(n_buckets={n_buckets}) — a silent intersect "
+                "here would quietly shrink the backfill")
+    _check_run_meta(out_dir, n_buckets)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     docs = with_bucket(documents, n_buckets)
 
@@ -302,7 +348,7 @@ def run_extraction(
     # the id-space this run is responsible for: everything, or the
     # caller's bucket slice (sharded backfill / slice-run mode)
     scope = set(range(n_buckets)) if buckets is None \
-        else set(buckets) & set(range(n_buckets))
+        else set(buckets)
     target = sorted(scope - done)
     if buckets is None:
         pending = docs if not done \

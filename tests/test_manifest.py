@@ -562,3 +562,23 @@ def test_shard_toggle_on_existing_dir_keeps_doc_metrics(spark, out_dir):
         assert [s.asDict() for s in back[url]["spans"]] == \
                [s.asDict() for s in w["spans"]], url
     mixed.unpersist()
+
+
+def test_n_buckets_pinned_to_out_dir(spark, out_dir):
+    """bucket = pmod(hash, n_buckets): resuming with a different
+    n_buckets would re-map every url and silently double-process or
+    skip — the run_meta.json guard fails loudly instead (round-7)."""
+    docs = corpus_df(spark, 8, partitions=2)
+    run_extraction(spark, docs, out_dir, "a", n_buckets=N_BUCKETS)
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_extraction(spark, docs, out_dir, "b", n_buckets=N_BUCKETS * 2)
+    # the matching value still resumes cleanly
+    s = run_extraction(spark, docs, out_dir, "c", n_buckets=N_BUCKETS)
+    assert s["buckets_processed"] == 0
+
+
+def test_out_of_range_bucket_slice_rejected(spark, out_dir):
+    docs = corpus_df(spark, 4, partitions=1)
+    with pytest.raises(ValueError, match="outside"):
+        run_extraction(spark, docs, out_dir, "x",
+                       n_buckets=N_BUCKETS, buckets=[0, N_BUCKETS])
