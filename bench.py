@@ -171,6 +171,14 @@ def _shuffle_anchor_runs(spark, reps: int) -> list[float]:
 GATE_DIR = "/root/testdata/sf0.01"
 
 
+def _pair_scope() -> int:
+    """The pairwise doc scope the loaded query code is actually using
+    (read at import in operators/dedupe.py) — part of the band
+    probe's pinned workload, so calibration requires the default."""
+    from exam_pdf_parser_spark.operators.dedupe import PAIR_SCOPE
+    return PAIR_SCOPE
+
+
 def _band_anchor_runs(qmap, spark, reps: int) -> list[float]:
     """Pinned REAL-DATA band-join probe (closes the residual blind
     spot the round-6 verdict and the round-7 headcheck both hit): the
@@ -390,7 +398,12 @@ def main() -> None:
         "host_state": _host_state(
             jvm_anchor, shuffle_anchor,
             n_frozen / frozen_sec,
-            calibrated=(sf == 0.1 and int(cpus) == 32),
+            # bands hold only at the per-round config AND the default
+            # pair scope: a lingering SPARK_GRAFT_PAIR_SCOPE export
+            # (e.g. from an sf1 crosscheck shell) would inflate the
+            # band probe's workload and fake a "degraded" verdict
+            calibrated=(sf == 0.1 and int(cpus) == 32
+                        and _pair_scope() == 200),
             band_anchor=band_anchor),
         "x_extract_spans_source_layout_sec": round(source_layout_sec, 3),
         "extraction": {

@@ -62,6 +62,10 @@ def main(argv: list[str] | None = None) -> int:
         "--compact-after", type=int, default=64,
         help="run: fold the manifest into one file when it exceeds "
              "this many visible parquet files")
+    ap.add_argument(
+        "--allow-partial", action="store_true",
+        help="reassemble: proceed even when the run dir has pending "
+             "buckets (emits a partial corpus)")
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -109,14 +113,34 @@ def _dispatch(spark, args) -> int:
         # byte-identity rule.  Deliberately rebuilds the giant rows:
         # a consumer that can't hold them should read the sharded
         # shape directly instead.
+        import os
+
         from .operators.extract_paged import reassemble_sharded
-        from .sources.manifest import read_extracted
+        from .sources.manifest import completed_buckets, read_extracted
+
+        # completeness: a partially-backfilled dir (slice runs still
+        # pending) must not silently masquerade as the whole corpus
+        pending = None
+        meta_path = os.path.join(args.input, "run_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                n_buckets = json.load(f)["n_buckets"]
+            done = set(completed_buckets(spark, args.input))
+            pending = sorted(set(range(n_buckets)) - done)
+            if pending and not getattr(args, "allow_partial", False):
+                print(f"reassemble: {len(pending)} of {n_buckets} "
+                      f"buckets still pending (e.g. {pending[:8]}) — "
+                      "finish the backfill, or pass --allow-partial "
+                      "to emit the partial corpus knowingly",
+                      file=sys.stderr)
+                return 3
 
         whole = reassemble_sharded(
             read_extracted(spark, args.input).drop("proc_us", "bucket"))
         whole.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
         print(json.dumps({"command": "reassemble", "docs": n,
+                          "pending_buckets": len(pending or []),
                           "path": args.output}))
         return 0
 

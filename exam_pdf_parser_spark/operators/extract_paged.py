@@ -210,6 +210,11 @@ def reassemble_sharded(df: DataFrame) -> DataFrame:
     flat span table without reassembly, and text chunks stream."""
     from pyspark.sql import functions as F
 
+    # no shard columns at all (a directory no run ever sharded, read
+    # without the normalizing reader) — every row is a whole document
+    if "shard_idx" not in df.columns:
+        df = (df.withColumn("shard_idx", F.lit(0))
+                .withColumn("n_shards", F.lit(1)))
     # NULL shard coordinates (rows read from a pre-shard directory
     # under a sharded schema) mean "the row is the whole document":
     # coalesce them to (0, 1) so such rows take the single-shard

@@ -100,11 +100,18 @@ def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
     so the output is always reassembly-safe."""
     df = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(out_dir, "extracted"))
+    # normalize unconditionally: consumers always see the shard
+    # coordinates, so a dir with no sharded generation at all (the
+    # common case) feeds reassembly/dedup logic the same shape as a
+    # mixed one — every row (0, 1) = "the whole document"
     if "shard_idx" in df.columns:
         df = (df.withColumn(
                   "shard_idx", F.coalesce("shard_idx", F.lit(0)))
                 .withColumn(
                   "n_shards", F.coalesce("n_shards", F.lit(1))))
+    else:
+        df = (df.withColumn("shard_idx", F.lit(0))
+                .withColumn("n_shards", F.lit(1)))
     return df
 
 
@@ -257,9 +264,21 @@ def _check_run_meta(out_dir: str, n_buckets: int) -> None:
     if "://" in out_dir:
         return
     meta_path = os.path.join(out_dir, "run_meta.json")
-    try:
-        with open(meta_path) as f:
-            recorded = json.load(f).get("n_buckets")
+
+    def validate() -> bool:
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+            recorded = meta.get("n_buckets")
+        except FileNotFoundError:
+            return False
+        except (json.JSONDecodeError, AttributeError) as e:
+            raise ValueError(
+                f"{meta_path} is corrupt ({e}) — it should hold "
+                '{"n_buckets": N} for this output directory; restore '
+                "it with the directory's original bucket count (or "
+                "delete it to restamp from this run, if you are sure "
+                f"n_buckets={n_buckets} matches the existing layout)")
         if recorded != n_buckets:
             raise ValueError(
                 f"out_dir {out_dir} was written with n_buckets="
@@ -267,14 +286,24 @@ def _check_run_meta(out_dir: str, n_buckets: int) -> None:
                 "would re-map every url to a different bucket id and "
                 "silently double-process or skip documents — use the "
                 "recorded value, or a fresh out_dir")
+        return True
+
+    if validate():
         return
-    except FileNotFoundError:
-        pass
     os.makedirs(out_dir, exist_ok=True)
+    # exclusive link-based commit: write a private tmp, then hard-link
+    # it to the final name — link is atomic and FAILS if the file
+    # exists, so exactly one of two racing first runs stamps the dir
+    # and the other validates against the (complete) winner's file
     tmp = f"{meta_path}.{os.getpid()}.tmp"
     with open(tmp, "w") as f:
         json.dump({"n_buckets": n_buckets}, f)
-    os.replace(tmp, meta_path)
+    try:
+        os.link(tmp, meta_path)
+    except FileExistsError:
+        validate()   # raced: grade this run against the winner
+    finally:
+        os.unlink(tmp)
 
 
 def run_extraction(
@@ -334,6 +363,11 @@ def run_extraction(
     object-store paths skip it automatically (local-FS-only op).
     """
     if buckets is not None:
+        if not buckets:
+            raise ValueError(
+                "empty bucket slice — an inverted range like '31-16' "
+                "parses to nothing; a silent no-op here would look "
+                "like a completed backfill")
         bad = sorted(set(buckets) - set(range(n_buckets)))
         if bad:
             raise ValueError(

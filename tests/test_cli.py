@@ -137,3 +137,41 @@ def test_cli_sliced_sharded_run_and_reassemble(spark, corpus_path,
         assert got[url]["extracted_text"] == w["extracted_text"], url
         assert [s.asDict() for s in got[url]["spans"]] == \
                [s.asDict() for s in w["spans"]], url
+
+
+def test_cli_reassemble_unsharded_and_partial_guard(spark, corpus_path,
+                                                    tmp_path, capsys):
+    """reassemble works on a PLAIN run dir (no shard columns anywhere)
+    and refuses a partially-backfilled dir unless --allow-partial."""
+    out_dir = str(tmp_path / "r")
+    rc = _dispatch(spark, _Args(command="run", input=corpus_path,
+                                output=out_dir, buckets=4, run_id="p0",
+                                bucket_slice="0-2"))
+    assert rc == 0
+    capsys.readouterr()
+
+    # bucket 3 pending → loud refusal, nothing written
+    whole = str(tmp_path / "w.parquet")
+    rc = _dispatch(spark, _Args(command="reassemble", input=out_dir,
+                                output=whole))
+    assert rc == 3
+    assert "pending" in capsys.readouterr().err
+
+    # --allow-partial emits the partial corpus knowingly
+    rc = _dispatch(spark, _Args(command="reassemble", input=out_dir,
+                                output=whole, allow_partial=True))
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["pending_buckets"] == 1 and 0 < out["docs"] < 12
+
+    # finish the backfill → clean reassemble of the whole corpus
+    rc = _dispatch(spark, _Args(command="run", input=corpus_path,
+                                output=out_dir, buckets=4, run_id="p1",
+                                bucket_slice="3"))
+    assert rc == 0
+    capsys.readouterr()
+    rc = _dispatch(spark, _Args(command="reassemble", input=out_dir,
+                                output=whole))
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["docs"] == 12 and out["pending_buckets"] == 0

@@ -582,3 +582,50 @@ def test_out_of_range_bucket_slice_rejected(spark, out_dir):
     with pytest.raises(ValueError, match="outside"):
         run_extraction(spark, docs, out_dir, "x",
                        n_buckets=N_BUCKETS, buckets=[0, N_BUCKETS])
+
+
+def test_empty_bucket_slice_rejected(spark, out_dir):
+    """An inverted CLI range ('31-16') parses to [] — run_extraction
+    must refuse rather than no-op with success (round-7 review #2)."""
+    docs = corpus_df(spark, 4, partitions=1)
+    with pytest.raises(ValueError, match="empty bucket slice"):
+        run_extraction(spark, docs, out_dir, "x",
+                       n_buckets=N_BUCKETS, buckets=[])
+
+
+def test_corrupt_run_meta_fails_with_guidance(spark, out_dir):
+    import json as _json
+    import os as _os
+
+    docs = corpus_df(spark, 4, partitions=1)
+    run_extraction(spark, docs, out_dir, "a", n_buckets=N_BUCKETS)
+    meta = _os.path.join(out_dir, "run_meta.json")
+    with open(meta, "w") as f:
+        f.write("{trunc")
+    with pytest.raises(ValueError, match="corrupt"):
+        run_extraction(spark, docs, out_dir, "b", n_buckets=N_BUCKETS)
+    with open(meta, "w") as f:
+        _json.dump([], f)    # valid JSON, wrong shape
+    with pytest.raises(ValueError, match="corrupt"):
+        run_extraction(spark, docs, out_dir, "c", n_buckets=N_BUCKETS)
+
+
+def test_reassemble_handles_unsharded_run_dir(spark, out_dir):
+    """The common case: a plain run (no shard_chars) has NO shard
+    columns anywhere — read_extracted must normalize them in and
+    reassembly must pass whole rows through (round-7 review #1)."""
+    from exam_pdf_parser_spark.operators.extract import extract
+    from exam_pdf_parser_spark.operators.extract_paged import (
+        reassemble_sharded,
+    )
+
+    docs = corpus_df(spark, 6, partitions=2)
+    run_extraction(spark, docs, out_dir, "plain", n_buckets=N_BUCKETS)
+    rx = read_extracted(spark, out_dir)
+    assert {"shard_idx", "n_shards"} <= set(rx.columns)
+    back = {r["url"]: r for r in reassemble_sharded(
+        rx.drop("proc_us", "bucket")).collect()}
+    want = {r["url"]: r for r in extract(docs).collect()}
+    assert set(back) == set(want)
+    for url, w in want.items():
+        assert back[url]["extracted_text"] == w["extracted_text"], url
