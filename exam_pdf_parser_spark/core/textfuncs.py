@@ -128,6 +128,16 @@ def detect_question_start(
     group range rendered with an ASCII tilde.
     """
     text = text.strip()
+    # first-char gate (pure speedup, property-tested equivalent): every
+    # pattern anchors at ^ and can only start with '[', '【', or a
+    # decimal digit — re's Unicode \d is category Nd, exactly
+    # str.isdecimal() — so any other first char cannot match any
+    # pattern.  This is the hottest per-block call in extraction
+    # (~1 gate vs 5 regex attempts on the ~90% of blocks that are
+    # body text).
+    c = text[:1]
+    if not c or (c != "[" and c != "【" and not c.isdecimal()):
+        return None, None
     for pattern in QNUM_PATTERNS:
         m = pattern.match(text)
         if m:

@@ -138,3 +138,50 @@ def test_load_json_report_fenced(tmp_path):
     assert load_json_report(str(p)) == rows
     p.write_text(json.dumps(rows), encoding="utf-8")
     assert load_json_report(str(p)) == rows
+
+
+def test_question_start_gate_is_pure_speedup():
+    """The first-char gate added in round 7 must be EXACTLY equivalent
+    to the ungated ordered cascade — property-tested over adversarial
+    prefixes including Unicode Nd digits (re's \\d is Unicode-aware,
+    and int() accepts Nd digits, so the gate uses isdecimal(), not
+    an ASCII range)."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from exam_pdf_parser_spark.core.textfuncs import QNUM_PATTERNS
+
+    def ungated(text, min_q=1, max_q=50):
+        text = text.strip()
+        for pattern in QNUM_PATTERNS:
+            m = pattern.match(text)
+            if m:
+                q_num = int(m.group(1))
+                if not (min_q <= q_num <= max_q):
+                    continue
+                group_range = None
+                if len(m.groups()) >= 2 and m.group(2):
+                    group_range = f"{m.group(1)}~{m.group(2)}"
+                return q_num, group_range
+        return None, None
+
+    prefix = st.sampled_from(
+        ["", "[", "【", "]", " ", "　", "18", "１８", "٣", "₁", "½",
+         "[41~42]", "[41 ∼ 42]", "【7】", "[9]", "18.", "18 ", "0.",
+         "99.", "[99]", "x", "다음", "①"])
+    body = st.text(max_size=12)
+
+    @settings(max_examples=400, deadline=None)
+    @given(prefix, prefix, body)
+    def check(p1, p2, b):
+        s = p1 + p2 + b
+        assert detect_question_start(s) == ungated(s), repr(s)
+        assert detect_question_start(s, 5, 9) == ungated(s, 5, 9), repr(s)
+
+    check()
+    # the documented tricky cases stay pinned explicitly
+    assert detect_question_start("１８. x") == ungated("１８. x")  # fullwidth Nd
+    assert detect_question_start("") == (None, None)
+    assert detect_question_start("  [3] y") == (3, None)
