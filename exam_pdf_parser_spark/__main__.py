@@ -121,10 +121,41 @@ def _dispatch(spark, args) -> int:
         # completeness: a partially-backfilled dir (slice runs still
         # pending) must not silently masquerade as the whole corpus
         pending = None
+        derived = False
         meta_path = os.path.join(args.input, "run_meta.json")
-        if os.path.exists(meta_path):
+        try:
             with open(meta_path) as f:
                 n_buckets = json.load(f)["n_buckets"]
+        except FileNotFoundError:
+            # pre-guard / object-store run dirs were never stamped:
+            # derive a LOWER BOUND on n_buckets from the bucket ids
+            # that exist on disk (manifest + extracted partition dirs)
+            # so the guard still catches holes INSIDE the observed id
+            # range; tail buckets past the max seen are unknowable
+            # without run_meta.json, so completeness stays unverified
+            ids = set(completed_buckets(spark, args.input))
+            ext = os.path.join(args.input, "extracted")
+            if os.path.isdir(ext):
+                for name in os.listdir(ext):
+                    if name.startswith("bucket="):
+                        try:
+                            ids.add(int(name.split("=", 1)[1]))
+                        except ValueError:
+                            pass
+            n_buckets = (max(ids) + 1) if ids else None
+            derived = True
+        except (json.JSONDecodeError, KeyError, TypeError, ValueError):
+            # same guided recovery text as sources.manifest._check_run_meta
+            # rather than a raw traceback (the file gates `run` resumes
+            # too, so it must be fixed either way)
+            print(f"reassemble: {meta_path} is corrupt — it should "
+                  'hold {"n_buckets": N} for this run dir; restore it '
+                  "with the directory's original bucket count (or "
+                  "delete it to proceed with a derived lower bound "
+                  "and an unverified-completeness warning)",
+                  file=sys.stderr)
+            return 3
+        if n_buckets is not None:
             done = set(completed_buckets(spark, args.input))
             pending = sorted(set(range(n_buckets)) - done)
             if pending and not getattr(args, "allow_partial", False):
@@ -134,6 +165,12 @@ def _dispatch(spark, args) -> int:
                       "to emit the partial corpus knowingly",
                       file=sys.stderr)
                 return 3
+        if derived:
+            print("reassemble: run_meta.json absent — completeness "
+                  f"checked against a derived lower bound "
+                  f"(n_buckets >= {n_buckets}); buckets past the "
+                  "highest id seen on disk cannot be verified",
+                  file=sys.stderr)
 
         whole = reassemble_sharded(
             read_extracted(spark, args.input).drop("proc_us", "bucket"))

@@ -86,6 +86,13 @@ def reassemble_rows(shards: list[dict]) -> dict:
         raise ValueError(
             f"incomplete shard set for {shards[0]['url']}: "
             f"{len(shards)} of {n}")
+    # count alone can't catch a duplicated shard masking a missing one
+    # (e.g. a double-read file): require exactly 0..n-1 after the sort
+    idxs = [s["shard_idx"] for s in shards]
+    if idxs != list(range(n)):
+        raise ValueError(
+            f"corrupt shard set for {shards[0]['url']}: "
+            f"shard_idx {idxs} != {list(range(n))}")
     out = dict(shards[0])
     if n > 1:
         out["extracted_text"] = "".join(

@@ -44,6 +44,18 @@ sys.path.insert(0, os.path.join(REPO, "scripts"))
 # Must be set BEFORE any repo import: operators/dedupe.py reads it at
 # module load and bakes it into the oracle f-strings.
 SCOPE = int(os.environ.setdefault("SPARK_GRAFT_PAIR_SCOPE", "2000"))
+# setdefault lets a stale shell export (e.g. 200 from a bench session)
+# silently win and commit a non-record-scope CROSSCHECK_sf1.json — the
+# committed artifact is valid at scope 2000 ONLY (CLAUDE.md restore
+# invariant), so refuse anything else unless explicitly overridden for
+# a scratch experiment via SPARK_GRAFT_SF1_ALLOW_SCOPE=1.
+if SCOPE != 2000 and not os.environ.get("SPARK_GRAFT_SF1_ALLOW_SCOPE"):
+    raise SystemExit(
+        f"SPARK_GRAFT_PAIR_SCOPE={SCOPE} (probably a stale shell "
+        "export): the committed CROSSCHECK_sf1.json is recorded at "
+        "scope 2000 — unset the variable, or set "
+        "SPARK_GRAFT_SF1_ALLOW_SCOPE=1 for a deliberate non-record run "
+        "(and do NOT commit its artifact)")
 
 COPIES = 10
 HEAVY = [

@@ -175,3 +175,48 @@ def test_cli_reassemble_unsharded_and_partial_guard(spark, corpus_path,
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["docs"] == 12 and out["pending_buckets"] == 0
+
+
+def test_cli_reassemble_run_meta_robustness(spark, corpus_path,
+                                            tmp_path, capsys):
+    """r7 advice: a corrupt run_meta.json gets the guided message (not
+    a traceback), and a MISSING one (pre-guard / object-store vintage)
+    still runs the pending check against a derived lower bound instead
+    of skipping the partial-corpus guard entirely."""
+    import os
+
+    out_dir = str(tmp_path / "m")
+    rc = _dispatch(spark, _Args(command="run", input=corpus_path,
+                                output=out_dir, buckets=4, run_id="m0",
+                                bucket_slice="0-2"))
+    assert rc == 0
+    capsys.readouterr()
+    whole = str(tmp_path / "mw.parquet")
+
+    # corrupt file → guided recovery text, exit 3, no traceback
+    meta = os.path.join(out_dir, "run_meta.json")
+    with open(meta, "w") as f:
+        f.write("{not json")
+    rc = _dispatch(spark, _Args(command="reassemble", input=out_dir,
+                                output=whole))
+    assert rc == 3
+    assert "corrupt" in capsys.readouterr().err
+
+    # missing file → bucket 3 is past the max id on disk (unknowable),
+    # but a hole INSIDE the observed range must still be caught: drop
+    # the bucket=1 data dir and its manifest rows
+    os.remove(meta)
+    import shutil
+    shutil.rmtree(os.path.join(out_dir, "extracted", "bucket=1"))
+    shutil.rmtree(os.path.join(out_dir, "manifest"))
+    rc = _dispatch(spark, _Args(command="reassemble", input=out_dir,
+                                output=whole))
+    err = capsys.readouterr().err
+    assert rc == 3 and "pending" in err
+
+    # --allow-partial proceeds, with the unverified-completeness warning
+    rc = _dispatch(spark, _Args(command="reassemble", input=out_dir,
+                                output=whole, allow_partial=True))
+    err = capsys.readouterr().err
+    assert rc == 0
+    assert "lower bound" in err

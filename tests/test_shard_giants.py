@@ -66,6 +66,17 @@ def test_reassemble_rejects_incomplete_shard_set():
         reassemble_rows(shards[:-1])
 
 
+def test_reassemble_rejects_duplicate_plus_missing_shard():
+    """A duplicated shard masking a missing one (e.g. a double-read
+    file) passes the count check — the idx-contiguity check must catch
+    it instead of silently corrupting the reassembled text (r7 advice)."""
+    shards = shard_row(_row("x" * 50, []), 10, 10)
+    corrupt = shards[:-1] + [dict(shards[1])]   # two idx-1, no idx-4
+    assert len(corrupt) == len(shards)
+    with pytest.raises(ValueError, match="corrupt shard set"):
+        reassemble_rows(corrupt)
+
+
 # --- Spark round trip --------------------------------------------------------
 
 
