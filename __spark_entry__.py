@@ -1,11 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship extraction; ``queries()`` /
-``oracle_sql()`` expose every SQL-checkable operator pair
-(relational, text-stats, dedup, similarity families), plus rows-only
-extraction queries whose correctness gate is the pytest golden
-byte-identity suite (tests/test_spark_extract.py) — DuckDB cannot
-decode layout payloads, so those get the weaker check by design.
+``oracle_sql()`` expose every operator pair — the relational,
+text-stats, dedup, and similarity families are recomputed by DuckDB
+from the raw tables, and the nine extraction-family ``x_*`` queries
+(DuckDB cannot decode layout payloads) are graded against the
+committed tables of the independent single-node Python oracle
+(``core/oracle_x.py``, see ``_xoracle_sql``), so every registry entry
+is hash-graded in the driver gate.
 """
 
 from __future__ import annotations
@@ -218,23 +220,25 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _xoracle_sql() -> dict[str, str]:
-    """DuckDB twins for six extraction-family queries (four promoted
-    round 6, two more — ``x_parsed_questions``, ``x_extract_doc_stats``
-    — round 7).  The independent single-node Python oracle
-    (``core/oracle_x.py``) materializes its tables as committed
+    """DuckDB twins for ALL NINE extraction-family queries (four
+    promoted round 6, two round 7, the last three — ``x_extract_spans``,
+    ``x_crop_manifest``, ``x_boilerplate_strip`` — round 8, closing
+    every ``no_oracle`` row).  The independent single-node Python
+    oracle (``core/oracle_x.py``) materializes its tables as committed
     parquet at the gate scale (``scripts/make_xoracle_tables.py``,
     staleness-pinned by pytest); DuckDB then RECOMPUTES the relational
     stage — the exam-info aggregation, the A/B compare full-outer
-    join, and the doc-stats span-count group-by + zero-preserving left
-    join — from the oracle's tables, and serves the outputs whose
-    kernels are not relational (SequenceMatcher scoring with
-    Python-pinned float accumulation order; the 24-rule validation
-    cascade; the parse kernel's direct field projection).  Valid only
-    at sf0.01, the driver-gate scale — the remaining three ``x_*``
-    queries (``x_extract_spans``, ``x_crop_manifest``,
-    ``x_boilerplate_strip``: layout-decode payloads DuckDB cannot
-    process) stay rows-only here and all nine remain hash-graded
-    against the live oracle at BOTH scales in XCHECK."""
+    join, the doc-stats span-count group-by + zero-preserving left
+    join, and the boilerplate stripped-chars delta — from the oracle's
+    tables, and serves the outputs whose kernels are not relational
+    (SequenceMatcher scoring with Python-pinned float accumulation
+    order; the 24-rule validation cascade; the parse / span / crop
+    kernels' direct projections of the layout decode, which DuckDB
+    cannot execute).  Valid only at sf0.01, the driver-gate scale —
+    and all nine x_* queries remain hash-graded against the LIVE
+    oracle at both sf0.01 and sf0.1 in XCHECK, which is the stronger
+    recomputed check; this table-serving layer upgrades the DRIVER
+    gate from rows-only to hash-graded."""
     import os
 
     d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -295,8 +299,13 @@ def _xoracle_sql() -> dict[str, str]:
                d.status
         FROM read_parquet('{d}/extract_docs.parquet') d
         LEFT JOIN (SELECT url, count(*) AS n_spans
-                   FROM read_parquet('{d}/span_urls.parquet')
+                   FROM read_parquet('{d}/extract_spans.parquet')
                    GROUP BY url) s USING (url)
+    """
+    boilerplate = f"""
+        SELECT url, raw_len, main_len,
+               raw_len - main_len AS stripped_chars
+        FROM read_parquet('{d}/boilerplate.parquet')
     """
     return {
         "x_exam_info": exam_info,
@@ -309,4 +318,9 @@ def _xoracle_sql() -> dict[str, str]:
         "x_extract_doc_stats": doc_stats,
         "x_parsed_questions":
             f"SELECT * FROM read_parquet('{d}/parsed_questions.parquet')",
+        "x_extract_spans":
+            f"SELECT * FROM read_parquet('{d}/extract_spans.parquet')",
+        "x_crop_manifest":
+            f"SELECT * FROM read_parquet('{d}/crop_manifest.parquet')",
+        "x_boilerplate_strip": boilerplate,
     }

@@ -448,14 +448,22 @@ def build_xoracle_tables(sf_dir: str) -> dict[str, list[dict]]:
       kernel is 24 rule functions, not a relational plan — SQL
       re-derivation would either diverge bit-wise or re-implement the
       rules a third time.
-    * ``extract_docs`` / ``span_urls`` (round-7 promotion) — the
-      doc-level (url, text_len, status) and the span-level url list;
-      DuckDB RECOMPUTES ``x_extract_doc_stats``'s per-url span count
-      via group-by + left join (zero-span docs included).
+    * ``extract_docs`` (round-7 promotion) — the doc-level
+      (url, text_len, status) table; DuckDB RECOMPUTES
+      ``x_extract_doc_stats``'s per-url span count via group-by +
+      zero-preserving left join against ``extract_spans``.
     * ``parsed_questions`` (round-7 promotion) — the full
       ``x_parsed_questions`` projection, served as-is: every column is
       the parse kernel's direct output (layout decode → region scan →
       field regexes), nothing relational to recompute.
+    * ``extract_spans`` / ``crop_manifest`` / ``boilerplate``
+      (round-8 promotion: the last three ``no_oracle`` rows) — the
+      span table and crop manifest are the layout-decode kernels'
+      direct output (nothing relational to recompute; served as-is,
+      same policy as ``parsed_questions``; ``extract_spans`` also
+      replaces the narrower ``span_urls`` as the doc-stats recompute
+      input).  ``boilerplate`` serves (url, raw_len, main_len) and
+      DuckDB recomputes the ``stripped_chars`` delta.
 
     Row order is deterministic (sorted keys) so the committed parquet
     is byte-stable under regeneration.
@@ -496,6 +504,11 @@ def build_xoracle_tables(sf_dir: str) -> dict[str, list[dict]]:
         "extract_docs": [
             {"url": r["url"], "text_len": r["text_len"],
              "status": r["status"]} for r in doc_stats],
-        "span_urls": [{"url": s["url"]} for s in x_extract_spans(rows)],
         "parsed_questions": x_parsed_questions(rows),
+        "extract_spans": x_extract_spans(rows),
+        "crop_manifest": x_crop_manifest(rows),
+        "boilerplate": [
+            {"url": r["url"], "raw_len": r["raw_len"],
+             "main_len": r["main_len"]}
+            for r in x_boilerplate_strip(rows)],
     }
