@@ -6,7 +6,8 @@
     python -m exam_pdf_parser_spark evaluate  IN.parquet OUT_DIR
     python -m exam_pdf_parser_spark crop      IN.parquet OUT_DIR
     python -m exam_pdf_parser_spark run       IN.parquet OUT_DIR   (manifest+resume;
-        --route-giants --shard-chars N --bucket-slice 0-15 --compact-after K)
+        giant routing + row sharding ON by default — --no-route-giants /
+        --shard-chars N|0 --bucket-slice 0-15 --compact-after K)
     python -m exam_pdf_parser_spark reassemble RUN_DIR OUT.parquet (sharded -> whole docs)
     python -m exam_pdf_parser_spark curate    IN.parquet OUT_DIR   (dedup/quality/lang gates)
     python -m exam_pdf_parser_spark gen-corpus N OUT.parquet       (synthetic input)
@@ -45,14 +46,21 @@ def main(argv: list[str] | None = None) -> int:
              "(core/pdf.py writer) instead of the XLAY1 container")
     ap.add_argument(
         "--route-giants", action="store_true",
-        help="run: size-route giant documents through the "
-             "page-parallel path inside the durable pipeline")
+        help="run: deprecated no-op — giant routing is the default "
+             "since round 8; see --no-route-giants for the off-switch")
     ap.add_argument(
-        "--shard-chars", type=int, default=0,
-        help="run: bound every output row (core/shard.py rule) — "
+        "--no-route-giants", action="store_true",
+        help="run: disable giant routing AND output-row sharding "
+             "(the pre-round-8 whole-doc path; output carries no "
+             "shard columns)")
+    ap.add_argument(
+        "--shard-chars", type=int, default=None,
+        help="run: output-row size bound (core/shard.py rule) — "
              "documents past the threshold write as (shard_idx, "
-             "n_shards) rows; implies --route-giants; consume with "
-             "the reassemble command or sources.manifest.read_extracted")
+             "n_shards) rows; DEFAULT: core.shard.DEFAULT_SHARD_CHARS; "
+             "0 disables sharding while keeping giant routing; consume "
+             "with the reassemble command or "
+             "sources.manifest.read_extracted")
     ap.add_argument(
         "--bucket-slice", default=None,
         help="run: restrict this run to a bucket subset — '0-15', "
@@ -274,15 +282,24 @@ def _dispatch(spark, args) -> int:
                     bucket_subset.extend(range(int(lo), int(hi) + 1))
                 else:
                     bucket_subset.append(int(part))
-        shard = getattr(args, "shard_chars", 0) or None
+        # safe-by-default (round 8): routing + sharding are the engine
+        # defaults; --no-route-giants is the explicit off-switch and
+        # --shard-chars 0 keeps routing but disables row sharding
+        shard_arg = getattr(args, "shard_chars", None)
+        kwargs = {}
+        if getattr(args, "no_route_giants", False):
+            if shard_arg:
+                print("--shard-chars requires giant routing — drop "
+                      "--no-route-giants", file=sys.stderr)
+                return 2
+            kwargs["route_giants"] = False
+        elif shard_arg is not None:
+            kwargs["shard_chars"] = shard_arg or None
         stats = run_extraction(
             spark, docs, args.output, args.run_id,
             n_buckets=args.buckets,
-            route_giants=bool(getattr(args, "route_giants", False)
-                              or shard),
             compact_after=getattr(args, "compact_after", 64),
-            shard_chars=shard,
-            buckets=bucket_subset)
+            buckets=bucket_subset, **kwargs)
         print(json.dumps({"command": "run", **stats}))
         return 0
 

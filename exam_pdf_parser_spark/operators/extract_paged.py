@@ -319,17 +319,21 @@ def extract_auto(documents: DataFrame, min_q: int = 1, max_q: int = 50,
     either way; routing only changes WHERE a document's work lands, so
     one 1,000-page document cannot stall a task.
 
-    Scale note: the routed output is persisted (MEMORY_AND_DISK) so
-    the two consumers — finished rows and the giant-page branch —
-    share ONE materialization instead of re-scanning the source: the
-    cache holds extraction RESULTS plus the rare giant pages (a few
-    percent of input size at web scale), never the raw input table.
-    Only the rare giant pages cross the wire in the spread shuffle,
-    and AQE coalesces the exchange when no giants exist.
+    Scale note: the routed output is persisted (DISK_ONLY) so the two
+    consumers — finished rows and the giant-page branch — share ONE
+    materialization instead of re-scanning the source: the cache holds
+    extraction RESULTS plus the rare giant pages (a few percent of
+    input size at web scale), never the raw input table.  Only the
+    rare giant pages cross the wire in the spread shuffle, and AQE
+    coalesces the exchange when no giants exist.  DISK_ONLY is a
+    measured decision (round 8): a memory-tier cache of the full
+    output competing with 32 concurrent shuffle writers OOM'd an 8g
+    heap at 240k docs, while each block is consumed ~once right after
+    materialization — the memory tier bought nothing but heap risk.
 
-    **Cache lifetime (long-lived sessions)**: the persist is
-    MEMORY_AND_DISK, and LRU eviction reclaims the memory tier only —
-    disk blocks stay until unpersisted.  The returned DataFrame
+    **Cache lifetime (long-lived sessions)**: disk-backed blocks stay
+    until unpersisted (LRU eviction never reclaims them).  The
+    returned DataFrame
     carries the handle as ``result._routed_cache``; once the result
     has been fully consumed (written, collected), release it with
     :func:`release_routed_cache` (or
@@ -443,8 +447,17 @@ def extract_auto(documents: DataFrame, min_q: int = 1, max_q: int = 50,
             if rows:
                 yield _frame(rows)
 
+    # DISK_ONLY, not MEMORY_AND_DISK (round-8 measured fix): the cache
+    # holds the ENTIRE extraction output, and letting it compete for
+    # the unified memory region against 32 concurrent shuffle-write
+    # tasks OOM'd the 8g heap at 240k docs (BENCH_SCALING.md
+    # §soak-under-defaults; 120k was green, so the failure scales with
+    # corpus size, not document shape).  Each cache block is read back
+    # ~once per consumer immediately after materialization, so the
+    # memory tier buys little; disk-backed blocks keep the heap for
+    # the shuffle and the run completed 240k at 8g in 39.6 s.
     routed = docs.mapInPandas(route, schema).persist(
-        StorageLevel.MEMORY_AND_DISK)
+        StorageLevel.DISK_ONLY)
     done_cols = ([f.name for f in EXTRACT_SCHEMA.fields]
                  + (["shard_idx", "n_shards"] if sharding else [])
                  + (["proc_us"] if with_timing else []))

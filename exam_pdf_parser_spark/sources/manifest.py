@@ -306,6 +306,12 @@ def _check_run_meta(out_dir: str, n_buckets: int) -> None:
         os.unlink(tmp)
 
 
+# sentinel: "caller did not choose" — resolves to the engine default
+# (DEFAULT_SHARD_CHARS when routing is on, None when the caller turned
+# routing off), so the safe default and the off-switch can coexist
+_ENGINE_DEFAULT = object()
+
+
 def run_extraction(
     spark: SparkSession,
     documents: DataFrame,
@@ -314,9 +320,9 @@ def run_extraction(
     n_buckets: int = 64,
     min_q: int = 1,
     max_q: int = 50,
-    route_giants: bool = False,
+    route_giants: bool = True,
     compact_after: int | None = 64,
-    shard_chars: int | None = None,
+    shard_chars=_ENGINE_DEFAULT,
     buckets: list[int] | None = None,
 ) -> dict:
     """Execute (or resume) a bucketed extraction run.
@@ -325,20 +331,32 @@ def run_extraction(
     crash only processes buckets absent from the manifest, and dynamic
     partition overwrite replaces any half-written bucket dirs.
 
-    ``route_giants=True`` runs the size-routed ``extract_auto`` so a
-    pathological multi-thousand-page document takes the page-parallel
-    path instead of stalling one task; its ``proc_us`` then covers the
-    router's explode only (see ``extract_auto``), so giant-heavy
-    buckets UNDERSTATE cpu_ms — docs/sec and error metrics are exact
-    either way.
+    **Safe by default (round-8 verdict ask #2)**: giant routing AND
+    output-row sharding are ON unless explicitly disabled — at 100 TB
+    the fat tail arrives whether or not the caller remembered a flag,
+    and the measured failure modes (a multi-thousand-page document
+    stalling one task; a ~250 MB output row OOMing the bucketed write
+    at 8g × 32 slots) are engine concerns, not ops guidance.  The
+    explicit off-switch is ``route_giants=False`` (whole-doc path, no
+    shard columns — the pre-round-8 behavior, kept for oracle-parity
+    tests and single-footer consumers that cannot read shard
+    coordinates).
 
-    ``shard_chars`` (requires ``route_giants=True``; round-7 ask #1):
-    bound every output ROW — documents whose extracted text / span
-    list exceed the threshold write as multiple
+    ``route_giants=True`` (default) runs the size-routed
+    ``extract_auto`` so a pathological multi-thousand-page document
+    takes the page-parallel path instead of stalling one task; its
+    ``proc_us`` then covers the router's explode only (see
+    ``extract_auto``), so giant-heavy buckets UNDERSTATE cpu_ms —
+    docs/sec and error metrics are exact either way.
+
+    ``shard_chars`` (default ``core.shard.DEFAULT_SHARD_CHARS`` when
+    routing is on; requires ``route_giants=True`` when set
+    explicitly): bound every output ROW — documents whose extracted
+    text / span list exceed the threshold write as multiple
     ``(shard_idx, n_shards)`` rows under the ``core/shard.py`` rule,
-    so the bucketed write never materializes one hundreds-of-MB row
-    (the measured ~250 MB/slot OOM at 8g × 32 slots).  Read the
-    output via :func:`read_extracted` (a mixed pre-shard/sharded
+    so the bucketed write never materializes one hundreds-of-MB row.
+    Pass ``shard_chars=None`` for routing WITHOUT row sharding.  Read
+    the output via :func:`read_extracted` (a mixed pre-shard/sharded
     directory needs schema MERGE, not single-footer inference);
     reassembly = ``operators.extract_paged.reassemble_sharded``
     over that reader's output; manifest metrics
@@ -362,6 +380,9 @@ def run_extraction(
     lose nothing; see :func:`compact_manifest`).  ``None`` disables;
     object-store paths skip it automatically (local-FS-only op).
     """
+    if shard_chars is _ENGINE_DEFAULT:
+        from ..core.shard import DEFAULT_SHARD_CHARS
+        shard_chars = DEFAULT_SHARD_CHARS if route_giants else None
     if buckets is not None:
         if not buckets:
             raise ValueError(

@@ -10,15 +10,18 @@ heap, asserting
   * the page-parallel path engages — the router's cache holds exactly
     n_pages ``__page__`` rows for the giant.
 
-Usage: python scripts/giant_stress_bench.py [n_pages] [n_docs] [--shard]
+Usage: python scripts/giant_stress_bench.py [n_pages] [n_docs] [--no-shard]
 
-``--shard`` (round-7 ask #1) turns on engine-side giant-output
-sharding (``run_extraction(shard_chars=...)`` at the core/shard.py
-defaults): the giant's output writes as bounded ``(shard_idx,
-n_shards)`` rows instead of one hundreds-of-MB row, so THIS mode must
-run green at the exact config that OOM'd unsharded (8g heap ×
-local[32], ~250 MB/slot) — byte identity then asserted through
-``reassemble_sharded``.
+Since round 8 the DEFAULT mode passes NO routing/sharding knobs at all
+— ``run_extraction`` defaults are the safe ones (route on, shard at
+the core/shard.py threshold), so this script now certifies that a
+caller who remembered nothing survives the 50k-page giant at the exact
+config that OOM'd unsharded (8g heap × local[32], ~250 MB/slot), byte
+identity asserted through the shard reassembly rule.  ``--no-shard``
+keeps routing but disables row sharding (``shard_chars=None`` — the
+round-7 opt-out shape, retained for A/B continuity; it needs a heap
+that can absorb the giant's single output row).  ``--shard`` is
+accepted as a no-op for continuity with round-7 invocations.
 
 Prints one JSON line; results recorded in BENCH_SCALING.md.
 """
@@ -114,15 +117,20 @@ def main() -> None:
     from exam_pdf_parser_spark.session import get_spark
     from exam_pdf_parser_spark.sources.manifest import run_extraction
 
-    args = [a for a in sys.argv[1:] if a != "--shard"]
-    shard = "--shard" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    shard = "--no-shard" not in sys.argv[1:]
     n_pages = int(args[0]) if len(args) > 0 else 50_000
     n_docs = int(args[1]) if len(args) > 1 else 120_000
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    shard_chars = None
     if shard:
+        # pure engine defaults (round-8 ask #2): pass NO knobs — the
+        # reported threshold is what run_extraction resolves to
         from exam_pdf_parser_spark.core.shard import DEFAULT_SHARD_CHARS
         shard_chars = DEFAULT_SHARD_CHARS
+        run_kwargs: dict = {}
+    else:
+        shard_chars = None
+        run_kwargs = {"shard_chars": None}
 
     spark = get_spark("giant-stress", master=f"local[{cpus}]",
                       shuffle_partitions=int(cpus))
@@ -161,8 +169,7 @@ def main() -> None:
     shutil.rmtree(OUT_DIR, ignore_errors=True)
     t0 = time.perf_counter()
     s1 = run_extraction(spark, mixed, OUT_DIR, "giant-stress",
-                        n_buckets=64, route_giants=True,
-                        shard_chars=shard_chars)
+                        n_buckets=64, **run_kwargs)
     wall = time.perf_counter() - t0
     mon.stop()
 
@@ -208,13 +215,13 @@ def main() -> None:
 
     t0 = time.perf_counter()
     s2 = run_extraction(spark, mixed, OUT_DIR, "giant-resume",
-                        n_buckets=64, route_giants=True,
-                        shard_chars=shard_chars)
+                        n_buckets=64, **run_kwargs)
     resume = time.perf_counter() - t0
     assert s2["buckets_processed"] == 0
 
     print(json.dumps({
         "metric": "giant-doc-stress",
+        "mode": "pure-defaults" if shard else "no-shard",
         "shard_chars": shard_chars,
         "giant_shards": n_giant_shards,
         "n_pages": n_pages,

@@ -141,14 +141,17 @@ def test_cli_sliced_sharded_run_and_reassemble(spark, corpus_path,
 
 def test_cli_reassemble_unsharded_and_partial_guard(spark, corpus_path,
                                                     tmp_path, capsys):
-    """reassemble works on a PLAIN run dir (no shard columns anywhere)
-    and refuses a partially-backfilled dir unless --allow-partial."""
+    """reassemble works on a PLAIN run dir (--no-route-giants, the
+    round-8 off-switch: no shard columns anywhere) and refuses a
+    partially-backfilled dir unless --allow-partial."""
     out_dir = str(tmp_path / "r")
     rc = _dispatch(spark, _Args(command="run", input=corpus_path,
                                 output=out_dir, buckets=4, run_id="p0",
-                                bucket_slice="0-2"))
+                                bucket_slice="0-2", no_route_giants=True))
     assert rc == 0
     capsys.readouterr()
+    assert "shard_idx" not in spark.read.parquet(
+        f"{out_dir}/extracted").columns
 
     # bucket 3 pending → loud refusal, nothing written
     whole = str(tmp_path / "w.parquet")
@@ -167,7 +170,7 @@ def test_cli_reassemble_unsharded_and_partial_guard(spark, corpus_path,
     # finish the backfill → clean reassemble of the whole corpus
     rc = _dispatch(spark, _Args(command="run", input=corpus_path,
                                 output=out_dir, buckets=4, run_id="p1",
-                                bucket_slice="3"))
+                                bucket_slice="3", no_route_giants=True))
     assert rc == 0
     capsys.readouterr()
     rc = _dispatch(spark, _Args(command="reassemble", input=out_dir,

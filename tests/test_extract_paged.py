@@ -120,6 +120,24 @@ def test_extract_auto_plan_shows_routed_union(spark):
     assert "Exchange" not in seg[:seg.index("InMemoryTableScan")]
 
 
+def test_extract_auto_cache_is_disk_only(spark):
+    """Round-8 measured fix: the routed cache holds the ENTIRE
+    extraction output — a memory-tier level competing with 32
+    concurrent shuffle writers OOM'd an 8g heap at 240k docs while a
+    disk-only cache ran green (BENCH_SCALING.md §soak-under-defaults).
+    Pin the level so a convenience revert can't reintroduce the OOM."""
+    from pyspark.storagelevel import StorageLevel
+
+    from exam_pdf_parser_spark.operators.extract_paged import (
+        extract_auto, release_routed_cache,
+    )
+
+    docs = corpus_df(spark, 3, partitions=1)
+    result = extract_auto(docs)
+    assert result._routed_cache.storageLevel == StorageLevel.DISK_ONLY
+    release_routed_cache(result)
+
+
 def test_extract_auto_reads_source_once(spark):
     """Round-4 ask: the router must scan the input a single time.  An
     accumulator on an instrumented SOURCE counts rows actually read:

@@ -525,8 +525,10 @@ def test_shard_toggle_on_existing_dir_keeps_doc_metrics(spark, out_dir):
 
     # pass 1: unsharded slice over every other bucket — leaves
     # pre-shard footers (no shard_idx column) in the directory
+    # (route_giants=False is the round-8 off-switch: the pre-shard
+    # vintage this mixed-directory scenario needs)
     run_extraction(spark, mixed, out_dir, "plain", n_buckets=N_BUCKETS,
-                   buckets=others)
+                   buckets=others, route_giants=False)
     # pass 2: resume the giant's bucket with sharding ON
     run_extraction(spark, mixed, out_dir, "sharded", n_buckets=N_BUCKETS,
                    buckets=[gb], route_giants=True, shard_chars=SHARD_CHARS)
@@ -562,6 +564,43 @@ def test_shard_toggle_on_existing_dir_keeps_doc_metrics(spark, out_dir):
         assert [s.asDict() for s in back[url]["spans"]] == \
                [s.asDict() for s in w["spans"]], url
     mixed.unpersist()
+
+
+def test_run_extraction_safe_defaults(spark, out_dir, tmp_path):
+    """Round-8 verdict ask #2: a DEFAULT-ARGS run routes giants and
+    shards output rows (the fat tail arrives whether or not the caller
+    remembered a flag); route_giants=False is the explicit off-switch
+    restoring the pre-round-8 plain schema."""
+    docs = corpus_df(spark, 6, partitions=2)
+    run_extraction(spark, docs, out_dir, "defaults", n_buckets=N_BUCKETS)
+    raw = spark.read.option("mergeSchema", "true").parquet(
+        f"{out_dir}/extracted")
+    # shard coordinates are physically present by default...
+    assert {"shard_idx", "n_shards"} <= set(raw.columns)
+    # ...and ordinary documents are single-shard (sharding is a no-op
+    # exactly when the row was already write-safe)
+    assert raw.filter("shard_idx != 0 OR n_shards != 1").count() == 0
+
+    off = str(tmp_path / "off")
+    run_extraction(spark, docs, off, "off", n_buckets=N_BUCKETS,
+                   route_giants=False)
+    raw_off = spark.read.parquet(f"{off}/extracted")
+    assert not ({"shard_idx", "n_shards"} & set(raw_off.columns))
+
+    # explicit shard_chars without routing stays a loud error
+    with pytest.raises(ValueError, match="route_giants"):
+        run_extraction(spark, docs, str(tmp_path / "bad"), "bad",
+                       n_buckets=N_BUCKETS, route_giants=False,
+                       shard_chars=1000)
+
+    # content identity across the two defaults regimes
+    a = {(r["url"]): r for r in read_extracted(spark, out_dir)
+         .filter("shard_idx = 0").select("url", "extracted_text").collect()}
+    b = {(r["url"]): r for r in read_extracted(spark, off)
+         .select("url", "extracted_text").collect()}
+    assert set(a) == set(b)
+    for url in a:
+        assert a[url]["extracted_text"] == b[url]["extracted_text"], url
 
 
 def test_n_buckets_pinned_to_out_dir(spark, out_dir):
@@ -611,16 +650,18 @@ def test_corrupt_run_meta_fails_with_guidance(spark, out_dir):
 
 
 def test_reassemble_handles_unsharded_run_dir(spark, out_dir):
-    """The common case: a plain run (no shard_chars) has NO shard
-    columns anywhere — read_extracted must normalize them in and
-    reassembly must pass whole rows through (round-7 review #1)."""
+    """A run with the round-8 OFF-SWITCH (route_giants=False, the
+    pre-round-8 plain path) has NO shard columns anywhere —
+    read_extracted must normalize them in and reassembly must pass
+    whole rows through (round-7 review #1)."""
     from exam_pdf_parser_spark.operators.extract import extract
     from exam_pdf_parser_spark.operators.extract_paged import (
         reassemble_sharded,
     )
 
     docs = corpus_df(spark, 6, partitions=2)
-    run_extraction(spark, docs, out_dir, "plain", n_buckets=N_BUCKETS)
+    run_extraction(spark, docs, out_dir, "plain", n_buckets=N_BUCKETS,
+                   route_giants=False)
     rx = read_extracted(spark, out_dir)
     assert {"shard_idx", "n_shards"} <= set(rx.columns)
     back = {r["url"]: r for r in reassemble_sharded(

@@ -207,12 +207,14 @@ def test_run_extraction_sharded_manifest(spark, tmp_path):
 
 
 def test_shard_chars_requires_route_giants(spark, tmp_path):
+    """Since the round-8 default flip, the conflict needs BOTH knobs
+    explicit: routing turned off plus a shard threshold."""
     from exam_pdf_parser_spark.sources.manifest import run_extraction
 
     docs = corpus_df(spark, 2, partitions=1).select("url", "html")
     with pytest.raises(ValueError, match="route_giants"):
         run_extraction(spark, docs, str(tmp_path / "x"), "r",
-                       n_buckets=2, shard_chars=1000)
+                       n_buckets=2, route_giants=False, shard_chars=1000)
 
 
 def test_reassemble_tolerates_null_shard_coords(spark):
