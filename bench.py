@@ -49,7 +49,7 @@ shuffle — the minhash band-join's instruction mix) now runs beside
 it, band-join queries report ``queries_shuffle_ratio``, and the
 artifact SELF-DESCRIBES host health: ``host_state`` compares each
 anchor (and the frozen-corpus docs/s) against its committed healthy
-band (BASELINE.md §anchors) and emits a per-anchor state plus an
+band (ANCHOR_BANDS.json since round 8) and emits a per-anchor state plus an
 overall verdict, so a degraded-host run no longer needs a judge to
 reconcile it.
 """
@@ -222,7 +222,7 @@ def _band_anchor_runs(qmap, spark, reps: int) -> list[float]:
 # verdict ask #3): a provenance-carrying artifact — per-band
 # calibration runs, round, date, code ref, and the measurement
 # discipline — regenerated by scripts/calibrate_anchors.py and
-# staleness-pinned by tests/test_udfs.py::test_anchor_bands_artifact.
+# staleness-pinned by test_bench_contract.py::test_anchor_bands_artifact.
 # Hand-editing bench.py can no longer silently rewrite what "healthy"
 # means.
 _BANDS_PATH = os.path.join(
@@ -439,8 +439,8 @@ def main() -> None:
     # back parsed:null because the full payload outgrew the driver's
     # 2,000-char line-capture window.  The verbose runs/ratio blocks
     # go to a sidecar file instead (committed per-round as
-    # BENCH_DETAIL_*.json); test_udfs.py pins the compact line's
-    # length budget.
+    # BENCH_DETAIL_*.json); test_bench_contract.py pins the compact
+    # line's length budget.
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
