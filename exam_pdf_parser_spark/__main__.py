@@ -174,11 +174,16 @@ def _dispatch(spark, args) -> int:
                       file=sys.stderr)
                 return 3
         if derived:
-            print("reassemble: run_meta.json absent — completeness "
-                  f"checked against a derived lower bound "
-                  f"(n_buckets >= {n_buckets}); buckets past the "
-                  "highest id seen on disk cannot be verified",
-                  file=sys.stderr)
+            if n_buckets is None:
+                print("reassemble: run_meta.json absent and no bucket "
+                      "ids found on disk — completeness unverified",
+                      file=sys.stderr)
+            else:
+                print("reassemble: run_meta.json absent — completeness "
+                      f"checked against a derived lower bound "
+                      f"(n_buckets >= {n_buckets}); buckets past the "
+                      "highest id seen on disk cannot be verified",
+                      file=sys.stderr)
 
         whole = reassemble_sharded(
             read_extracted(spark, args.input).drop("proc_us", "bucket"))

@@ -223,3 +223,14 @@ def test_cli_reassemble_run_meta_robustness(spark, corpus_path,
     err = capsys.readouterr().err
     assert rc == 0
     assert "lower bound" in err
+
+    # no meta AND no bucket ids anywhere → the warning must say so
+    # explicitly, not print "n_buckets >= None" (the read then fails —
+    # there is nothing to reassemble — but the message comes first)
+    shutil.rmtree(os.path.join(out_dir, "extracted"))
+    import pytest
+    with pytest.raises(Exception):
+        _dispatch(spark, _Args(command="reassemble", input=out_dir,
+                               output=whole, allow_partial=True))
+    err = capsys.readouterr().err
+    assert "no bucket ids found" in err and "None" not in err
