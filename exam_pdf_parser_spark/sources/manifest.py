@@ -83,7 +83,19 @@ def completed_buckets(spark: SparkSession, out_dir: str,
     return []
 
 
-def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+# Blob-aware scan bound (round-8 1M-soak lesson, promoted from the
+# soak script into the engine): extraction output rows are ~5-50 KB of
+# text + spans, so Spark's default 4096-row columnar reader batches
+# materialize ~40-150 MB of on-heap vectors PER SCAN TASK — 32
+# concurrent tasks OOM'd an 8g heap at 1M docs.  256-row batches bound
+# the same scan at a few MB/task with negligible per-batch overhead.
+DEFAULT_READER_BATCH_ROWS = 256
+_BATCH_SIZE_CONF = "spark.sql.parquet.columnarReaderBatchSize"
+
+
+def read_extracted(spark: SparkSession, out_dir: str,
+                   reader_batch_rows: int | None =
+                   DEFAULT_READER_BATCH_ROWS) -> DataFrame:
     """The reader consumers should use for ``{out_dir}/extracted``.
 
     A directory accumulated across runs may MIX pre-shard and sharded
@@ -97,7 +109,23 @@ def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
     mixed directory; a dir written by a single run has a uniform
     schema and never needs it) and normalizes missing/NULL shard
     coordinates to ``(0, 1)`` — "this row is the whole document" —
-    so the output is always reassembly-safe."""
+    so the output is always reassembly-safe.
+
+    ``reader_batch_rows`` (safe-by-default, round 8): LOWERS the
+    session's parquet columnar batch size to this bound if it is
+    currently larger, because these rows are blob-heavy (see
+    ``DEFAULT_READER_BATCH_ROWS`` above).  This is deliberately a
+    SESSION conf change, and it is sticky: Spark's vectorized reader
+    takes its capacity from the session SQLConf at action time — there
+    is no per-read option for it (verified against the Spark 4.1
+    ``ParquetOptions``/``ParquetPartitionReaderFactory`` classes), and
+    a set-and-restore around this lazy ``read`` would be a no-op lie.
+    An already-lower session value is respected; pass ``None`` to
+    leave the conf untouched entirely."""
+    if reader_batch_rows is not None:
+        current = int(spark.conf.get(_BATCH_SIZE_CONF))
+        if current > reader_batch_rows:
+            spark.conf.set(_BATCH_SIZE_CONF, str(reader_batch_rows))
     df = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(out_dir, "extracted"))
     # normalize unconditionally: consumers always see the shard

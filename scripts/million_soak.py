@@ -64,28 +64,22 @@ def _output_md5(spark, out_dir: str) -> str:
 
     # blob-aware scan sizing: the default 4096-row columnar batches of
     # ~10 KB text+spans rows are ~40-150 MB of on-heap vectors PER TASK
-    # — 32 concurrent scan tasks OOM'd the 8g heap here; 256-row
-    # batches bound the same scan at a few MB/task.  (Consumer-side
-    # lesson recorded in BASELINE.md §million-soak: blob-heavy parquet
-    # wants row-bounded reader batches, exactly like the engine's
-    # Arrow batch sizing.)
-    key = "spark.sql.parquet.columnarReaderBatchSize"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "256")
-    try:
-        rows = read_extracted(spark, out_dir)
-        return (
-            rows.select(F.md5(F.concat_ws(
-                "\x00", "url",
-                F.col("shard_idx").cast("string"),
-                F.coalesce("extracted_text", F.lit("")),
-                F.coalesce("error", F.lit("")),
-                F.to_json("spans"))).alias("h"))
-            .agg(F.md5(F.concat_ws(
-                "", F.sort_array(F.collect_list("h")))).alias("H"))
-            .first()["H"])
-    finally:
-        spark.conf.set(key, prev)
+    # — 32 concurrent scan tasks OOM'd the 8g heap here.  The bound
+    # that fixed it (256-row batches, a few MB/task) is now
+    # read_extracted's own safe default (promoted from this script to
+    # the engine after the 1M run recorded the lesson); this function
+    # just uses the reader as any consumer would.
+    rows = read_extracted(spark, out_dir)
+    return (
+        rows.select(F.md5(F.concat_ws(
+            "\x00", "url",
+            F.col("shard_idx").cast("string"),
+            F.coalesce("extracted_text", F.lit("")),
+            F.coalesce("error", F.lit("")),
+            F.to_json("spans"))).alias("h"))
+        .agg(F.md5(F.concat_ws(
+            "", F.sort_array(F.collect_list("h")))).alias("H"))
+        .first()["H"])
 
 
 def main() -> None:

@@ -670,3 +670,37 @@ def test_reassemble_handles_unsharded_run_dir(spark, out_dir):
     assert set(back) == set(want)
     for url, w in want.items():
         assert back[url]["extracted_text"] == w["extracted_text"], url
+
+
+def test_read_extracted_bounds_reader_batch_size(spark, out_dir):
+    """Round-8 1M-soak lesson, engine-side: read_extracted LOWERS the
+    session's parquet columnar batch size to its blob-aware bound
+    (extraction rows are ~5-50 KB; default 4096-row batches were
+    40-150 MB of on-heap vectors per scan task and OOM'd an 8g heap at
+    1M docs), respects an already-lower session value, and leaves the
+    conf alone with reader_batch_rows=None."""
+    from exam_pdf_parser_spark.sources.manifest import (
+        DEFAULT_READER_BATCH_ROWS, _BATCH_SIZE_CONF,
+    )
+
+    docs = corpus_df(spark, 4, partitions=2)
+    run_extraction(spark, docs, out_dir, "rb", n_buckets=N_BUCKETS)
+    prev = spark.conf.get(_BATCH_SIZE_CONF)
+    try:
+        spark.conf.set(_BATCH_SIZE_CONF, "4096")
+        rx = read_extracted(spark, out_dir)
+        assert int(spark.conf.get(_BATCH_SIZE_CONF)) == \
+            DEFAULT_READER_BATCH_ROWS
+        assert rx.count() == 4  # the bounded scan still reads fine
+
+        # an already-lower session value is respected, never raised
+        spark.conf.set(_BATCH_SIZE_CONF, "64")
+        read_extracted(spark, out_dir)
+        assert spark.conf.get(_BATCH_SIZE_CONF) == "64"
+
+        # explicit opt-out leaves the conf untouched entirely
+        spark.conf.set(_BATCH_SIZE_CONF, "4096")
+        read_extracted(spark, out_dir, reader_batch_rows=None)
+        assert spark.conf.get(_BATCH_SIZE_CONF) == "4096"
+    finally:
+        spark.conf.set(_BATCH_SIZE_CONF, prev)
