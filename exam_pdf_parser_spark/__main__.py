@@ -130,10 +130,18 @@ def _dispatch(spark, args) -> int:
         # pending) must not silently masquerade as the whole corpus
         pending = None
         derived = False
+        done = None
         meta_path = os.path.join(args.input, "run_meta.json")
         try:
             with open(meta_path) as f:
                 n_buckets = json.load(f)["n_buckets"]
+            # a parseable file with a non-positive-int value (null,
+            # "64", 0) is just as corrupt as unparseable JSON — null
+            # would silently DISABLE the completeness guard, a string
+            # would crash range() below outside this handler
+            if not isinstance(n_buckets, int) \
+                    or isinstance(n_buckets, bool) or n_buckets < 1:
+                raise ValueError(f"bad n_buckets: {n_buckets!r}")
         except FileNotFoundError:
             # pre-guard / object-store run dirs were never stamped:
             # derive a LOWER BOUND on n_buckets from the bucket ids
@@ -141,7 +149,8 @@ def _dispatch(spark, args) -> int:
             # so the guard still catches holes INSIDE the observed id
             # range; tail buckets past the max seen are unknowable
             # without run_meta.json, so completeness stays unverified
-            ids = set(completed_buckets(spark, args.input))
+            done = set(completed_buckets(spark, args.input))
+            ids = set(done)
             ext = os.path.join(args.input, "extracted")
             if os.path.isdir(ext):
                 for name in os.listdir(ext):
@@ -164,7 +173,8 @@ def _dispatch(spark, args) -> int:
                   file=sys.stderr)
             return 3
         if n_buckets is not None:
-            done = set(completed_buckets(spark, args.input))
+            if done is None:  # derived path already scanned the manifest
+                done = set(completed_buckets(spark, args.input))
             pending = sorted(set(range(n_buckets)) - done)
             if pending and not getattr(args, "allow_partial", False):
                 print(f"reassemble: {len(pending)} of {n_buckets} "

@@ -207,7 +207,16 @@ def reassemble_sharded(df: DataFrame) -> DataFrame:
     it deliberately rebuilds the giant row, so it must only run where
     that row fits (tests, spot-checks).  Scale consumers should read
     the sharded shape directly: ``spans`` slices explode to the same
-    flat span table without reassembly, and text chunks stream."""
+    flat span table without reassembly, and text chunks stream.
+
+    A document whose shard rows are not exactly ``0..n_shards-1``
+    after the sort (a missing shard, a double-read file duplicating
+    one) is QUARANTINED — status ``error``, NULL text, empty spans,
+    and an error naming the observed shard_idx list — never silently
+    concatenated truncated/doubled.  Same detection rule as the
+    oracle side (``core.shard.reassemble_rows``, which raises); here
+    it is per-document so one corrupt doc can't kill a full-corpus
+    reassembly job."""
     from pyspark.sql import functions as F
 
     # no shard columns at all (a directory no run ever sharded, read
@@ -230,16 +239,30 @@ def reassemble_sharded(df: DataFrame) -> DataFrame:
         F.first("status").alias("status"),
         F.first("error").alias("error"),
     )
+    # shard-set validity: after the sort the observed shard_idx list
+    # must be exactly 0..n_shards-1 — count alone can't catch a
+    # duplicated shard masking a missing one (same rule as the oracle
+    # side, core.shard.reassemble_rows)
+    idxs = F.transform("parts", lambda p: p["shard_idx"])
+    ok = idxs == F.sequence(F.lit(0), F.col("n_shards") - F.lit(1))
+    bad_err = F.concat(
+        F.lit("corrupt shard set: shard_idx ["),
+        F.concat_ws(",", F.transform(
+            "parts", lambda p: p["shard_idx"].cast("string"))),
+        F.lit("] != 0.."), (F.col("n_shards") - 1).cast("string"))
     # n_shards == 1: pass the chunk through untouched (it may be NULL —
     # concat_ws would coerce it to "")
     text = F.when(F.col("n_shards") == 1,
                   F.element_at("parts", 1)["t"]).otherwise(
         F.concat_ws("", F.transform("parts", lambda p: p["t"])))
+    spans = F.flatten(F.transform("parts", lambda p: p["s"]))
     return agg.select(
         "url",
-        text.alias("extracted_text"),
-        F.flatten(F.transform("parts", lambda p: p["s"])).alias("spans"),
-        "status", "error")
+        F.when(ok, text).alias("extracted_text"),
+        F.when(ok, spans).otherwise(F.slice(spans, 1, 0)).alias("spans"),
+        F.when(ok, F.col("status")).otherwise(F.lit("error"))
+         .alias("status"),
+        F.when(ok, F.col("error")).otherwise(bad_err).alias("error"))
 
 
 # --- automatic giant-doc routing ---------------------------------------------

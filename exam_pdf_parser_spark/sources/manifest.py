@@ -121,7 +121,10 @@ def read_extracted(spark: SparkSession, out_dir: str,
     ``ParquetOptions``/``ParquetPartitionReaderFactory`` classes), and
     a set-and-restore around this lazy ``read`` would be a no-op lie.
     An already-lower session value is respected; pass ``None`` to
-    leave the conf untouched entirely."""
+    leave the conf untouched entirely.  A mixed-workload session that
+    later wants the wide default back for narrow tables can simply
+    ``spark.conf.set(_BATCH_SIZE_CONF, "4096")`` after its extraction
+    reads have been ACTED on (collected/written), not merely built."""
     if reader_batch_rows is not None:
         current = int(spark.conf.get(_BATCH_SIZE_CONF))
         if current > reader_batch_rows:

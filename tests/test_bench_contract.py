@@ -6,7 +6,6 @@ provenance-carrying artifact instead of hand-edited constants."""
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import re
@@ -22,9 +21,15 @@ MAX_BAND_AGE_ROUNDS = 3
 
 
 def _current_round() -> int:
-    rounds = [int(m.group(1)) for f in glob.glob(f"{REPO}/BENCH_r*.json")
-              if (m := re.search(r"BENCH_r(\d+)\.json$", f))]
-    return (max(rounds) + 1) if rounds else 1
+    # share the EXACT round-derivation rule the calibrator stamps into
+    # ANCHOR_BANDS.json — a second copy here could silently disagree
+    # on what "current round" means and defang the staleness pin
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "calibrate_anchors", f"{REPO}/scripts/calibrate_anchors.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.current_round()
 
 
 def _representative_full() -> dict:

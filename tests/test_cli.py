@@ -234,3 +234,28 @@ def test_cli_reassemble_run_meta_robustness(spark, corpus_path,
                                output=whole, allow_partial=True))
     err = capsys.readouterr().err
     assert "no bucket ids found" in err and "None" not in err
+
+
+def test_cli_reassemble_rejects_non_int_n_buckets(spark, corpus_path,
+                                                  tmp_path, capsys):
+    """Round-8 review fix: run_meta.json values that PARSE but are not
+    a positive int are corrupt too — null would silently DISABLE the
+    completeness guard, "64" would crash range() with a raw traceback
+    outside the guided-recovery handler."""
+    import os
+
+    out_dir = str(tmp_path / "ni")
+    rc = _dispatch(spark, _Args(command="run", input=corpus_path,
+                                output=out_dir, buckets=2, run_id="n0"))
+    assert rc == 0
+    capsys.readouterr()
+    meta = os.path.join(out_dir, "run_meta.json")
+    whole = str(tmp_path / "niw.parquet")
+    for bad in ('{"n_buckets": null}', '{"n_buckets": "64"}',
+                '{"n_buckets": 0}', '{"n_buckets": true}'):
+        with open(meta, "w") as f:
+            f.write(bad)
+        rc = _dispatch(spark, _Args(command="reassemble", input=out_dir,
+                                    output=whole))
+        assert rc == 3, bad
+        assert "corrupt" in capsys.readouterr().err, bad

@@ -238,3 +238,37 @@ def test_reassemble_tolerates_null_shard_coords(spark):
     assert [s["region_idx"] for s in back["w"]["spans"]] == [0]
     assert back["s"]["extracted_text"] == "abcd"
     assert [s["region_idx"] for s in back["s"]["spans"]] == [0, 1]
+
+
+def test_reassemble_quarantines_corrupt_shard_sets(spark):
+    """Round-8 review fix: the Spark reassembly side enforces the same
+    shard-set rule as the oracle (core.shard.reassemble_rows): after
+    the sort, shard_idx must be exactly 0..n_shards-1.  A missing
+    shard, or a duplicated one masking a missing one (a double-read
+    file), QUARANTINES the document — status error, NULL text, empty
+    spans, the observed idx list named in the error — instead of
+    silently emitting truncated or doubled text; intact documents in
+    the same frame are untouched."""
+    df = spark.createDataFrame(
+        [("miss", "ab", [(0,)], "ok", None, 0, 3),
+         ("miss", "ef", [(2,)], "ok", None, 2, 3),
+         ("dup", "ab", [(0,)], "ok", None, 0, 2),
+         ("dup", "ab", [(0,)], "ok", None, 0, 2),
+         ("dupwhole", "w", [(0,)], "ok", None, 0, 1),
+         ("dupwhole", "w", [(0,)], "ok", None, 0, 1),
+         ("good", "ab", [(0,)], "ok", None, 0, 2),
+         ("good", "cd", [(1,)], "ok", None, 1, 2)],
+        "url string, extracted_text string, "
+        "spans array<struct<region_idx:int>>, status string, "
+        "error string, shard_idx int, n_shards int")
+    back = {r["url"]: r for r in reassemble_sharded(df).collect()}
+    assert back["good"]["extracted_text"] == "abcd"
+    assert back["good"]["status"] == "ok" and back["good"]["error"] is None
+    for url in ("miss", "dup", "dupwhole"):
+        r = back[url]
+        assert r["status"] == "error", url
+        assert r["extracted_text"] is None, url
+        assert list(r["spans"]) == [], url
+        assert "corrupt shard set" in r["error"], url
+    assert "[0,2] != 0..2" in back["miss"]["error"]
+    assert "[0,0] != 0..1" in back["dup"]["error"]
