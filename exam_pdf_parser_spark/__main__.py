@@ -198,8 +198,22 @@ def _dispatch(spark, args) -> int:
         whole = reassemble_sharded(
             read_extracted(spark, args.input).drop("proc_us", "bucket"))
         whole.write.mode("overwrite").parquet(args.output)
-        n = spark.read.parquet(args.output).count()
+        from pyspark.sql import functions as F
+        stats = spark.read.parquet(args.output).agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("error").startswith("corrupt shard set"),
+                         1).otherwise(0)).alias("corrupt")).first()
+        n, corrupt = stats["n"], int(stats["corrupt"] or 0)
+        if corrupt:
+            # quarantined, not fatal: the rows carry status=error and
+            # an error naming the observed shard_idx list — surface
+            # the count so a double-read/missing-shard input can't
+            # hide inside an exit-0 run
+            print(f"reassemble: {corrupt} documents quarantined "
+                  "(corrupt shard sets) — see their error column in "
+                  "the output", file=sys.stderr)
         print(json.dumps({"command": "reassemble", "docs": n,
+                          "corrupt_docs": corrupt,
                           "pending_buckets": len(pending or []),
                           "path": args.output}))
         return 0

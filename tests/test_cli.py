@@ -259,3 +259,43 @@ def test_cli_reassemble_rejects_non_int_n_buckets(spark, corpus_path,
                                     output=whole))
         assert rc == 3, bad
         assert "corrupt" in capsys.readouterr().err, bad
+
+
+def test_cli_reassemble_reports_quarantined_docs(spark, corpus_path,
+                                                 tmp_path, capsys):
+    """Round-8 review follow-through: a corrupt shard set is
+    quarantined per-document by reassemble_sharded — the CLI must
+    SURFACE the count (corrupt_docs in the JSON summary + a stderr
+    warning) so a double-read file can't hide inside an exit-0 run."""
+    import glob
+    import os
+    import shutil
+
+    out_dir = str(tmp_path / "qd")
+    rc = _dispatch(spark, _Args(command="run", input=corpus_path,
+                                output=out_dir, run_id="q0",
+                                shard_chars=2000))
+    assert rc == 0
+    capsys.readouterr()
+
+    # clean reassemble: corrupt_docs 0, no warning
+    whole = str(tmp_path / "qdw.parquet")
+    rc = _dispatch(spark, _Args(command="reassemble", input=out_dir,
+                                output=whole))
+    assert rc == 0
+    cap = capsys.readouterr()
+    out = json.loads(cap.out.strip().splitlines()[-1])
+    assert out["corrupt_docs"] == 0
+    assert "quarantined" not in cap.err
+
+    # plant a double-read: copy one data file inside its bucket dir
+    src = glob.glob(os.path.join(out_dir, "extracted", "bucket=*",
+                                 "*.parquet"))[0]
+    shutil.copy(src, src.replace(".parquet", "-dup.parquet"))
+    rc = _dispatch(spark, _Args(command="reassemble", input=out_dir,
+                                output=whole))
+    assert rc == 0
+    cap = capsys.readouterr()
+    out = json.loads(cap.out.strip().splitlines()[-1])
+    assert out["corrupt_docs"] > 0
+    assert "quarantined" in cap.err
