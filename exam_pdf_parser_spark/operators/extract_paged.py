@@ -256,10 +256,18 @@ def reassemble_sharded(df: DataFrame) -> DataFrame:
                   F.element_at("parts", 1)["t"]).otherwise(
         F.concat_ws("", F.transform("parts", lambda p: p["t"])))
     spans = F.flatten(F.transform("parts", lambda p: p["s"]))
+    # Quarantine branch must ALWAYS be [] (the docstring's contract) —
+    # but if any part carries NULL spans, flatten() is NULL and
+    # F.slice(NULL, 1, 0) stays NULL, so size(spans) would read -1.
+    # Coalesce to an empty array typed to THIS frame's spans column
+    # (tests may use narrower span structs than SPAN_STRUCT).
+    empty_spans = F.array().cast(df.schema["spans"].dataType)
     return agg.select(
         "url",
         F.when(ok, text).alias("extracted_text"),
-        F.when(ok, spans).otherwise(F.slice(spans, 1, 0)).alias("spans"),
+        F.when(ok, spans)
+         .otherwise(F.coalesce(F.slice(spans, 1, 0), empty_spans))
+         .alias("spans"),
         F.when(ok, F.col("status")).otherwise(F.lit("error"))
          .alias("status"),
         F.when(ok, F.col("error")).otherwise(bad_err).alias("error"))

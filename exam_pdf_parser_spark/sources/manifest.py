@@ -23,6 +23,7 @@ Layout:
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
 import time
@@ -91,6 +92,25 @@ def completed_buckets(spark: SparkSession, out_dir: str,
 # the same scan at a few MB/task with negligible per-batch overhead.
 DEFAULT_READER_BATCH_ROWS = 256
 _BATCH_SIZE_CONF = "spark.sql.parquet.columnarReaderBatchSize"
+# Spark's shipped default for the conf above (sql/core SQLConf
+# PARQUET_VECTORIZED_READER_BATCH_SIZE) — what restore_reader_batch
+# returns a session to.
+SPARK_DEFAULT_READER_BATCH_ROWS = 4096
+
+_LOG = logging.getLogger(__name__)
+
+
+def restore_reader_batch(spark: SparkSession,
+                         rows: int = SPARK_DEFAULT_READER_BATCH_ROWS,
+                         ) -> None:
+    """Undo :func:`read_extracted`'s session-wide parquet batch-size
+    lowering (symmetric to ``release_routed_cache`` on the cache
+    side).  Call AFTER every extraction-output DataFrame built by
+    ``read_extracted`` has been acted on (collected / written) —
+    Spark's vectorized reader takes its capacity from the session
+    SQLConf at action time, so restoring earlier silently re-widens
+    those pending blob-heavy scans too."""
+    spark.conf.set(_BATCH_SIZE_CONF, str(rows))
 
 
 def read_extracted(spark: SparkSession, out_dir: str,
@@ -122,12 +142,24 @@ def read_extracted(spark: SparkSession, out_dir: str,
     a set-and-restore around this lazy ``read`` would be a no-op lie.
     An already-lower session value is respected; pass ``None`` to
     leave the conf untouched entirely.  A mixed-workload session that
-    later wants the wide default back for narrow tables can simply
-    ``spark.conf.set(_BATCH_SIZE_CONF, "4096")`` after its extraction
-    reads have been ACTED on (collected/written), not merely built."""
+    later wants the wide default back for narrow tables should call
+    :func:`restore_reader_batch` after its extraction reads have been
+    ACTED on (collected/written), not merely built; the lowering
+    itself is announced via a ``logging`` INFO line (r8 ADVICE)."""
     if reader_batch_rows is not None:
         current = int(spark.conf.get(_BATCH_SIZE_CONF))
         if current > reader_batch_rows:
+            # announce the session-wide side effect once per lowering
+            # (subsequent read_extracted calls are no-ops until
+            # restore_reader_batch raises it again) — mixed-workload
+            # consumers otherwise see unrelated narrow scans slow down
+            # with no visible cause (r8 ADVICE)
+            _LOG.info(
+                "read_extracted: lowering session conf %s %d -> %d "
+                "(blob-heavy extraction rows; call "
+                "restore_reader_batch(spark) after extraction reads "
+                "are acted on to get the wide default back)",
+                _BATCH_SIZE_CONF, current, reader_batch_rows)
             spark.conf.set(_BATCH_SIZE_CONF, str(reader_batch_rows))
     df = spark.read.option("mergeSchema", "true").parquet(
         os.path.join(out_dir, "extracted"))

@@ -257,14 +257,20 @@ def test_reassemble_quarantines_corrupt_shard_sets(spark):
          ("dupwhole", "w", [(0,)], "ok", None, 0, 1),
          ("dupwhole", "w", [(0,)], "ok", None, 0, 1),
          ("good", "ab", [(0,)], "ok", None, 0, 2),
-         ("good", "cd", [(1,)], "ok", None, 1, 2)],
+         ("good", "cd", [(1,)], "ok", None, 1, 2),
+         # NULL spans on a corrupt set: flatten() yields NULL, and
+         # before the r9 fix F.slice(NULL, 1, 0) left spans NULL on
+         # the quarantined row — size() would read -1, breaking the
+         # docstring's empty-spans contract (r8 ADVICE)
+         ("nullspans", "ab", None, "ok", None, 0, 3),
+         ("nullspans", "ef", [(2,)], "ok", None, 2, 3)],
         "url string, extracted_text string, "
         "spans array<struct<region_idx:int>>, status string, "
         "error string, shard_idx int, n_shards int")
     back = {r["url"]: r for r in reassemble_sharded(df).collect()}
     assert back["good"]["extracted_text"] == "abcd"
     assert back["good"]["status"] == "ok" and back["good"]["error"] is None
-    for url in ("miss", "dup", "dupwhole"):
+    for url in ("miss", "dup", "dupwhole", "nullspans"):
         r = back[url]
         assert r["status"] == "error", url
         assert r["extracted_text"] is None, url
