@@ -60,6 +60,10 @@ def main() -> int:
     ap.add_argument("--force", action="store_true",
                     help="calibrate even if the existing bands grade "
                          "this session degraded (probe code changed)")
+    ap.add_argument("--note", default=None,
+                    help="why this recalibration happened (host drift "
+                         "vs original band tightness, which finding "
+                         "triggered it) — stored as recalibration_note")
     args = ap.parse_args()
 
     import bench
@@ -128,6 +132,8 @@ def main() -> int:
     doc = json.loads(json.dumps(old))   # deep copy, keep discipline text
     doc["round"] = rnd
     doc["date"] = datetime.date.today().isoformat()
+    if args.note:
+        doc["recalibration_note"] = args.note
     for name, runs in fresh.items():
         runs_r = [round(r, 3) for r in runs]
         spec = doc["bands"][name]

@@ -20,16 +20,20 @@ LINE_BUDGET = 1800
 MAX_BAND_AGE_ROUNDS = 3
 
 
-def _current_round() -> int:
-    # share the EXACT round-derivation rule the calibrator stamps into
-    # ANCHOR_BANDS.json — a second copy here could silently disagree
-    # on what "current round" means and defang the staleness pin
+def _calibrate_mod():
+    # share the calibrator's EXACT rules (round derivation, band
+    # margins) — a second copy here could silently disagree and
+    # defang the staleness / consistency pins
     import importlib.util
     spec = importlib.util.spec_from_file_location(
         "calibrate_anchors", f"{REPO}/scripts/calibrate_anchors.py")
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    return mod.current_round()
+    return mod
+
+
+def _current_round() -> int:
+    return _calibrate_mod().current_round()
 
 
 def _representative_full() -> dict:
@@ -116,6 +120,29 @@ def test_anchor_bands_artifact():
             f"{name} was calibrated in round {spec['calibrated_round']} "
             f"(current {current}) — rerun scripts/calibrate_anchors.py "
             "in a healthy phase and commit the regenerated artifact")
+
+    # r8 ADVICE: each band must DERIVE from its own calibration_runs
+    # under the calibrator's margins — an inherited width from an
+    # older round (r07 shuffle/band bands survived the r08 regen)
+    # lets a host ~2x slower than the recorded healthy runs still
+    # grade "healthy", silently defanging the health verdict.
+    cal = _calibrate_mod()
+    for name, spec in doc["bands"].items():
+        runs = spec["calibration_runs"]
+        lo, hi = spec["band"]
+        if spec["lower_is_better"]:
+            want_lo, want_hi = (min(runs) * cal.LO_MARGIN,
+                                max(runs) * cal.HI_MARGIN)
+            tol = 0.002
+        else:
+            want_lo, want_hi = (min(runs) * cal.DPS_LO,
+                                max(runs) * cal.DPS_HI)
+            tol = 0.2
+        assert abs(lo - want_lo) <= tol and abs(hi - want_hi) <= tol, (
+            f"{name}: band [{lo}, {hi}] does not derive from its "
+            f"calibration_runs (want ~[{want_lo:.3f}, {want_hi:.3f}]) "
+            "— rerun scripts/calibrate_anchors.py instead of "
+            "inheriting a stale width")
 
 
 def test_host_state_grades_against_committed_bands():
