@@ -25,7 +25,10 @@ baked-in DuckDB oracles at that scale:
 Everything is derived from /root/testdata/sf0.1 by pure SQL — no
 randomness, no wall-clock — so the run is reproducible bit-for-bit.
 Writes ``CROSSCHECK_sf1.json`` at the repo root (the committed
-artifact) and exits non-zero on any mismatch.
+artifact) and exits non-zero on any mismatch.  Timings are recorded
+as a COLD first run plus best-of-``WARM_REPS`` warm reruns per side
+(r8 verdict ask #4 — the r07 single-cold-run numbers baked ~8.5 s of
+one-time standup into the headline and invited misreading).
 
 Usage: python scripts/sf1_crosscheck.py [scratch_dir] [src_sf_dir]
 """
@@ -58,6 +61,12 @@ if SCOPE != 2000 and not os.environ.get("SPARK_GRAFT_SF1_ALLOW_SCOPE"):
         "(and do NOT commit its artifact)")
 
 COPIES = 10
+# Timed WARM runs after the hash-checked cold run (r8 verdict ask #4:
+# the r07 artifact's single-cold-run numbers invited misreading one-
+# time standup — JVM/Arrow/plan-compile on the Spark side, first-touch
+# parquet cache on DuckDB's — as steady-state query cost; the minhash
+# gap adjudication showed ~8.5 s of the committed 15.8 s was standup).
+WARM_REPS = 3
 HEAVY = [
     "minhash_lsh_pairs",
     "simhash_near_pairs",
@@ -166,15 +175,30 @@ def main() -> int:
     for name in HEAVY:
         t0 = time.monotonic()
         sdf = queries[name](spark, scratch).toPandas()
-        spark_sec = round(time.monotonic() - t0, 3)
+        spark_cold = round(time.monotonic() - t0, 3)
+        spark_warm_runs = []
+        for _ in range(WARM_REPS):
+            t0 = time.monotonic()
+            queries[name](spark, scratch).toPandas()
+            spark_warm_runs.append(round(time.monotonic() - t0, 3))
         t0 = time.monotonic()
         ddf = con.sql(oracles[name]).df()
-        duck_sec = round(time.monotonic() - t0, 3)
+        duck_cold = round(time.monotonic() - t0, 3)
+        duck_warm_runs = []
+        for _ in range(WARM_REPS):
+            t0 = time.monotonic()
+            con.sql(oracles[name]).df()
+            duck_warm_runs.append(round(time.monotonic() - t0, 3))
         scols, dcols = sorted(sdf.columns), sorted(ddf.columns)
         entry = {"spark_rows": len(sdf), "oracle_rows": len(ddf),
                  "rows_match": len(sdf) == len(ddf),
                  "schema_match": scols == dcols, "hash_match": False,
-                 "spark_sec": spark_sec, "duck_sec": duck_sec}
+                 "spark_cold_sec": spark_cold,
+                 "spark_warm_sec": min(spark_warm_runs),
+                 "spark_warm_runs": spark_warm_runs,
+                 "duck_cold_sec": duck_cold,
+                 "duck_warm_sec": min(duck_warm_runs),
+                 "duck_warm_runs": duck_warm_runs}
         report[name] = entry
         if scols == dcols:
             a = canon(sdf.to_dict("records"), scols)
@@ -192,7 +216,9 @@ def main() -> int:
         if not ok:
             failures.append(name)
         print(f"{name:28s} {'OK' if ok else 'MISMATCH'} "
-              f"rows={len(sdf)} spark={spark_sec}s duck={duck_sec}s")
+              f"rows={len(sdf)} "
+              f"spark={spark_cold}s/warm {min(spark_warm_runs)}s "
+              f"duck={duck_cold}s/warm {min(duck_warm_runs)}s")
     spark.stop()
 
     out = os.path.join(REPO, "CROSSCHECK_sf1.json")
@@ -207,6 +233,12 @@ def main() -> int:
             },
             "table_rows": counts,
             "gen_sec": gen_sec,
+            "timing_note": (
+                "cold = first run in the session (carries one-time "
+                "standup: plan compile / Arrow init on the Spark "
+                "side, first-touch parquet cache on DuckDB's); warm "
+                f"= best of {WARM_REPS} immediate reruns — the "
+                "steady-state number (r8 minhash-gap lesson)"),
             "failures": failures,
             "results": report,
         }, f, indent=1)
