@@ -80,21 +80,79 @@ _DUCK_QUANT = f"list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * {QUANT}
     WHERE rk <= {TOP_K}
 """)
 def ann_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k by quantized inner product.
+
+    r10 optimization (guide §4.2): the old plan broadcast the ≤25
+    query vectors into a BroadcastNestedLoopJoin and computed every
+    dot product with Catalyst higher-order functions
+    (``aggregate(zip_with(...))`` — interpreted per element, no
+    codegen): 3.0 s of the 3.7 s query at sf1 was that scoring
+    subtree.  Scoring now runs as ONE numpy int64 GEMM per Arrow
+    batch inside ``mapInPandas`` with a per-task top-k prune, so the
+    shuffle to the final ranking window carries ~tasks × 25 × k rows
+    instead of 25 × corpus.  Exactness is unchanged: quantization is
+    the same IEEE ``floor(cast(float as double) * 1000 + 0.5)``
+    (float64 widening is exact), int64 dots of quantized values are
+    order-independent exact integers, and the per-task prune keeps
+    the k best under the SAME total order (dot_q desc, neighbor_id
+    asc) the global window ranks by — the global top-k therefore
+    survives pruning bit-for-bit (hash-checked against the unchanged
+    DuckDB oracle).  The ≤``N_QUERY_VECS`` query rows are collected
+    driver-side (bounded by contract, same pattern as
+    ``cosine_topk_pandas``) and ship as one broadcast int64 matrix.
+    """
     e = load(spark, sf_dir, "embeddings")
-    q = (
-        e.filter(F.col("vec_id") < N_QUERY_VECS)
-        .select(F.col("vec_id").alias("query_id"),
-                _quantized(F.col("embedding")).alias("qv_q"))
-    )
-    c = e.select(F.col("vec_id").alias("neighbor_id"),
-                 _quantized(F.col("embedding")).alias("qv_c"))
-    # queries side is tiny → broadcast; candidates stream through.
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id",
-                _dot_q(F.col("qv_q"), F.col("qv_c")).alias("dot_q"))
-    )
+    qrows = (e.filter(F.col("vec_id") < N_QUERY_VECS)
+             .select("vec_id", "embedding").collect())
+    out_schema = "query_id: long, neighbor_id: long, dot_q: long"
+    if not qrows:    # empty query set → empty result, same schema
+        return spark.createDataFrame(
+            [], out_schema + ", rk: int")
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.floor(
+        np.array([r["embedding"] for r in qrows], dtype=np.float64)
+        * QUANT + 0.5).astype(np.int64)
+    bq = e.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qm = bq.value                      # (n_q,), (n_q, dim)
+        best_d = [[] for _ in ids]              # per-query candidate pools
+        best_n = [[] for _ in ids]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            qc = np.floor(m * QUANT + 0.5).astype(np.int64)  # (b, dim)
+            dots = qc @ qm.T                                 # (b, n_q)
+            nids = pdf["vec_id"].to_numpy().astype(np.int64)
+            for j in range(len(ids)):
+                keep = nids != ids[j]
+                d, n = dots[keep, j], nids[keep]
+                if not len(n):
+                    continue
+                # same total order as the ranking window:
+                # dot desc, neighbor_id asc (lexsort: last key primary)
+                order = np.lexsort((n, -d))[:TOP_K]
+                best_d[j].append(d[order])
+                best_n[j].append(n[order])
+        out_q, out_n, out_d = [], [], []
+        for j in range(len(ids)):
+            if not best_n[j]:
+                continue
+            d = np.concatenate(best_d[j])
+            n = np.concatenate(best_n[j])
+            order = np.lexsort((n, -d))[:TOP_K]
+            out_q.append(np.full(len(order), ids[j], dtype=np.int64))
+            out_n.append(n[order])
+            out_d.append(d[order])
+        if out_q:
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "dot_q": np.concatenate(out_d),
+            })
+
+    scored = e.select("vec_id", "embedding").mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("dot_q"), F.asc("neighbor_id"))
     return (

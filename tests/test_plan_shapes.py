@@ -84,11 +84,18 @@ def test_minhash_band_join_carries_ids_only(spark):
         assert not ("band_idx" in line and "toks" in line), line
 
 
-def test_ann_topk_broadcasts_queries(spark):
+def test_ann_topk_streams_corpus_once(spark):
+    # r10: scoring moved from a BNLJ + Catalyst higher-order dot
+    # products into one numpy GEMM per Arrow batch (guide §4.2) with a
+    # per-task top-k prune — the corpus streams through Python exactly
+    # once and the only exchange is the final ranking window's
     from exam_pdf_parser_spark.operators.similarity import ann_topk_dot
 
     plan = _plan(ann_topk_dot(spark, SF))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_eval_single_shuffle_per_cogroup(spark):
@@ -110,7 +117,9 @@ def test_eval_single_shuffle_per_cogroup(spark):
 # The documented quadratic exact tiers (hard-capped by assert_exact_tier
 # with a named scale twin) are the ONLY places a nested-loop join may
 # appear; everything else must stay hash/sort-merge/broadcast-hash.
-BNLJ_ALLOWED = {"ann_topk_dot", "embedding_near_dups"}
+# (r10: ann_topk_dot left the list — its scoring is now a streamed
+# numpy GEMM, no join at all.)
+BNLJ_ALLOWED = {"embedding_near_dups"}
 
 # Headline-query plan pins at sf0.001 under the session config
 # (local[4], shuffle_partitions=4, AQE initial plan):
@@ -143,9 +152,10 @@ HEADLINE_PLAN_PINS = {
     # 7-chunk pigeonhole equi-join behind the hot-key guard — never a
     # nested loop
     "simhash_near_pairs": (5, 3, 3, 0, 0),
-    # the documented 25-query broadcast exact tier: its BNLJ is the
-    # contract (queries broadcast, corpus streamed once)
-    "ann_topk_dot": (1, 1, 0, 0, 1),
+    # r10: one streamed numpy-GEMM pass over the corpus (queries ride
+    # an sc.broadcast), per-task top-k prune, one exchange for the
+    # final ranking window
+    "ann_topk_dot": (1, 0, 0, 0, 0),
     # zero-shuffle extraction core + narrow explode
     "x_extract_spans": (0, 0, 0, 0, 0),
 }
