@@ -14,7 +14,17 @@ from __future__ import annotations
 import json
 import zlib
 
-from .detector import Region, detect_regions, split_columns
+try:  # r10: orjson parses the layout JSON ~6x faster than stdlib and
+    # accepts utf-8 bytes directly (no intermediate .decode()).  Both
+    # parsers produce identical dict/str/int/float values for the
+    # XLAY1 payload domain (floats are correctly rounded in both) —
+    # pinned by test_decode_payload_parser_equivalence; stdlib is the
+    # fallback so the module has no hard third-party dependency.
+    from orjson import loads as _json_loads
+except ImportError:  # pragma: no cover
+    _json_loads = json.loads
+
+from .detector import Region, detect_regions, page_columns
 from .textfuncs import block_text, page_framed_text
 
 PAYLOAD_MAGIC = b"XLAY1"
@@ -39,7 +49,7 @@ def decode_payload(html: bytes) -> dict:
         return {"v": 1, "pages": parse_pdf_pages(html)}
     if html[: len(PAYLOAD_MAGIC)] != PAYLOAD_MAGIC:
         raise ValueError("not an XLAY1 or PDF payload")
-    return json.loads(zlib.decompress(html[len(PAYLOAD_MAGIC):]).decode("utf-8"))
+    return _json_loads(zlib.decompress(html[len(PAYLOAD_MAGIC):]))
 
 
 def page_reading_order(page: dict) -> list[dict]:
@@ -48,12 +58,15 @@ def page_reading_order(page: dict) -> list[dict]:
     Parity: reading-order semantics of src/cropper/detector.py:107-116
     (column split + per-column y sort, columns processed left first).
     """
-    size = page.get("page_size") or [842.0, 1191.0]
-    width = size[0] if isinstance(size, list) else 842.0
     ordered: list[dict] = []
-    for col in split_columns(page.get("blocks", []), width):
+    for col in page_columns(page):
         ordered.extend(col)
     return ordered
+
+
+# (split_columns itself stays the public splitting primitive in
+# core.detector; page_columns caches its result per page dict so the
+# assembly and the detector scan share one split — r10.)
 
 
 def assemble_text(pages: list[dict]) -> str:

@@ -209,3 +209,69 @@ def test_repair_duplicates_scales_linearithmically():
     ]
     out = repair_duplicates(regs, max_q=50)
     assert sorted(r.question_number for r in out) == [4, 5, 33, 34, 35]
+
+
+def test_scan_gate_covers_matcher_prefixes():
+    """r10: scan_column dispatches the three matchers by first char —
+    a section header can only start with '[', a plus-marker block only
+    with '+', a question start only with '[', '【' or a decimal digit.
+    Property-test that NO stripped string outside those prefix classes
+    can match the corresponding matcher, so the dispatch is a pure
+    speedup (byte-identical scan output)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from exam_pdf_parser_spark.core.detector import _PLUS_BLOCK_RE
+    from exam_pdf_parser_spark.core.textfuncs import (
+        detect_question_start, is_section_header,
+    )
+
+    prefix = st.sampled_from(
+        ["", "[", "【", "+", "]", " ", "　", "18", "１８", "٣", "₁",
+         "½", "[41~42]", "+3", "+x", "【7】", "[9]", "18.", "x",
+         "다음", "①", "\\sim", "~"])
+    body = st.text(max_size=12)
+
+    @settings(max_examples=400, deadline=None)
+    @given(prefix, prefix, body)
+    def check(p1, p2, b):
+        s = (p1 + p2 + b).strip()
+        if not s:
+            return
+        c = s[0]
+        if is_section_header(s):
+            assert c == "[", repr(s)
+        if _PLUS_BLOCK_RE.match(s):
+            assert c == "+", repr(s)
+        if detect_question_start(s)[0] is not None:
+            assert c == "[" or c == "【" or c.isdecimal(), repr(s)
+
+    check()
+
+
+def test_decode_payload_parser_equivalence():
+    """r10: decode_payload parses with orjson when available.  Pin
+    STRICT (type-aware) equivalence with the stdlib parser over real
+    corpus payloads — int must stay int, float float, str str — so a
+    parser swap can never shift the byte-identity contract."""
+    import json
+    import zlib
+
+    from exam_pdf_parser_spark.core.assemble import (
+        PAYLOAD_MAGIC, _json_loads, decode_payload,
+    )
+    from exam_pdf_parser_spark.corpus.generator import build_document
+
+    def typed(v):
+        if isinstance(v, dict):
+            return {k: (type(k).__name__, typed(x)) for k, x in v.items()}
+        if isinstance(v, list):
+            return [typed(x) for x in v]
+        return (type(v).__name__, repr(v))
+
+    for i in range(50):
+        html = bytes(build_document(i)["html"])
+        raw = zlib.decompress(html[len(PAYLOAD_MAGIC):])
+        assert typed(_json_loads(raw)) == typed(json.loads(raw.decode()))
+        # and the public surface parses to exactly the stdlib dict
+        assert decode_payload(html) == json.loads(raw.decode())
