@@ -83,15 +83,38 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale.  customer GROWS with the fact data — no hint; AQE picks
     # broadcast while it fits and falls back to shuffle join at 100×
     # (a forced hint there would OOM the build side).
+    #
+    # r10 (guide §2.3 "aggregate before you shuffle"): revenue is
+    # additive, so lineitem pre-aggregates to one integer-cent sum per
+    # order BEFORE any join — the join exchange carries |orders| rows
+    # of (key, sum) instead of |lineitem| wide rows, and the old
+    # count(DISTINCT c_custkey) expand over the joined fact rows
+    # becomes a plain count(*) over one row per customer (each
+    # customer appears exactly once after the per-customer rollup, and
+    # exactly the customers with ≥1 order owning ≥1 lineitem survive
+    # the inner joins — the same distinct set).  Integer-cent sums are
+    # order-independent, so regrouping cannot move the totals
+    # (oracle-hash-checked, SQL text unchanged).  sf1: 1.70 → 1.40 s.
+    per_order = (
+        li.select(
+            "l_orderkey",
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("rc"))
+        .groupBy("l_orderkey").agg(F.sum("rc").alias("rc"))
+    )
+    per_cust = (
+        per_order.join(o.select("o_orderkey", "o_custkey"),
+                       per_order.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_custkey").agg(F.sum("rc").alias("rc"))
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        per_cust.join(c.select("c_custkey", "c_nationkey"),
+                      per_cust.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.countDistinct("c_custkey").alias("customers"),
-            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-            .alias("revenue_c"),
+            F.count("*").alias("customers"),
+            F.sum("rc").alias("revenue_c"),
         )
     )
 
@@ -220,11 +243,29 @@ def entity_order_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     li = load(spark, sf_dir, "lineitem")
+    # r10 (guide §2.3): aggregate lineitem by l_partkey BEFORE the
+    # broadcast join — p_partkey is the grouping key's determinant
+    # (p_brand is functionally dependent on it), so grouping first and
+    # attaching the brand after is the same aggregation; the broadcast
+    # hash join then probes |parts| aggregated rows instead of every
+    # lineitem, and the agg exchange carries (key, sum) without the
+    # brand string.  Integer-cent sums are order-independent
+    # (oracle-hash-checked, SQL text unchanged).  sf1: 1.61 → 1.00 s.
+    # The brand inner join also drops partkeys absent from part — for
+    # lineitem rows that had no part match the old join dropped them
+    # pre-agg, the new one post-agg; the surviving groups and sums are
+    # identical.
+    per_part = (
+        li.select(
+            "l_partkey",
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("rc"))
+        .groupBy("l_partkey").agg(F.sum("rc").alias("revenue_c"))
+    )
     rev = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .groupBy("p_brand", "p_partkey")
-        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-             .alias("revenue_c"))
+        per_part.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                      per_part.l_partkey == F.col("p_partkey"))
+        .select("p_brand", "p_partkey", "revenue_c")
     )
     w = Window.partitionBy("p_brand").orderBy(
         F.desc("revenue_c"), F.asc("p_partkey"))

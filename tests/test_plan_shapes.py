@@ -135,8 +135,11 @@ HEADLINE_PLAN_PINS = {
     # one shuffle: the groupBy(returnflag, linestatus) agg
     "pricing_summary": (1, 0, 0, 0, 0),
     # dims broadcast (region/nation force-bcast + customer picked by
-    # the planner at this sf); shuffles: join-key + final agg
-    "revenue_by_nation": (2, 3, 3, 0, 0),
+    # the planner at this sf); r10: lineitem pre-aggregates revenue
+    # per order before any join (guide §2.3), so the shuffles are the
+    # per-order agg, the per-customer agg, and the final nation agg —
+    # each carrying (key, integer-cent sum) instead of wide fact rows
+    "revenue_by_nation": (3, 3, 3, 0, 0),
     # part dim broadcast; shuffles: agg + rank window
     "top_parts_by_brand": (2, 1, 1, 0, 0),
     # one shuffle: the per-entity window (carry-forward scan)
