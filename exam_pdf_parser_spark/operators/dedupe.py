@@ -36,6 +36,10 @@ ORACLE: dict[str, str] = {}
 # change could never stay in lockstep.
 PAIR_SCOPE = int(os.environ.get("SPARK_GRAFT_PAIR_SCOPE", "200"))
 EXACT_TIER_MAX = 20_000   # hard row cap for all-pairs exact tiers
+# candidate-pair sets at or below this row count are broadcast into
+# the MinHash verification joins (two longs/row → ~64 MiB built hash
+# relation at the cap); larger sets fall back to shuffle joins
+PAIR_BROADCAST_MAX_ROWS = 2_000_000
 
 
 def assert_exact_tier(df, n_max: int, scale_twin: str):
@@ -278,6 +282,17 @@ def block_grid_self_join(keys: DataFrame, id_col: str,
         # relative to the corpus — and lazy (materialized on the
         # query's first action).
         keys = keys.localCheckpoint(eager=False)
+        # r10 (guide §2): the grid's explicit partition count is now
+        # DERIVED FROM INPUT SIZE instead of pinned to the core count.
+        # ceil(rows/cap) targets ~cap input rows per task — the same
+        # ~cap² worst-case join work per task the grid promises —
+        # clamped to 4× parallelism (beyond that, more partitions only
+        # add scheduling overhead; the hash spread over tasks is what
+        # bounds stragglers, exactly as before).  At gate scale this
+        # collapses the two forced 32-task repartition waves to one
+        # task; the count() materializes the lazy checkpoint the first
+        # consumer would have paid for anyway.
+        n_rows = keys.count()
     a = keys.select(F.col(id_col).alias(out_a),
                     *[F.col(s).alias(an) for s, an, _ in carry],
                     *key_cols)
@@ -313,10 +328,9 @@ def block_grid_self_join(keys: DataFrame, id_col: str,
                     .cast("int"))
         .withColumn("_ba", F.explode(F.sequence(F.lit(0), F.col("g") - 1)))
     )
-    # one wave of tasks is enough: per-block work is already bounded
-    # by ~cap², so several blocks per task stay bounded too; more
-    # partitions would only add scheduling overhead
-    n_parts = keys.sparkSession.sparkContext.defaultParallelism
+    n_parts = max(1, min(
+        4 * keys.sparkSession.sparkContext.defaultParallelism,
+        -(-n_rows // cap)))
     grid_key = list(key_cols) + ["_ba", "_bb"]
     ga = ga.repartition(n_parts, *grid_key)
     gb = gb.repartition(n_parts, *grid_key)
@@ -374,11 +388,12 @@ def lsh_pairs_from_tokens(t: DataFrame,
     # token sets are aggregated ONLY for candidate docs (semi join
     # before collect_set): with sparse duplicates at corpus scale the
     # heavy token shuffle collapses to the candidate subset — exchange
-    # COUNT rises but shuffled BYTES drop from O(corpus) to O(cands)
+    # COUNT rises but shuffled BYTES drop from O(corpus) to O(cands).
+    # r10: no .distinct() here — the left-semi join's hash build
+    # dedups its keys anyway, so the extra exchange bought nothing.
     cand_ids = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionAll(cands.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
     )
     toks = (
         t.join(cand_ids, "doc_id", "left_semi")
@@ -390,8 +405,17 @@ def lsh_pairs_from_tokens(t: DataFrame,
                      F.col("toks").alias("toks_a"), F.col("n").alias("n_a"))
     tb = toks.select(F.col("doc_id").alias("doc_b"),
                      F.col("toks").alias("toks_b"), F.col("n").alias("n_b"))
+    # r10: the pair set is materialized (checkpoint) and its count is
+    # one cheap job, so pick the verification join strategy
+    # deliberately (guide §3.1): below the cap, broadcast the PAIRS
+    # into both joins — the token sets then never shuffle again after
+    # their aggregation; above it, fall back to the planner's shuffle
+    # join (a dup-heavy crawl can make the pair set arbitrarily
+    # large, so an unguarded hint would OOM the build side).
+    pair_side = (F.broadcast(cands)
+                 if cands.count() <= PAIR_BROADCAST_MAX_ROWS else cands)
     out = (
-        cands.join(ta, "doc_a").join(tb, "doc_b")
+        pair_side.join(ta, "doc_a").join(tb, "doc_b")
         .select(
             "doc_a", "doc_b",
             F.size(F.array_intersect("toks_a", "toks_b")).alias("n_inter"),

@@ -150,11 +150,15 @@ HEADLINE_PLAN_PINS = {
     # one shuffle: groupBy(md5) — the hash carries (doc_id, md5) only
     "exact_dup_assignment": (1, 0, 0, 0, 0),
     # banded ids-only self-join + candidate-restricted token aggs;
-    # the two SMJs are the band join + token re-join at initial plan
-    "minhash_lsh_pairs": (8, 2, 2, 2, 0),
+    # r10: the cand_ids distinct exchange is gone (the semi join's
+    # hash build dedups anyway) and the pair set broadcasts into the
+    # verification joins below PAIR_BROADCAST_MAX_ROWS, so the token
+    # sets never reshuffle after their aggregation — 8 exchanges → 4
+    "minhash_lsh_pairs": (4, 2, 2, 2, 0),
     # 7-chunk pigeonhole equi-join behind the hot-key guard — never a
-    # nested loop
-    "simhash_near_pairs": (5, 3, 3, 0, 0),
+    # nested loop; r10: the grid partition count derives from input
+    # size (one task wave at gate scale) — 5 exchanges → 4
+    "simhash_near_pairs": (4, 3, 3, 0, 0),
     # r10: one streamed numpy-GEMM pass over the corpus (queries ride
     # an sc.broadcast), per-task top-k prune, one exchange for the
     # final ranking window
