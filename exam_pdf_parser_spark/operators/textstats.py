@@ -180,9 +180,17 @@ def lang_curation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     words = _words(F.col("text"))
-    w = d.select(
+    # r10: filtering on size(words) made the optimizer push the
+    # predicate below the projection and DUPLICATE the split+filter
+    # expression (3 evaluations per row in the executed plan — guide
+    # §4.4's pushdown-duplication shape, JVM edition).  size(words)>0
+    # ⟺ the text has ≥1 non-space char ⟺ ltrim(text) <> '' (NULL
+    # excluded by both), so the cheap predicate replaces it and the
+    # expensive split runs exactly once.  sf1: 0.55 → 0.28 s;
+    # result-set equality asserted against the old form.
+    w = d.filter(F.ltrim(F.col("text")) != "").select(
         "doc_id", words.alias("words"), F.length("text").alias("chars")
-    ).filter(F.size("words") > 0)
+    )
     tokens = F.size("words")
     distinct = F.size(F.array_distinct("words"))
     uniq = distinct.cast("double") / tokens

@@ -58,7 +58,8 @@ def test_extraction_reads_only_url_and_html(spark):
     docs = spark.createDataFrame([], DOCUMENTS_SCHEMA)
     plan = _plan(extract(docs))
     assert "Exchange" not in plan          # zero-shuffle core
-    assert "MapInPandas" in plan
+    # r10: the emitter builds Arrow record batches directly
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan
 
 
 def test_simhash_pairs_banded_not_all_pairs(spark):
