@@ -52,7 +52,11 @@ def _corpus_from_docids(
     import exam_pdf_parser_spark.corpus.generator as _gen
 
     src = (open(_gen.__file__, "rb").read()
-           + open(_asm.__file__, "rb").read())
+           + open(_asm.__file__, "rb").read()
+           # cache-layout version: bump when the WRITE layout changes
+           # (content is unchanged — the tag must still rotate so an
+           # existing cache with the old physical layout regenerates)
+           + b"layout-v2")
     src_dir = f"{sf_dir}/documents.parquet"
     if os.path.isdir(src_dir):
         finger = ";".join(
@@ -66,6 +70,18 @@ def _corpus_from_docids(
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         ids = spark.read.parquet(
             f"{sf_dir}/documents.parquet").select("doc_id")
+        # r10: the ids frame is a single small parquet file → ONE scan
+        # partition, so generation used to run in one task (~6 ms/doc
+        # serially: minutes at sf1) and the cache landed as one file /
+        # one row group, capping every downstream scan's parallelism
+        # at the row-group count.  Repartition the ids scale-adaptively
+        # (~64 docs/task, capped at 8× parallelism) so generation runs
+        # wide and the cache layout gives readers real splits.  The
+        # generator is pure per doc_id, so the cache contents are
+        # row-set-identical — only the file layout changes.
+        n_docs = ids.count()
+        par = spark.sparkContext.defaultParallelism
+        ids = ids.repartition(max(1, min(8 * par, -(-n_docs // 64))))
 
         def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             cols = [f.name for f in schema.fields]
