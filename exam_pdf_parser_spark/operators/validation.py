@@ -36,9 +36,19 @@ def validate(
     answer_key: DataFrame | None = None,
     documents: DataFrame | None = None,
 ) -> DataFrame:
-    """All rules unioned; ``parsed`` should be cached by the caller
-    when issues + scores are both derived from it."""
-    p = parsed
+    """All rules unioned.
+
+    r10: ~20 rule branches each read ``parsed`` (and three read
+    ``answer_key``) — without a pin every branch re-ran the upstream
+    parse kernel, so the union cost ~20 parses (31 s at sf0.1; 1.4 s
+    for one parse).  Both inputs are lazily localCheckpoint'd here so
+    the parse runs ONCE regardless of caller discipline; the
+    checkpointed frames are the small parsed/key tables, not the
+    corpus.  Callers that already cache pay one extra tiny copy.
+    """
+    p = parsed.localCheckpoint(eager=False)
+    if answer_key is not None:
+        answer_key = answer_key.localCheckpoint(eager=False)
     rules: list[DataFrame] = []
 
     if documents is not None:
