@@ -244,12 +244,22 @@ def reassemble_sharded(df: DataFrame) -> DataFrame:
     # duplicated shard masking a missing one (same rule as the oracle
     # side, core.shard.reassemble_rows)
     idxs = F.transform("parts", lambda p: p["shard_idx"])
-    ok = idxs == F.sequence(F.lit(0), F.col("n_shards") - F.lit(1))
-    bad_err = F.concat(
+    idx_ok = idxs == F.sequence(F.lit(0), F.col("n_shards") - F.lit(1))
+    # r10 (r8 ADVICE follow-through): a structurally VALID multi-shard
+    # set where one part carries NULL spans would flatten() to NULL on
+    # an ok-status row (size() reads -1 downstream).  The oracle twin
+    # (core.shard.reassemble_rows) RAISES on that input (NULL is not
+    # iterable), so the Spark side quarantines it; single-shard rows
+    # pass through verbatim on both sides, NULL spans included.
+    multi_null_spans = (F.col("n_shards") > 1) & F.exists(
+        "parts", lambda p: p["s"].isNull())
+    ok = idx_ok & ~multi_null_spans
+    bad_err = F.when(~idx_ok, F.concat(
         F.lit("corrupt shard set: shard_idx ["),
         F.concat_ws(",", F.transform(
             "parts", lambda p: p["shard_idx"].cast("string"))),
         F.lit("] != 0.."), (F.col("n_shards") - 1).cast("string"))
+    ).otherwise(F.lit("corrupt shard set: NULL spans in a multi-shard part"))
     # n_shards == 1: pass the chunk through untouched (it may be NULL —
     # concat_ws would coerce it to "")
     text = F.when(F.col("n_shards") == 1,

@@ -49,6 +49,9 @@ def store(tmp_path, monkeypatch):
     Python-side rename/link against it."""
     posix = str(tmp_path / "store")
     real_rename, real_link = os.rename, os.link
+    real_replace = os.replace  # r10 (r8 ADVICE #6): os.replace is the
+    # third POSIX-atomicity escape hatch — guard it too, so a future
+    # switch to os.replace against the store cannot silently pass
 
     def guarded(fn, name):
         def inner(src, dst, *a, **kw):
@@ -61,6 +64,7 @@ def store(tmp_path, monkeypatch):
 
     monkeypatch.setattr(os, "rename", guarded(real_rename, "rename"))
     monkeypatch.setattr(os, "link", guarded(real_link, "link"))
+    monkeypatch.setattr(os, "replace", guarded(real_replace, "replace"))
     return f"file://{posix}", posix
 
 

@@ -278,3 +278,34 @@ def test_reassemble_quarantines_corrupt_shard_sets(spark):
         assert "corrupt shard set" in r["error"], url
     assert "[0,2] != 0..2" in back["miss"]["error"]
     assert "[0,0] != 0..1" in back["dup"]["error"]
+
+
+def test_reassemble_quarantines_null_spans_in_valid_multi_shard_set(spark):
+    """r10 (r8 ADVICE #4): the NULL-spans guard used to cover only the
+    quarantine branch — a multi-shard set whose shard_idx list is
+    EXACTLY 0..n-1 but with one NULL-spans part flattened to NULL
+    spans on an ok-status row (size() reads -1).  The oracle twin
+    raises on that input, so the Spark side now quarantines it; a
+    SINGLE-shard row with NULL spans still passes through verbatim,
+    matching the oracle's n==1 passthrough."""
+    df = spark.createDataFrame(
+        [("validnull", "ab", None, "ok", None, 0, 2),
+         ("validnull", "cd", [(1,)], "ok", None, 1, 2),
+         ("solo", "w", None, "ok", None, 0, 1),
+         ("good", "ab", [(0,)], "ok", None, 0, 2),
+         ("good", "cd", [(1,)], "ok", None, 1, 2)],
+        "url string, extracted_text string, "
+        "spans array<struct<region_idx:int>>, status string, "
+        "error string, shard_idx int, n_shards int")
+    back = {r["url"]: r for r in reassemble_sharded(df).collect()}
+    r = back["validnull"]
+    assert r["status"] == "error"
+    assert r["extracted_text"] is None
+    assert list(r["spans"]) == []
+    assert "NULL spans in a multi-shard part" in r["error"]
+    # n==1 passthrough parity with core.shard.reassemble_rows
+    assert back["solo"]["status"] == "ok"
+    assert back["solo"]["spans"] is None
+    assert back["solo"]["extracted_text"] == "w"
+    assert back["good"]["status"] == "ok"
+    assert back["good"]["extracted_text"] == "abcd"
