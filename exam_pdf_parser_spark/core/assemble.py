@@ -20,7 +20,18 @@ try:  # r10: orjson parses the layout JSON ~6x faster than stdlib and
     # XLAY1 payload domain (floats are correctly rounded in both) —
     # pinned by test_decode_payload_parser_equivalence; stdlib is the
     # fallback so the module has no hard third-party dependency.
-    from orjson import loads as _json_loads
+    # orjson is STRICTER than stdlib (it rejects NaN/Infinity literals
+    # and >64-bit ints that json.dumps happily emits), so anything it
+    # refuses retries on the stdlib parser — the accepted-payload set
+    # and every parsed value are therefore identical whether or not
+    # orjson is installed (a heterogeneous cluster cannot diverge).
+    import orjson as _orjson
+
+    def _json_loads(raw: bytes):
+        try:
+            return _orjson.loads(raw)
+        except Exception:
+            return json.loads(raw)
 except ImportError:  # pragma: no cover
     _json_loads = json.loads
 
@@ -89,10 +100,18 @@ def assemble_text(pages: list[dict]) -> str:
 def annotate_block_texts(pages: list[dict]) -> None:
     """Compute each block's joined text once and cache it on the block
     (``_txt``) — both the reading-order assembly and the detector scan
-    consume it, halving the span-join work per document."""
+    consume it, halving the span-join work per document.
+
+    Both caches are assigned UNCONDITIONALLY here, which is also the
+    injection guard: a decoded payload that happens to carry ``_txt``
+    or ``_cols`` keys of its own gets them overwritten before any
+    consumer reads them (review r10 — ``page_columns``'s lazy fallback
+    alone would have trusted a payload-supplied ``_cols``)."""
     for page in pages:
         for b in page.get("blocks", []):
             b["_txt"] = block_text(b.get("lines", []))
+        page["_cols"] = None
+        page_columns(page)
 
 
 def extract_document(

@@ -406,12 +406,16 @@ def lsh_pairs_from_tokens(t: DataFrame,
     tb = toks.select(F.col("doc_id").alias("doc_b"),
                      F.col("toks").alias("toks_b"), F.col("n").alias("n_b"))
     # r10: the pair set is materialized (checkpoint) and its count is
-    # one cheap job, so pick the verification join strategy
+    # one cheap job, so pick the FIRST verification join's strategy
     # deliberately (guide §3.1): below the cap, broadcast the PAIRS
-    # into both joins — the token sets then never shuffle again after
-    # their aggregation; above it, fall back to the planner's shuffle
-    # join (a dup-heavy crawl can make the pair set arbitrarily
-    # large, so an unguarded hint would OOM the build side).
+    # so ta streams through unshuffled; above it, fall back to the
+    # planner's shuffle join (a dup-heavy crawl can make the pair set
+    # arbitrarily large, so an unguarded hint would OOM the build
+    # side).  The SECOND join's left side already carries toks_a, so
+    # no side of it is hintable-small by construction — it stays
+    # planner-chosen (AQE converts it to broadcast at runtime when the
+    # pair volume is small; at worst it is the same sort-merge join
+    # the pre-r10 plan always used).
     pair_side = (F.broadcast(cands)
                  if cands.count() <= PAIR_BROADCAST_MAX_ROWS else cands)
     out = (

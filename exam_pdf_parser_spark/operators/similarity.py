@@ -108,49 +108,87 @@ def ann_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not qrows:    # empty query set → empty result, same schema
         return spark.createDataFrame(
             [], out_schema + ", rk: int")
-    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    q_mat = np.floor(
-        np.array([r["embedding"] for r in qrows], dtype=np.float64)
-        * QUANT + 0.5).astype(np.int64)
-    bq = e.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+    q_ids = [int(r["vec_id"]) for r in qrows]
+    # quantized query vectors; None stays None (NULL-embedding query).
+    # The 25×64 matrix is tiny — it ships inside the task closure, so
+    # there is no per-call sc.broadcast to leak over a long session.
+    q_vecs = [
+        None if r["embedding"] is None else
+        np.floor(np.asarray(r["embedding"], dtype=np.float64)
+                 * QUANT + 0.5).astype(np.int64)
+        for r in qrows
+    ]
 
+    # NULL-tolerance contract (matches the replaced Catalyst
+    # expression path exactly): zip_with pads length-mismatched arrays
+    # with NULL and aggregate(+) absorbs it, so a NULL embedding on
+    # EITHER side, or ANY length mismatch, produced dot_q = NULL —
+    # ranked after every non-NULL dot by the window's DESC NULLS LAST,
+    # tie-broken by neighbor_id asc.  The scorer therefore groups
+    # corpus rows by array length, GEMMs each query against its own
+    # length group (the hot path: one uniform group), and emits
+    # null-dot candidates (the TOP_K+1 smallest neighbor ids per task
+    # — enough to reconstruct any global top-k suffix) for everything
+    # else, instead of crashing the task on a NULL/ragged row.
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, qm = bq.value                      # (n_q,), (n_q, dim)
-        best_d = [[] for _ in ids]              # per-query candidate pools
-        best_n = [[] for _ in ids]
+        n_q = len(q_ids)
+        best_d = [[] for _ in range(n_q)]     # per-query valid pools
+        best_n = [[] for _ in range(n_q)]
+        null_n = [[] for _ in range(n_q)]     # per-query NULL-dot pools
         for pdf in batches:
             if not len(pdf):
                 continue
-            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            qc = np.floor(m * QUANT + 0.5).astype(np.int64)  # (b, dim)
-            dots = qc @ qm.T                                 # (b, n_q)
             nids = pdf["vec_id"].to_numpy().astype(np.int64)
-            for j in range(len(ids)):
-                keep = nids != ids[j]
-                d, n = dots[keep, j], nids[keep]
-                if not len(n):
+            embs = pdf["embedding"].to_numpy()
+            lens = np.array([-1 if v is None else len(v) for v in embs])
+            mats = {}
+            for ln in np.unique(lens):
+                if ln < 0:
                     continue
-                # same total order as the ranking window:
-                # dot desc, neighbor_id asc (lexsort: last key primary)
+                idx = np.nonzero(lens == ln)[0]
+                m = np.stack([embs[i] for i in idx]).astype(np.float64)
+                mats[int(ln)] = (
+                    idx, np.floor(m * QUANT + 0.5).astype(np.int64))
+            for j in range(n_q):
+                qv = q_vecs[j]
+                grp = mats.get(len(qv)) if qv is not None else None
+                if grp is not None:
+                    idx, qc = grp
+                    d = qc @ qv                       # exact int64 dots
+                    n = nids[idx]
+                    keep = n != q_ids[j]
+                    d, n = d[keep], n[keep]
+                    if len(n):
+                        # same total order as the ranking window:
+                        # dot desc, neighbor_id asc (lexsort: last
+                        # key primary)
+                        order = np.lexsort((n, -d))[:TOP_K]
+                        best_d[j].append(d[order])
+                        best_n[j].append(n[order])
+                    null_mask = lens != len(qv)
+                else:
+                    null_mask = np.ones(len(nids), dtype=bool)
+                nn = nids[null_mask]
+                nn = nn[nn != q_ids[j]]
+                if len(nn):
+                    null_n[j].append(np.sort(nn)[:TOP_K + 1])
+        out = {"query_id": [], "neighbor_id": [], "dot_q": []}
+        for j in range(n_q):
+            if best_n[j]:
+                d = np.concatenate(best_d[j])
+                n = np.concatenate(best_n[j])
                 order = np.lexsort((n, -d))[:TOP_K]
-                best_d[j].append(d[order])
-                best_n[j].append(n[order])
-        out_q, out_n, out_d = [], [], []
-        for j in range(len(ids)):
-            if not best_n[j]:
-                continue
-            d = np.concatenate(best_d[j])
-            n = np.concatenate(best_n[j])
-            order = np.lexsort((n, -d))[:TOP_K]
-            out_q.append(np.full(len(order), ids[j], dtype=np.int64))
-            out_n.append(n[order])
-            out_d.append(d[order])
-        if out_q:
-            yield pd.DataFrame({
-                "query_id": np.concatenate(out_q),
-                "neighbor_id": np.concatenate(out_n),
-                "dot_q": np.concatenate(out_d),
-            })
+                out["query_id"].extend([q_ids[j]] * len(order))
+                out["neighbor_id"].extend(int(x) for x in n[order])
+                out["dot_q"].extend(int(x) for x in d[order])
+            if null_n[j]:
+                nn = np.sort(np.concatenate(null_n[j]))[:TOP_K + 1]
+                out["query_id"].extend([q_ids[j]] * len(nn))
+                out["neighbor_id"].extend(int(x) for x in nn)
+                out["dot_q"].extend([None] * len(nn))
+        if out["query_id"]:
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="object") for k, v in out.items()})
 
     scored = e.select("vec_id", "embedding").mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(

@@ -275,3 +275,59 @@ def test_decode_payload_parser_equivalence():
         assert typed(_json_loads(raw)) == typed(json.loads(raw.decode()))
         # and the public surface parses to exactly the stdlib dict
         assert decode_payload(html) == json.loads(raw.decode())
+
+
+def test_payload_supplied_cache_keys_are_ignored():
+    """r10 review: a payload whose page dict carries its own '_cols'
+    (or '_txt') key must not override the computed column split /
+    block text — annotate_block_texts overwrites both caches before
+    any consumer reads them."""
+    import copy
+
+    from exam_pdf_parser_spark.core.assemble import (
+        encode_payload, extract_document,
+    )
+
+    page = {
+        "page_idx": 0,
+        "page_size": [842.0, 1191.0],
+        "blocks": [
+            {"bbox": [50.0, 60.0, 400.0, 90.0],
+             "lines": [{"spans": [{"content": "1. real question"}]}]},
+            {"bbox": [50.0, 100.0, 400.0, 140.0],
+             "lines": [{"spans": [{"content": "body text here"}]}],
+             "_txt": "2. forged question"},
+        ],
+    }
+    clean = {"v": 1, "pages": [copy.deepcopy(page)]}
+    poisoned = copy.deepcopy(clean)
+    poisoned["pages"][0]["_cols"] = [[{
+        "bbox": [0.0, 0.0, 1.0, 1.0],
+        "lines": [{"spans": [{"content": "9. injected"}]}],
+    }]]
+    out_clean = extract_document(encode_payload(clean))
+    out_poisoned = extract_document(encode_payload(poisoned))
+    assert out_poisoned[0] == out_clean[0]
+    assert [r.question_number for r in out_poisoned[1]] == \
+        [r.question_number for r in out_clean[1]] == [1]
+
+
+def test_decode_payload_nan_payload_matches_stdlib():
+    """r10 review: orjson rejects NaN/Infinity literals that stdlib
+    json.dumps emits — decode_payload must fall back so the
+    accepted-payload set is identical with or without orjson."""
+    import json
+    import math
+    import zlib
+
+    from exam_pdf_parser_spark.core.assemble import (
+        PAYLOAD_MAGIC, decode_payload,
+    )
+
+    doc = {"v": 1, "pages": [], "weird": float("nan")}
+    raw = json.dumps(doc, ensure_ascii=False, separators=(",", ":"),
+                     sort_keys=True).encode()
+    payload = PAYLOAD_MAGIC + zlib.compress(raw, 6)
+    out = decode_payload(payload)
+    assert out["v"] == 1 and out["pages"] == []
+    assert math.isnan(out["weird"])

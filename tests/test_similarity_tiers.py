@@ -222,3 +222,51 @@ def test_semantic_dedup_clusters_planted(spark):
     # noise: isolated, keeps itself
     for i in range(3 * n_bases, len(vecs)):
         assert rows[i]["cluster_id"] == i and rows[i]["keep"]
+
+
+def test_ann_topk_dot_null_and_ragged_embeddings(spark, tmp_path):
+    """r10 review: the numpy scorer must keep the replaced Catalyst
+    path's NULL tolerance — a NULL embedding or ANY length mismatch
+    produced dot_q = NULL (zip_with pads with NULL, aggregate absorbs
+    it), ranked after every non-NULL dot (DESC NULLS LAST) with the
+    neighbor_id tie-break.  Plant NULL + ragged rows on BOTH the query
+    and candidate sides and compare row-for-row against the old
+    expression semantics computed inline."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from exam_pdf_parser_spark.operators.similarity import (
+        TOP_K, _dot_q, _quantized, ann_topk_dot,
+    )
+
+    rows = []
+    for i in range(11):
+        if i == 7:
+            emb = None                      # NULL embedding
+        elif i == 8:
+            emb = [0.1, 0.2]                # ragged (short) embedding
+        else:
+            emb = [float(i), 1.0, -0.25, float(i % 3)]
+        rows.append((i, emb))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = sorted(tuple(r) for r in
+                 ann_topk_dot(spark, str(tmp_path)).collect())
+
+    e = spark.read.parquet(str(tmp_path / "embeddings.parquet"))
+    q = (e.filter(F.col("vec_id") < 25)
+         .select(F.col("vec_id").alias("query_id"),
+                 _quantized(F.col("embedding")).alias("qv_q")))
+    c = e.select(F.col("vec_id").alias("neighbor_id"),
+                 _quantized(F.col("embedding")).alias("qv_c"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      _dot_q(F.col("qv_q"), F.col("qv_c")).alias("dot_q")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_q"), F.asc("neighbor_id"))
+    want = sorted(tuple(r) for r in
+                  scored.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= TOP_K).collect())
+    assert got == want
