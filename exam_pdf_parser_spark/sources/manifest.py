@@ -109,7 +109,13 @@ def restore_reader_batch(spark: SparkSession,
     ``read_extracted`` has been acted on (collected / written) —
     Spark's vectorized reader takes its capacity from the session
     SQLConf at action time, so restoring earlier silently re-widens
-    those pending blob-heavy scans too."""
+    those pending blob-heavy scans too.
+
+    Caveat (r8 ADVICE #2): the default restores to Spark's own 4096
+    even if the session ran at an intentionally LOWER value before
+    ``read_extracted`` ever touched it — mixed-workload callers that
+    tune the reader batch themselves should pass ``rows=`` explicitly
+    with the value they want back."""
     spark.conf.set(_BATCH_SIZE_CONF, str(rows))
 
 

@@ -238,8 +238,23 @@ def _kill_victim_mid_write() -> dict:
         os.killpg(proc.pid, signal.SIGKILL)
         raise SystemExit("victim hung: no staging dir within 300s")
     time.sleep(1.0)                     # land INSIDE the write
+    # r10 (r8 ADVICE #3): the fixed delay can lose the race — the
+    # victim may finish its first bucket (or exit) inside the window,
+    # in which case the downstream kill assertions would fail on a
+    # bare assert instead of the explicit rerun exit used for the
+    # pre-staging race.  Re-check before killing, and treat a
+    # process that vanished between poll and killpg the same way.
+    if proc.poll() is not None:
+        raise SystemExit(
+            f"victim exited (rc={proc.returncode}) before the kill "
+            "landed; the write window was missed, rerun")
     t_kill = time.monotonic()
-    os.killpg(proc.pid, signal.SIGKILL)
+    try:
+        os.killpg(proc.pid, signal.SIGKILL)
+    except ProcessLookupError:
+        raise SystemExit(
+            "victim vanished between poll and killpg; the write "
+            "window was missed, rerun") from None
     proc.wait()
     return {"trigger": trigger, "victim_rc": proc.returncode,
             "killed_at_monotonic": t_kill}

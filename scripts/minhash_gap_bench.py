@@ -164,11 +164,23 @@ def main() -> int:
     print(f"xxh full: {sec:.2f}s rows={n}")
     spark.stop()
 
+    # r10 (r8 ADVICE #1): read the committed record instead of a
+    # hardcoded literal — the keys and values moved when the sf1
+    # crosscheck gained its cold/warm split (and again when round 10
+    # optimized the query), so a baked copy goes stale silently.
+    try:
+        with open(os.path.join(REPO, "CROSSCHECK_sf1.json")) as f:
+            rec = json.load(f)["results"].get("minhash_lsh_pairs", {})
+        committed = {k: rec.get(k) for k in (
+            "spark_cold_sec", "spark_warm_sec",
+            "duck_cold_sec", "duck_warm_sec")}
+        committed["source"] = "CROSSCHECK_sf1.json (committed)"
+    except (OSError, KeyError, ValueError):
+        committed = {"source": "CROSSCHECK_sf1.json unavailable"}
     out = {"metric": "minhash-gap-ab", "pair_scope": 2000,
            "cpus": cpus, "reps": reps,
            "jvm_anchor_sec": round(jvm_anchor, 3),
-           "committed_sf1_record": {"spark_sec": 15.8, "duck_sec": 10.7,
-                                    "source": "CROSSCHECK_sf1.json r07"},
+           "committed_sf1_record": committed,
            "results": results}
     print(json.dumps(out))
     return 0
