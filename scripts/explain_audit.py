@@ -53,17 +53,23 @@ NOTES = {
         "naive plan but every added exchange is candidate-sized, not "
         "corpus-sized. Round-4: band keys route through the "
         "block_grid_self_join hot-key guard (ids-only checkpoint + "
-        "count + one defaultParallelism grid exchange) so a "
-        "duplicate-heavy band bucket is task-bounded at ~cap^2 — "
-        "A/B in BENCH_SCALING.md, straggler 40.5s->7.6s.",
+        "count + a grid exchange whose partition count derives from "
+        "input size, r10) so a duplicate-heavy band bucket is "
+        "task-bounded at ~cap^2 — A/B in BENCH_SCALING.md, straggler "
+        "40.5s->7.6s; r10 re-run: max/median 1.4 vs 97.8 uncapped. "
+        "r10: the cand_ids distinct exchange is gone and the pair "
+        "set broadcasts into the first verification join below "
+        "PAIR_BROADCAST_MAX_ROWS.",
     "simhash_near_pairs": "7-chunk pigeonhole banding: equi-join on "
         "(chunk_idx, chunk_val) generates every hamming<=6 pair; no "
         "BroadcastNestedLoopJoin/CartesianProduct (pytest-asserted). "
         "Round-4: the chunk join shares the block_grid_self_join "
         "hot-key guard (identical pair set, task-bounded hot chunks); "
         "the added exchanges are ids+simhash-sized, never corpus-sized.",
-    "ann_topk_dot": "query side broadcast, corpus streams; per-query "
-        "top-k window after the scored join.",
+    "ann_topk_dot": "r10: queries ship in the task closure; the corpus "
+        "streams once through a numpy int64 GEMM with a per-task "
+        "top-k prune (exact, same total order as the ranking "
+        "window); the only exchange feeds the final window.",
     "event_sessions": "applyInPandas over user_id partitions — one "
         "exchange, state bounded per user.",
     "shipping_priority": "mktsegment filter pushed to the customer "
